@@ -1,0 +1,36 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * Each table is a single parquet file under the scale-factor dir. All
+  * engine queries go through here so that scan options (vectorized reader,
+  * filter pushdown) are applied uniformly. At cluster scale the same call
+  * sites would point at a partitioned table root instead of one file —
+  * nothing else changes, because all downstream code is declarative.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Parquet TIMESTAMP(NANOS) (events.ts) is not a Spark type; read it as
+    // a ns Long and floor to µs TimestampType — same truncation DuckDB
+    // applies (its TIMESTAMP is µs), so oracle comparisons stay aligned.
+    // Mirrors the reference's two-unit time handling (SURVEY §1.2: ns in
+    // manifest, ms in data).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    else df
+  }
+
+  /** Register every table as a temp view (for SQL-entry paths and tests). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

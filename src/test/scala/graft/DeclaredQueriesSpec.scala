@@ -1,0 +1,80 @@
+package graft
+
+import graft.query.Declared
+
+class DeclaredQueriesSpec extends GraftSuite {
+
+  test("every declared query has an oracle or is documented rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // rows-only ops (non-SQL-expressible) are allowed but tracked explicitly
+    assert(missing.forall(_.startsWith("x_")),
+      s"queries without oracle SQL must be x_-prefixed extensions: $missing")
+  }
+
+  test("q1 filter+order+limit: descending totalprice, all status O") {
+    val rows = Declared.q1(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val prices = rows.map(_.getDouble(1))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+    assert(prices.forall(_ > 100000))
+  }
+
+  test("q2 LIKE: all names contain 'red'") {
+    val rows = Declared.q2(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(1).contains("red")))
+  }
+
+  test("q3 scalar aggregates: cnt equals table count") {
+    val r = Declared.q3(spark, sf).collect().head
+    val n = graft.core.Tables.load(spark, sf, "lineitem").count()
+    assert(r.getLong(0) == n)
+    assert(!r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3) && !r.isNullAt(4))
+  }
+
+  test("q4 group by: group counts sum to table count") {
+    val rows = Declared.q4(spark, sf).collect()
+    val n = graft.core.Tables.load(spark, sf, "lineitem").count()
+    assert(rows.map(_.getLong(2)).sum == n)
+  }
+
+  test("q5 time range: strict upper bound preserved") {
+    val df = Declared.q5(spark, sf)
+    assert(df.columns.toSeq == Seq("event_id", "event_type"))
+    assert(df.count() > 0)
+  }
+
+  test("q6 IN/BETWEEN returns sorted keys") {
+    val keys = Declared.q6(spark, sf).collect().map(_.getLong(0))
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("q7 string functions") {
+    val r = Declared.q7(spark, sf).collect().head
+    assert(r.getString(1) == r.getString(1).toUpperCase)
+    assert(r.getString(3).length <= 8)
+  }
+
+  test("q8 date_trunc group: months are first-of-month dates") {
+    val rows = Declared.q8(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDate(0).toLocalDate.getDayOfMonth == 1))
+  }
+
+  test("q9 case/math bands") {
+    val rows = Declared.q9(spark, sf).collect()
+    assert(rows.map(_.getString(2)).toSet.subsetOf(Set("HI", "LO")))
+  }
+
+  test("q10 offset skips first 10 keys") {
+    val all = Declared.q10Offset(spark, sf).collect().map(_.getLong(0))
+    val first20 = graft.core.Tables.load(spark, sf, "orders")
+      .select("o_orderkey").orderBy("o_orderkey").limit(20)
+      .collect().map(_.getLong(0))
+    assert(all.sameElements(first20.drop(10)))
+  }
+
+  test("entry flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

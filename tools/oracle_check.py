@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local pre-flight for the driver's t2 gate: run SparkEntry's dumped
+results (Verify output parquet) against the DuckDB oracle SQL on the same
+scale-factor tables, compare row counts, column names, and value hashes.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+"""
+import json, sys, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+def table_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = ["\x01".join(canon(r[i]) for i in order) for r in rows]
+    import hashlib
+    h = hashlib.sha256()
+    for ln in lines:  # row order preserved (queries have stable ORDER BY)
+        h.update(ln.encode()); h.update(b"\n")
+    return h.hexdigest()
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_rel = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            s_cols = [c.lower() for c in spark_rel.columns]
+            s_rows = spark_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark result: {e}"); failures += 1; continue
+        try:
+            d_rel = con.sql(sql)
+            d_cols = [c.lower() for c in d_rel.columns]
+            d_rows = d_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); failures += 1; continue
+        if sorted(s_cols) != sorted(d_cols):
+            print(f"FAIL {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}"); failures += 1; continue
+        if len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}"); failures += 1; continue
+        hs, hd = table_hash(s_rows, s_cols), table_hash(d_rows, d_cols)
+        if hs != hd:
+            print(f"FAIL {name}: hash mismatch ({len(s_rows)} rows)")
+            order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+            shown = 0
+            for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+                ca = ["\x01".join(canon(a[j]) for j in order)]
+                cb = ["\x01".join(canon(b[j]) for j in order)]
+                if ca != cb:
+                    print(f"  row {i}: spark={a} duck={b}")
+                    shown += 1
+                    if shown >= 3: break
+            failures += 1
+        else:
+            print(f"OK   {name}: {len(s_rows)} rows")
+    sys.exit(1 if failures else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
