@@ -1,0 +1,77 @@
+package graft.core
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.query.TableProvider
+
+/** Manifest-backed table storage: resolves a table name to the pruned set
+  * of parquet files across ALL writer directories (reference
+  * query.js:22–63; multi-writer fan-in is physically a UNION ALL of file
+  * sets — in Spark it's one multi-path scan).
+  *
+  * Manifests are re-read per query like the reference (query.js:36–38) so
+  * concurrent writers/compaction are picked up without invalidation logic.
+  *
+  * Scale note: pruning is O(manifest entries) driver-side; the scan itself
+  * is an ordinary distributed parquet read with pushdown. `mergeSchema`
+  * covers LP schema widening (SURVEY §7.4 divergence).
+  */
+final class Storage(base: Path) extends TableProvider {
+
+  override def load(spark: SparkSession, name: String,
+      startNs: Long, endNs: Long): Option[DataFrame] = {
+    val perWriter = Manifest.writerDirs(base).flatMap { wdir =>
+      val writerId = wdir.getFileName.toString
+      Manifest.loadTable(Manifest.tableManifestPath(base, writerId, name))
+        .map(m => (m, Manifest.pruneFiles(m, base, startNs, endNs)))
+    }
+    if (perWriter.isEmpty) return None
+
+    val files = perWriter.flatMap(_._2)
+    if (files.nonEmpty)
+      Some(spark.read.option("mergeSchema", "true").parquet(files: _*))
+    else {
+      // Table exists but no file overlaps the range (reference
+      // short-circuits to [], query.js:155–158): empty frame with the
+      // schema of the newest file so projections still resolve.
+      val anyFile = perWriter.flatMap(_._1.files).sortBy(-_.id).headOption
+      anyFile.flatMap { f =>
+        val p = base.resolve(f.path)
+        if (Files.exists(p))
+          Some(spark.read.parquet(p.toString).limit(0))
+        else None
+      }
+    }
+  }
+
+  def tableNames: Seq[String] =
+    Manifest.writerDirs(base).flatMap { wdir =>
+      val dbs = wdir.resolve("dbs")
+      if (!Files.exists(dbs)) Nil
+      else {
+        val dbStream = Files.list(dbs)
+        try {
+          import scala.jdk.CollectionConverters._
+          dbStream.iterator().asScala.flatMap { db =>
+            val ts = Files.list(db)
+            try ts.iterator().asScala
+              .map(_.getFileName.toString.replaceAll("-\\d+$", "")).toList
+            finally ts.close()
+          }.toList
+        } finally dbStream.close()
+      }
+    }.distinct
+}
+
+/** Static parquet catalog over a testdata scale-factor dir (no manifests —
+  * pruning is Spark's own parquet row-group/zonemap pushdown). */
+final class StaticCatalog(dir: String) extends TableProvider {
+  override def load(spark: SparkSession, name: String,
+      startNs: Long, endNs: Long): Option[DataFrame] =
+    if (Tables.names.contains(name) &&
+        Files.exists(Path.of(s"$dir/$name.parquet")))
+      Some(Tables.load(spark, dir, name))
+    else None
+}

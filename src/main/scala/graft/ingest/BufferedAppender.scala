@@ -1,0 +1,196 @@
+package graft.ingest
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.sql.Timestamp
+import java.util.{ArrayList => JArrayList}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.core.{Manifest, TimeUtils}
+
+/** Buffered parquet WAL writer — the reference's ParquetBufferManager
+  * re-expressed on Spark (reference hepop.js:11–410).
+  *
+  * Semantics kept: per-table buffer, flush at `bufferSize` rows
+  * (hepop.js:146–148) or on the caller's timer (10 s default,
+  * hepop.js:151–157); each flush writes one parquet file
+  * `<table>/<YYYY-MM-DD>/<HH-M0>/<seq pad10>.parquet` placed by the FIRST
+  * buffered row's timestamp (hepop.js:164–165); bloom filter on `timestamp`
+  * (hepop.js:27–34); manifest file entry with row-accurate ns min/max
+  * (hepop.js:245–276) so query pruning is correct even when late rows land
+  * in a "wrong" directory.
+  *
+  * Divergence (documented, SURVEY §7.4): LP schemas WIDEN — a new field on
+  * a known measurement adds a nullable column instead of breaking like the
+  * reference; written files carry the schema at flush time and reads use
+  * mergeSchema.
+  *
+  * Scale note: the buffer is an ingest-edge structure (one per receiver);
+  * the analytical path never sees it. On a cluster this role moves to
+  * Structured Streaming `foreachBatch` with the same flush semantics.
+  */
+final class BufferedAppender(
+    spark: SparkSession,
+    base: Path,
+    writerId: String = "writer1",
+    bufferSize: Int = 1000) {
+
+  val hepSchema: StructType = StructType(Seq(
+    StructField("timestamp", TimestampType, nullable = false),
+    StructField("rcinfo", StringType, nullable = true),
+    StructField("payload", StringType, nullable = true)))
+
+  private final class TableBuffer(val name: String, var schema: StructType) {
+    val rows = mutable.ArrayBuffer.empty[Row]
+    var manifest: Manifest.TableManifest =
+      Manifest.loadTable(Manifest.tableManifestPath(base, writerId, name))
+        .getOrElse(Manifest.emptyTable(
+          if (name.startsWith("hep_")) Left(name.stripPrefix("hep_").toLong)
+          else Right(name)))
+  }
+
+  private val buffers = mutable.LinkedHashMap.empty[String, TableBuffer]
+
+  def addHep(pkt: HepV3.Packet, nowMs: => Long = System.currentTimeMillis()): Unit =
+    synchronized {
+      val hepType = pkt.rcinfo.payloadType.getOrElse(0)
+      val table = s"hep_$hepType"
+      val buf = buffers.getOrElseUpdate(table, new TableBuffer(table, hepSchema))
+      val ms = pkt.rcinfo.timestampMs(nowMs)
+      buf.rows += Row(new Timestamp(ms), pkt.rcinfo.toJson, pkt.payloadString)
+      if (buf.rows.size >= bufferSize) flushTable(buf)
+    }
+
+  /** Bulk LP append (reference addLineProtocolBulk, hepop.js:376–409). */
+  def addLinePoints(points: Seq[LineProtocol.Point],
+      nowNs: => Long = System.currentTimeMillis() * TimeUtils.NsPerMs): Unit =
+    synchronized {
+      points.groupBy(_.measurement).foreach { case (m, pts) =>
+        val buf = buffers.getOrElseUpdate(m, new TableBuffer(m, lpBaseSchema))
+        pts.foreach { p =>
+          widenSchema(buf, p)
+          val ms = TimeUtils.nsToMs(p.timestampNs.getOrElse(nowNs))
+          val fieldMap = p.fields.toMap
+          val values: Seq[Any] = buf.schema.fields.toSeq.map { f =>
+            f.name match {
+              case "timestamp" => new Timestamp(ms)
+              case "tags" => tagsJson(p.tags)
+              case n => fieldMap.get(n).map(lpValue(_, f.dataType)).orNull
+            }
+          }
+          buf.rows += Row(values: _*)
+        }
+        if (buf.rows.size >= bufferSize) flushTable(buf)
+      }
+    }
+
+  private val lpBaseSchema = StructType(Seq(
+    StructField("timestamp", TimestampType, nullable = false),
+    StructField("tags", StringType, nullable = true)))
+
+  /** JS-typeof-style type mapping (reference hepop.js:382–394): numbers —
+    * including `i`-suffixed ints — become DOUBLE, booleans BOOLEAN,
+    * everything else UTF8. */
+  private def lpType(v: LineProtocol.FieldValue): DataType = v match {
+    case _: LineProtocol.LpLong | _: LineProtocol.LpDouble => DoubleType
+    case _: LineProtocol.LpBool => BooleanType
+    case _: LineProtocol.LpString => StringType
+  }
+
+  private def lpValue(v: LineProtocol.FieldValue, dt: DataType): Any = (v, dt) match {
+    case (LineProtocol.LpLong(l), DoubleType) => l.toDouble
+    case (LineProtocol.LpDouble(d), DoubleType) => d
+    case (LineProtocol.LpBool(b), BooleanType) => b
+    case (LineProtocol.LpString(s), StringType) => s
+    case (other, StringType) => other.asAny.toString
+    case _ => null // type conflict with frozen column type → null (widening, not crash)
+  }
+
+  private def widenSchema(buf: TableBuffer, p: LineProtocol.Point): Unit = {
+    val known = buf.schema.fieldNames.toSet
+    val added = p.fields.collect {
+      case (k, v) if !known.contains(k) => StructField(k, lpType(v), nullable = true)
+    }
+    if (added.nonEmpty) buf.schema = StructType(buf.schema.fields ++ added)
+  }
+
+  private def tagsJson(tags: Seq[(String, String)]): String = {
+    val sb = new StringBuilder("{")
+    tags.zipWithIndex.foreach { case ((k, v), i) =>
+      if (i > 0) sb.append(",")
+      sb.append("\"").append(esc(k)).append("\":\"").append(esc(v)).append("\"")
+    }
+    sb.append("}").result()
+  }
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** Flush every non-empty buffer (timer path / shutdown;
+    * reference hepop.js:151–157, 1166–1170). */
+  def flushAll(): Unit = synchronized {
+    buffers.values.foreach(flushTable)
+  }
+
+  private def flushTable(buf: TableBuffer): Unit = {
+    if (buf.rows.isEmpty) return
+    val firstMs = buf.rows.head.getTimestamp(0).getTime
+    val seq = buf.manifest.wal_sequence
+    val dir = Manifest.tableDir(base, writerId, buf.name)
+      .resolve(TimeUtils.dateDir(firstMs)).resolve(TimeUtils.timeDir(firstMs))
+    Files.createDirectories(dir)
+    val target = dir.resolve(f"$seq%010d.parquet")
+
+    val jrows = new JArrayList[Row](buf.rows.size)
+    buf.rows.foreach(jrows.add)
+    val df = spark.createDataFrame(jrows, buf.schema)
+    writeSingleParquet(df, target)
+
+    val (minMs, maxMs) = buf.rows.foldLeft((Long.MaxValue, Long.MinValue)) { (acc, r) =>
+      val t = r.getTimestamp(0).getTime
+      (math.min(acc._1, t), math.max(acc._2, t))
+    }
+    val entry = Manifest.FileEntry(
+      id = seq,
+      path = base.relativize(target).toString,
+      size_bytes = Files.size(target),
+      row_count = buf.rows.size,
+      chunk_time = TimeUtils.chunkTimeNs(TimeUtils.msToNs(firstMs)),
+      min_time = TimeUtils.msToNs(minMs),
+      max_time = TimeUtils.msToNs(maxMs))
+    buf.manifest = buf.manifest.addFile(entry)
+    Manifest.save(Manifest.tableManifestPath(base, writerId, buf.name), buf.manifest)
+    buf.rows.clear()
+  }
+
+  /** Spark writes a directory; the reference layout wants one named file.
+    * Write to a temp dir, move the single part file into place. */
+  private def writeSingleParquet(df: org.apache.spark.sql.DataFrame, target: Path): Unit = {
+    val tmp = Files.createTempDirectory(target.getParent, ".flush")
+    try {
+      df.coalesce(1).write
+        .option("parquet.bloom.filter.enabled#timestamp", "true")
+        .option("parquet.bloom.filter.expected.ndv#timestamp", "1024")
+        .mode("overwrite")
+        .parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+    } finally {
+      // best-effort cleanup of _SUCCESS/.crc leftovers
+      val s = Files.walk(tmp)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+  }
+
+  def bufferedRowCount(table: String): Int =
+    synchronized { buffers.get(table).map(_.rows.size).getOrElse(0) }
+
+  def tableNames: Seq[String] = synchronized { buffers.keys.toSeq }
+}
