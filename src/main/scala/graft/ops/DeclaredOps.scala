@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Declared LLM-data-pipeline queries over `documents` / `embeddings`
+  * (TESTDATA.md), with exact DuckDB oracles. The oracle mirrors each
+  * operator's arithmetic expression-for-expression (same fold order, same
+  * rounding points) so hashes match bit-for-bit; where the Spark side is
+  * approximate-by-design (MinHash LSH candidate generation), the oracle is
+  * the EXACT ground truth and the declared threshold sits in the verified
+  * gap of the data's similarity distribution, making LSH output equal to
+  * ground truth deterministically.
+  */
+object DeclaredOps {
+
+  /** Fixed query text for the n-gram similarity scan (first words of doc 0
+    * at sf0.01 — but any constant works; it's data, not derived state). */
+  val NgramQuery = "key agg row scan slow fast table value part hash value table"
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup"   -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "d2_minhash_lsh"   -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
+    "d3_simhash"       -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+    "d4_ngram_topk"    -> ((s, dir) => Dedup.ngramJaccardTopK(docs(s, dir), NgramQuery)),
+    "e1_cosine_topk"   -> ((s, dir) => Similarity.cosineTopK(emb(s, dir), col("vec_id") < 5)),
+    "e2_ivf_topk"      -> ((s, dir) => Similarity.ivfTopK(emb(s, dir), col("vec_id") < 5)),
+    "t1_langid"        -> ((s, dir) => TextAnalysis.langid(docs(s, dir))),
+    "t2_quality"       -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
+    "t3_token_stats"   -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
+    "t4_fingerprint"   -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))))
+
+  // ---- DuckDB oracle SQL ----
+
+  private val ShingleCte =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN []
+      |  ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+      |FROM toks)""".stripMargin
+
+  private val ngramShingles: Seq[String] =
+    NgramQuery.split(" ").sliding(3).map(_.mkString(" ")).toSeq.distinct
+  private val ngramList = ngramShingles.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  // Portable 60-bit md5 word hash, both engines derive the same integer.
+  private val DuckWordHash =
+    "list_transform(string_split(text, ' '), w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS UBIGINT))"
+
+  private val DuckCos =
+    """round(list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) /
+      |  (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
+      |   sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))), 4)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS copies FROM documents
+        |GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+
+    // Oracle = EXACT all-pairs Jaccard at the declared threshold (ground
+    // truth for the LSH path; all-pairs is fine at oracle scale).
+    "d2_minhash_lsh" ->
+      s"""$ShingleCte
+         |SELECT doc_a, doc_b, round(j, 4) AS j FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d3_simhash" ->
+      s"""SELECT doc_id, CAST(list_sum(list_transform(range(0, 60),
+         |  i -> CASE WHEN 2 * len(list_filter(h, x -> ((x >> i) & 1) = 1)) > len(h)
+         |       THEN (CAST(1 AS UBIGINT) << i) ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM (SELECT doc_id, $DuckWordHash AS h FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "d4_ngram_topk" ->
+      s"""$ShingleCte
+         |SELECT doc_id, round(j, 4) AS j FROM (
+         |  SELECT doc_id, CAST(len(list_intersect(s, $ngramList)) AS DOUBLE) /
+         |    (len(s) + ${ngramShingles.size} - len(list_intersect(s, $ngramList))) AS j
+         |  FROM sh)
+         |WHERE j > 0 ORDER BY j DESC, doc_id LIMIT 20""".stripMargin,
+
+    "e1_cosine_topk" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5)
+         |SELECT query_id, neighbor_id, cos FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id, $DuckCos AS cos,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY $DuckCos DESC, c.vec_id) AS rn
+         |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+
+    "e2_ivf_topk" ->
+      s"""WITH cells AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  list_sum(list_transform(range(0, 4),
+         |    i -> CASE WHEN embedding[i + 1] >= 0 THEN (1 << (3 - i)) ELSE 0 END)) AS cell
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv, cell FROM cells WHERE vec_id < 5)
+         |SELECT query_id, neighbor_id, cos FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id, $DuckCos AS cos,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY $DuckCos DESC, c.vec_id) AS rn
+         |  FROM cells c JOIN q USING (cell) WHERE c.vec_id <> q.query_id)
+         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
+    "t1_langid" ->
+      """SELECT doc_id, CASE
+        |  WHEN len(list_filter(w, x -> x = 'the')) >= 1 THEN 'en'
+        |  WHEN len(list_filter(w, x -> x = 'der')) + len(list_filter(w, x -> x = 'die'))
+        |       + len(list_filter(w, x -> x = 'das')) >= 1 THEN 'de'
+        |  WHEN len(list_filter(w, x -> x = 'el')) + len(list_filter(w, x -> x = 'la')) >= 1 THEN 'es'
+        |  ELSE 'und' END AS lang_guess
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "t2_quality" ->
+      """SELECT doc_id, n_tokens, round(mean_tok_len, 4) AS mean_tok_len, n_punct,
+        |  round(stop_ratio, 4) AS stop_ratio,
+        |  round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+        |    least(1.0, CAST(n_tokens AS DOUBLE) / 100) * 0.5 +
+        |    CASE WHEN mean_tok_len BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END +
+        |    least(0.2, stop_ratio * 2) END, 4) AS quality
+        |FROM (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |    CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS mean_tok_len,
+        |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'the'))
+        |       + len(list_filter(string_split(text, ' '), x -> x = 'a'))
+        |       + len(list_filter(string_split(text, ' '), x -> x = 'of')) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS stop_ratio
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "t3_token_stats" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t4_fingerprint" ->
+      s"""SELECT doc_id, CAST(list_reduce(
+         |  list_prepend(CAST(0 AS UBIGINT),
+         |    list_transform(string_split(text, ' '),
+         |      w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS UBIGINT) % 1000003)),
+         |  (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two tiers: brute-force cosine top-k (the correctness baseline — a
+  * broadcast of the query set against a single scan of the corpus, no
+  * N×N), and an IVF-style bucketed variant (the 100 TB path: a coarse
+  * deterministic quantizer prunes the corpus to one cell per query).
+  */
+object Similarity {
+
+  /** Exact double-precision cosine between two float-array columns
+    * (sequential fold, matching the oracle's list_sum order). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Brute-force cosine top-k: for each query vector (small set), the k
+    * nearest corpus vectors.
+    *
+    * Scale: the QUERY side is broadcast (it's the small dimension); the
+    * corpus is scanned once, partition-local, and only k rows per query
+    * survive the window — executor memory is O(queries × k), never O(N).
+    * Ranking uses the ROUNDED cosine with vec_id tiebreak so ordering is
+    * stable under last-ulp float noise across engines.
+    */
+  def cosineTopK(emb: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+    val q = emb.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("embedding"), col("qv")), 4))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
+      .where(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** Deterministic IVF-style coarse cell: sign bits of the first `bits`
+    * components. Exact float sign — reproducible across engines. */
+  def signBucket(v: Column, bits: Int = 4): Column =
+    aggregate(sequence(lit(0), lit(bits - 1)), lit(0),
+      (acc, i) => acc * 2 + when(element_at(v, i + 1) >= 0f, 1).otherwise(0))
+
+  /** IVF-bucketed ANN: search only the query's own cell.
+    *
+    * Scale: corpus is (re)partitioned by cell once — each query probes one
+    * cell (an equi-join on the cell id), so compute is |cell| per query
+    * instead of N. Recall is bounded by the quantizer (documented trade;
+    * cells would be k-means centroids in a full IVF, sign-quantization
+    * keeps it deterministic and dependency-free).
+    */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int = 5, bits: Int = 4): DataFrame = {
+    val cells = emb.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), bits).as("cell"))
+    val q = cells.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
+    cells.join(broadcast(q), "cell")
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("embedding"), col("qv")), 4))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
+      .where(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rn")
+  }
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language-ID
+  * (marker-word heuristic), quality scoring, token counting, and a
+  * rolling-hash document fingerprint. All per-row higher-order-function /
+  * regexp expressions — fully codegen'd, embarrassingly parallel, no
+  * shuffle beyond the final ORDER BY of the declared queries.
+  */
+object TextAnalysis {
+
+  private def wordCount(text: Column, word: String): Column =
+    size(filter(split(text, " "), w => w === word))
+
+  /** Marker-stopword language guess. The heuristic itself is the operator
+    * under test (the corpus is synthetic); the oracle mirrors the exact
+    * same decision tree. */
+  def langGuess(text: Column): Column =
+    when(wordCount(text, "the") >= 1, "en")
+      .when(wordCount(text, "der") + wordCount(text, "die") + wordCount(text, "das") >= 1, "de")
+      .when(wordCount(text, "el") + wordCount(text, "la") >= 1, "es")
+      .otherwise("und")
+
+  def langid(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), langGuess(col("text")).as("lang_guess"))
+      .orderBy("doc_id")
+
+  /** Quality stats + score: token count, mean token length, punctuation
+    * count, stopword ratio. Score = weighted mix, the standard shape of a
+    * web-corpus quality filter. */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val meanLen = (length(col("text")) - nTok + 1).cast("double") / nTok
+    val punct = length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))
+    val stop = wordCount(col("text"), "the") + wordCount(col("text"), "a") +
+      wordCount(col("text"), "of")
+    val stopRatio = stop.cast("double") / nTok
+    val score =
+      when(nTok < 5, 0.0).otherwise(
+        least(lit(1.0), nTok.cast("double") / 100) * 0.5 +
+        when(meanLen.between(3.0, 8.0), 0.3).otherwise(0.0) +
+        least(lit(0.2), stopRatio * 2))
+    docs.select(
+      col("doc_id"), nTok.as("n_tokens"),
+      round(meanLen, 4).as("mean_tok_len"),
+      punct.as("n_punct"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(score, 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens, alphanumeric regex tokens, and a
+    * chars/4 BPE-style estimate. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("re_tokens"),
+      ceil(length(col("text")).cast("double") / 4).cast("long").as("bpe_est"))
+      .orderBy("doc_id")
+
+  /** Rolling-hash fingerprint: fold (acc*31 + h_w mod 1000003) mod 1e9+7
+    * over the word sequence, with the portable md5-60-bit word hash. Order
+    * sensitive (unlike simhash) — a reordering changes the fingerprint. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr(
+        """aggregate(
+          |  transform(split(text, ' '),
+          |    w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % 1000003),
+          |  CAST(0 AS BIGINT), (acc, h) -> (acc * 31 + h) % 1000000007)""".stripMargin)
+        .as("fp"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Dedup, DeclaredOps, Similarity, TextAnalysis}
+
+/** LLM-pipeline operator invariants. Value-level parity with DuckDB is
+  * covered by tools/oracle_check.py; these tests pin semantic and
+  * PLAN-SHAPE properties that must survive a 100× scale-up. */
+class OpsSpec extends GraftSuite {
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  test("exact dedup covers every row exactly once") {
+    val out = Dedup.exact(docs).agg(sum("copies")).collect()(0).getLong(0)
+    assert(out == docs.count())
+  }
+
+  test("minhash LSH plan has no cartesian product and finds planted dups") {
+    val df = Dedup.minhashLsh(docs)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"),
+      "near-dup must pair only within LSH buckets, never all-pairs")
+    val pairs = df.collect()
+    // sf0.001 documents also carry planted near-dups; every reported pair
+    // must satisfy the threshold and be properly ordered.
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.5)
+    }
+  }
+
+  test("simhash of near-dup pairs differs in few bits") {
+    val fp = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.minhashLsh(docs).collect()
+    assume(pairs.nonEmpty)
+    pairs.foreach { p =>
+      val d = java.lang.Long.bitCount(fp(p.getLong(0)) ^ fp(p.getLong(1)))
+      assert(d <= 12, s"near-dup pair ${p.getLong(0)},${p.getLong(1)} hamming=$d")
+    }
+  }
+
+  test("cosine top-k broadcasts the query side and excludes self") {
+    val df = Similarity.cosineTopK(emb, col("vec_id") < 5, k = 10)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastNestedLoopJoin") || physical.contains("BroadcastExchange"),
+      "query side must be broadcast — corpus side must not shuffle")
+    val rows = df.collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    // top-k per query, descending
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 10)
+      val cs = rs.map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ivf cell pruning returns a subset of brute-force candidates' quality") {
+    val brute = Similarity.cosineTopK(emb, col("vec_id") < 5, k = 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivf = Similarity.ivfTopK(emb, col("vec_id") < 5, k = 5).collect()
+    // Each IVF neighbor shares the query's sign-cell by construction.
+    val cells = emb.select(col("vec_id"),
+      Similarity.signBucket(col("embedding"), 4).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ivf.foreach(r => assert(cells(r.getLong(0)) == cells(r.getLong(1))))
+    assert(brute.nonEmpty)
+  }
+
+  test("text analysis columns are consistent") {
+    val q = TextAnalysis.quality(docs).collect()
+    q.foreach { r =>
+      assert(r.getInt(r.fieldIndex("n_tokens")) > 0)
+      assert(r.getDouble(r.fieldIndex("quality")) >= 0.0)
+      assert(r.getDouble(r.fieldIndex("quality")) <= 1.0)
+      assert(r.getDouble(r.fieldIndex("stop_ratio")) <= 1.0)
+    }
+    val t = TextAnalysis.tokenStats(docs).collect()
+    t.foreach { r =>
+      assert(r.getInt(r.fieldIndex("ws_tokens")) >= 1)
+      assert(r.getInt(r.fieldIndex("re_tokens")) >= r.getInt(r.fieldIndex("ws_tokens")) - 5)
+    }
+    // Fingerprint is order-sensitive: permuted text hashes differently.
+    val fp = TextAnalysis.fingerprint(
+      spark.createDataFrame(Seq((1L, "a b c"), (2L, "c b a"))).toDF("doc_id", "text"))
+      .collect()
+    assert(fp(0).getLong(1) != fp(1).getLong(1))
+  }
+
+  test("declared ops and oracles stay in sync") {
+    assert(DeclaredOps.oracleSql.keySet == DeclaredOps.queries.keySet)
+  }
+}
