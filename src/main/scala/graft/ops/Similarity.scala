@@ -13,14 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact double-precision cosine between two float-array columns
-    * (sequential fold, matching the oracle's list_sum order). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Exact double-precision cosine between two float-array columns —
+    * native expression, sequential fold matching the oracle's list_sum
+    * order bit-for-bit. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.Expressions.cosineSim(a, b)
 
   /** Brute-force cosine top-k: for each query vector (small set), the k
     * nearest corpus vectors.

@@ -68,11 +68,7 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      expr(
-        """aggregate(
-          |  transform(split(text, ' '),
-          |    w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % 1000003),
-          |  CAST(0 AS BIGINT), (acc, h) -> (acc * 31 + h) % 1000000007)""".stripMargin)
-        .as("fp"))
+      graft.functions.Expressions.rollingFp(
+        graft.functions.Expressions.md5WordHashes(col("text"))).as("fp"))
       .orderBy("doc_id")
 }
