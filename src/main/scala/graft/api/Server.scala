@@ -1,0 +1,82 @@
+package graft.api
+
+import java.nio.file.{Path, Paths}
+import java.util.concurrent.{Executors, ScheduledExecutorService, TimeUnit}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.compact.Compactor
+import graft.core.Storage
+import graft.ingest.{BufferedAppender, Listeners}
+import graft.query.QueryService
+
+/** Background cadences of the reference server, as one scheduler:
+  * flush every 10 s (hepop.js:151–157), compaction check every 60 s
+  * (hepop.js:442–449), flush-on-shutdown (hepop.js:1166–1170). */
+final class IngestScheduler(
+    appender: BufferedAppender,
+    compactor: Compactor,
+    storage: Storage,
+    flushIntervalMs: Long = 10000,
+    compactIntervalMs: Long = 60000) {
+
+  private val exec: ScheduledExecutorService = Executors.newScheduledThreadPool(2, r => {
+    val t = new Thread(r, "graft-scheduler"); t.setDaemon(true); t
+  })
+
+  def start(): this.type = {
+    exec.scheduleAtFixedRate(() =>
+      try appender.flushAll()
+      catch { case e: Exception => System.err.println(s"[flush] $e") },
+      flushIntervalMs, flushIntervalMs, TimeUnit.MILLISECONDS)
+    exec.scheduleAtFixedRate(() =>
+      try storage.tableNames.foreach(compactor.compactTable(_))
+      catch { case e: Exception => System.err.println(s"[compact] $e") },
+      compactIntervalMs, compactIntervalMs, TimeUnit.MILLISECONDS)
+    this
+  }
+
+  def stop(): Unit = {
+    exec.shutdownNow()
+    appender.flushAll() // shutdown flush (hepop.js:1166–1170)
+  }
+}
+
+/** The standalone server main — HEPop's process shape (hepop.js:961–1227):
+  * UDP+TCP HEP ingest on PORT (default 9069), HTTP query+write on
+  * HTTP_PORT (default PORT+1 = 9070, README.md:71–73), storage under
+  * GRAFT_DATA (default ./data), background flush + compaction, shutdown
+  * hook flushing buffers.
+  */
+object Server {
+  def main(args: Array[String]): Unit = {
+    val port = sys.env.getOrElse("PORT", "9069").toInt
+    val httpPort = sys.env.getOrElse("HTTP_PORT", (port + 1).toString).toInt
+    val dataDir: Path = Paths.get(sys.env.getOrElse("GRAFT_DATA", "data"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", math.min(cpus.toInt, 16))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val storage = new Storage(dataDir)
+    val appender = new BufferedAppender(spark, dataDir)
+    val queryService = new QueryService(spark, storage)
+    val compactor = new Compactor(spark, dataDir)
+
+    val udp = new Listeners.UdpHepListener(appender, port).start()
+    val tcp = new Listeners.TcpHepListener(appender, port).start()
+    val http = new HttpApi(queryService, appender, httpPort).start()
+    val sched = new IngestScheduler(appender, compactor, storage).start()
+
+    sys.addShutdownHook {
+      sched.stop(); udp.stop(); tcp.stop(); http.stop()
+    }
+    println(s"graft server: HEP udp/tcp :$port, HTTP :$httpPort, data at $dataDir")
+    Thread.currentThread().join()
+  }
+}

@@ -11,65 +11,97 @@ import graft.core.{Manifest, TimeUtils}
 /** Small-file compaction — the reference's CompactionManager re-expressed
   * as a Spark batch job (reference hepop.js:412–959).
   *
-  * Semantics kept (hepop.js:581–785): group files by the hour of their
-  * `chunk_time`; a group is compacted when it has ≥2 raw files (or raw
-  * files + an existing compacted target) older than the tier interval;
-  * output is `c_<seq>.parquet` in the `<HH>-00` hour directory; the
-  * manifest swap drops inputs and adds the merged entry atomically; input
-  * files are deleted and empty non-current-hour directories pruned.
+  * Two tiers per pass, like the reference's `compactTimeRange(files,'10m',
+  * '1h')` then `('1h','24h')` (hepop.js:529–530):
+  *  - tier 1: raw 10-min WAL files older than 10 min, grouped by HOUR of
+  *    `chunk_time`, merged into `c_<seq>.parquet` at `<date>/<HH>-00`;
+  *  - tier 2: hourly `1h` files older than 1 h, grouped by DAY, merged
+  *    into `c_<seq>.parquet` at `<date>/00-00` with range `24h`.
+  * A group is compacted when it has ≥2 source files, or sources plus an
+  * existing compacted target of that tier (so repeated passes converge to
+  * one file per bucket, hepop.js:657–677).
   *
   * Improvements over the reference (SURVEY §3.4): the merge is one
   * distributed `read.parquet(group).coalesce(1).write` instead of a
-  * row-by-row JS copy, and file stats come from the written data, not an
-  * O(rows) rescan (hepop.js:787–813). README.md:15 claims DuckDB does this
-  * in the reference; in code it never does (SURVEY Appendix A#4).
+  * row-by-row JS copy, and file stats come from the written file's footer,
+  * not an O(rows) rescan (hepop.js:787–813). README.md:15 claims DuckDB
+  * does this in the reference; in code it never does (SURVEY Appendix A#4).
   */
 final class Compactor(
     spark: SparkSession,
     base: Path,
     writerId: String = "writer1",
-    rawAgeNs: Long = 600L * 1000000000L) { // 10-min tier (hepop.js:415–419)
+    rawAgeNs: Long = 600L * 1000000000L,      // 10-min tier (hepop.js:415–419)
+    hourlyAgeNs: Long = TimeUtils.NsPerHour) { // 1h → 24h tier
 
-  /** One compaction pass over one table (the reference loops per type on a
-    * 60 s timer, hepop.js:442–449 — cadence belongs to the caller). */
+  private final case class Tier(
+      isSource: Manifest.FileEntry => Boolean,
+      ageNs: Long,
+      groupOf: Long => Long,
+      dirOf: Long => String,
+      outRange: String)
+
+  private val tier1 = Tier(
+    f => f.`type` == "raw",
+    rawAgeNs,
+    TimeUtils.hourNs,
+    ms => TimeUtils.hourDir(ms),
+    "1h")
+
+  private val tier2 = Tier(
+    f => f.`type` == "compacted" && f.range.contains("1h"),
+    hourlyAgeNs,
+    TimeUtils.dayNs,
+    _ => "00-00",
+    "24h")
+
+  /** One full compaction pass (both tiers) over one table. Returns the
+    * number of merged groups. The 60 s cadence belongs to the caller
+    * (reference hepop.js:442–449 / IngestScheduler). */
   def compactTable(table: String,
-      nowNs: Long = System.currentTimeMillis() * TimeUtils.NsPerMs): Int = {
+      nowNs: Long = System.currentTimeMillis() * TimeUtils.NsPerMs): Int =
+    runTier(table, tier1, nowNs) + runTier(table, tier2, nowNs)
+
+  private def runTier(table: String, tier: Tier, nowNs: Long): Int = {
     val mpath = Manifest.tableManifestPath(base, writerId, table)
     val manifest = Manifest.loadTable(mpath).getOrElse(return 0)
 
-    // Age gate (hepop.js:600–606): only raw files whose chunk is older than
-    // the tier interval; group by hour (hepop.js:609–631).
+    // Age gate (hepop.js:600–606): only sources whose chunk is older than
+    // the tier interval; group by the tier's time bucket (hepop.js:609–631).
     val eligible = manifest.files.filter(f =>
-      f.`type` == "raw" && f.chunk_time < nowNs - rawAgeNs)
-    val byHour = eligible.groupBy(f => TimeUtils.hourNs(f.chunk_time))
+      tier.isSource(f) && f.chunk_time < nowNs - tier.ageNs)
+    val byBucket = eligible.groupBy(f => tier.groupOf(f.chunk_time))
 
     var merged = 0
-    byHour.toSeq.sortBy(_._1).foreach { case (hourNs, rawFiles) =>
-      // Fold in the newest existing compacted target for this hour
-      // (hepop.js:657–667) so repeated passes converge to one file.
-      val target = manifest.files
-        .filter(f => f.`type` == "compacted" && TimeUtils.hourNs(f.chunk_time) == hourNs)
-        .sortBy(-_.id).headOption
-      val inputs = rawFiles ++ target.toList
-      // ≥2 raw, or raw + existing target (hepop.js:670–677).
-      if (rawFiles.size >= 2 || (rawFiles.nonEmpty && target.nonEmpty)) {
-        compactGroup(table, hourNs, inputs)
-        merged += 1
+    byBucket.toSeq.sortBy(_._1).foreach { case (bucketNs, sources) =>
+      Manifest.withTableLock(base, writerId, table) {
+        val fresh = Manifest.loadTable(mpath).getOrElse(Manifest.emptyTable(Right(table)))
+        // Fold in the newest existing compacted target for this bucket
+        // (hepop.js:657–667) so repeated passes converge to one file.
+        val target = fresh.files
+          .filter(f => f.`type` == "compacted" && f.range.contains(tier.outRange) &&
+            tier.groupOf(f.chunk_time) == bucketNs)
+          .sortBy(-_.id).headOption
+        val stillThere = sources.filter(s => fresh.files.exists(_.path == s.path))
+        // ≥2 sources, or sources + existing target (hepop.js:670–677).
+        if (stillThere.size >= 2 || (stillThere.nonEmpty && target.nonEmpty)) {
+          compactGroup(table, bucketNs, stillThere ++ target.toList, tier, fresh, mpath)
+          merged += 1
+        }
       }
     }
     merged
   }
 
-  private def compactGroup(table: String, hourNs: Long,
-      inputs: Seq[Manifest.FileEntry]): Unit = {
-    val mpath = Manifest.tableManifestPath(base, writerId, table)
-    val manifest = Manifest.loadTable(mpath).get
+  private def compactGroup(table: String, bucketNs: Long,
+      inputs: Seq[Manifest.FileEntry], tier: Tier,
+      manifest: Manifest.TableManifest, mpath: Path): Unit = {
     val paths = inputs.map(f => base.resolve(f.path)).filter(Files.exists(_))
     if (paths.isEmpty) return
 
-    val hourMs = TimeUtils.nsToMs(hourNs)
+    val bucketMs = TimeUtils.nsToMs(bucketNs)
     val outDir = Manifest.tableDir(base, writerId, table)
-      .resolve(TimeUtils.dateDir(hourMs)).resolve(TimeUtils.hourDir(hourMs))
+      .resolve(TimeUtils.dateDir(bucketMs)).resolve(tier.dirOf(bucketMs))
     Files.createDirectories(outDir)
     val seq = manifest.wal_sequence
     val outFile = outDir.resolve(f"c_$seq%010d.parquet")
@@ -84,10 +116,10 @@ final class Compactor(
       path = base.relativize(outFile).toString,
       size_bytes = Files.size(outFile),
       row_count = rowCount,
-      chunk_time = hourNs,
+      chunk_time = bucketNs,
       min_time = inputs.map(_.min_time).min,
       max_time = inputs.map(_.max_time).max,
-      range = Some("1h"),
+      range = Some(tier.outRange),
       `type` = "compacted")
 
     // Manifest swap first (readers re-read it per query), then delete

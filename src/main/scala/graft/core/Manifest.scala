@@ -112,6 +112,19 @@ object Manifest {
   def tableManifestPath(base: Path, writerId: String, table: String): Path =
     tableDir(base, writerId, table).resolve("metadata.json")
 
+  /** In-process per-table lock serializing manifest read-modify-write
+    * cycles between the appender's flush and the compactor's swap (the
+    * reference's per-type lock, hepop.js:499–505). Cross-process safety
+    * still comes from atomic rename + fresh re-reads. */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def withTableLock[T](base: Path, writerId: String, table: String)(f: => T): T = {
+    val key = s"${base.toAbsolutePath}|$writerId|$table"
+    val lock = tableLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized(f)
+  }
+
   /** All writer dirs under the base (reference query.js:24–26 iterates all
     * writers — physically a UNION ALL of their file sets). */
   def writerDirs(base: Path): Seq[Path] =

@@ -22,6 +22,11 @@ object TimeUtils {
   /** Hour floor in ns (compaction grouping, reference hepop.js:609–631). */
   def hourNs(ns: Long): Long = Math.floorDiv(ns, NsPerHour) * NsPerHour
 
+  val NsPerDay: Long = 24L * NsPerHour
+
+  /** Day floor in ns (tier-2 compaction grouping, reference hepop.js:529–530). */
+  def dayNs(ns: Long): Long = Math.floorDiv(ns, NsPerDay) * NsPerDay
+
   private val dateFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd")
   private val isoMsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
 

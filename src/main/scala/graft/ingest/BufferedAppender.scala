@@ -155,6 +155,10 @@ final class BufferedAppender(
 
   private def flushTable(buf: TableBuffer): Unit = {
     if (buf.rows.isEmpty) return
+    Manifest.withTableLock(base, writerId, buf.name)(flushLocked(buf))
+  }
+
+  private def flushLocked(buf: TableBuffer): Unit = {
     val manifest = freshManifest(buf.name)
     val firstMs = buf.rows.head.getTimestamp(0).getTime
     val seq = manifest.wal_sequence

@@ -1,0 +1,119 @@
+package graft.ingest
+
+import java.net.{DatagramPacket, DatagramSocket, ServerSocket, Socket}
+import java.util.concurrent.atomic.AtomicBoolean
+
+/** HEP network listeners feeding a BufferedAppender.
+  *
+  * UDP: one datagram = one HEP packet (reference hepop.js:1006–1014).
+  * TCP: length-prefixed HEPv3 framing with reassembly across reads —
+  * fixing, not replicating, the reference's chunk-equals-packet bug
+  * (hepop.js:996–1003; SURVEY §7.4).
+  *
+  * Scale note: listeners are ingest-edge components — one lightweight
+  * thread each, feeding the buffered WAL. The analytical path never
+  * touches them; on a cluster this edge would be a fleet of receivers
+  * ahead of the same storage layout.
+  */
+object Listeners {
+
+  /** Accumulates TCP bytes and yields complete HEP frames (pure —
+    * unit-testable without sockets). */
+  final class HepFramer {
+    private var buf = Array.emptyByteArray
+
+    /** Feed a chunk; returns every complete frame now available. */
+    def feed(chunk: Array[Byte], len: Int): Seq[Array[Byte]] = {
+      val add = java.util.Arrays.copyOf(chunk, len)
+      buf = if (buf.isEmpty) add else buf ++ add
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var continue = true
+      while (continue) {
+        HepV3.frameLength(buf) match {
+          case Some(total) if total >= 6 && buf.length >= total =>
+            out += java.util.Arrays.copyOfRange(buf, 0, total)
+            buf = java.util.Arrays.copyOfRange(buf, total, buf.length)
+          case Some(total) if total < 6 =>
+            // Poisoned stream: skip the bogus header to resync.
+            buf = java.util.Arrays.copyOfRange(buf, 4, buf.length)
+          case Some(_) => continue = false // incomplete frame, wait
+          case None =>
+            if (buf.length >= 4) {
+              // Not a HEP3 magic at the head: drop one byte and rescan.
+              buf = java.util.Arrays.copyOfRange(buf, 1, buf.length)
+            } else continue = false
+        }
+      }
+      out.toSeq
+    }
+
+    def pendingBytes: Int = buf.length
+  }
+
+  abstract class StoppableThread(name: String) {
+    protected val running = new AtomicBoolean(true)
+    protected def loop(): Unit
+    private val t = new Thread(() => loop(), name)
+    t.setDaemon(true)
+    def start(): this.type = { t.start(); this }
+    def stop(): Unit = { running.set(false); onStop(); t.interrupt() }
+    protected def onStop(): Unit = {}
+  }
+
+  /** UDP HEP source (hepop.js:1006–1014): datagram = packet. */
+  final class UdpHepListener(appender: BufferedAppender, port: Int = 0)
+      extends StoppableThread("graft-udp") {
+    private val socket = new DatagramSocket(port)
+    def boundPort: Int = socket.getLocalPort
+    override protected def loop(): Unit = {
+      val buf = new Array[Byte](65535)
+      while (running.get) {
+        try {
+          val dgram = new DatagramPacket(buf, buf.length)
+          socket.receive(dgram)
+          HepV3.decode(java.util.Arrays.copyOf(dgram.getData, dgram.getLength))
+            .foreach(appender.addHep(_))
+        } catch {
+          case _: java.net.SocketException if !running.get => // closing
+          case e: Exception => System.err.println(s"[udp] ${e.getMessage}")
+        }
+      }
+    }
+    override protected def onStop(): Unit = socket.close()
+  }
+
+  /** TCP HEP source with framing (fixes hepop.js:996–1003). */
+  final class TcpHepListener(appender: BufferedAppender, port: Int = 0)
+      extends StoppableThread("graft-tcp") {
+    private val server = new ServerSocket(port)
+    def boundPort: Int = server.getLocalPort
+    override protected def loop(): Unit = {
+      while (running.get) {
+        try {
+          val conn = server.accept()
+          new Thread(() => handle(conn), "graft-tcp-conn").start()
+        } catch {
+          case _: java.net.SocketException if !running.get =>
+          case e: Exception => System.err.println(s"[tcp] ${e.getMessage}")
+        }
+      }
+    }
+    private def handle(conn: Socket): Unit = {
+      val framer = new HepFramer
+      val in = conn.getInputStream
+      val chunk = new Array[Byte](65536)
+      try {
+        var n = in.read(chunk)
+        while (n >= 0 && running.get) {
+          if (n > 0) framer.feed(chunk, n).foreach { frame =>
+            HepV3.decode(frame).foreach(appender.addHep(_))
+          }
+          n = in.read(chunk)
+        }
+      } catch {
+        case e: Exception => System.err.println(s"[tcp-conn] ${e.getMessage}")
+      } finally conn.close()
+    }
+    override protected def onStop(): Unit = server.close()
+  }
+}

@@ -1,0 +1,190 @@
+package graft
+
+import java.net.{DatagramPacket, DatagramSocket, InetAddress, Socket, URI}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import graft.api.{HttpApi, IngestScheduler}
+import graft.compact.Compactor
+import graft.core.{Manifest, Storage, TimeUtils}
+import graft.ingest.{BufferedAppender, HepV3, Listeners, LineProtocol}
+import graft.query.QueryService
+
+/** End-to-end loopback — ScalaTest port of the reference's only executable
+  * check (examples/loopback_test.sh:27–55): ingest through the real
+  * network/HTTP surface → flush → manifest → prune → query back exact
+  * counts/averages. Plus TCP framing and tier-2 compaction convergence.
+  */
+class LoopbackSpec extends GraftSuite {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(url: String): (Int, String) = {
+    val r = client.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def post(url: String, body: String): (Int, String) = {
+    val r = client.send(HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("loopback: /write -> flush -> /query count/avg exact") {
+    val base = Files.createTempDirectory("graft-loop")
+    val appender = new BufferedAppender(spark, base, bufferSize = 1000)
+    val qs = new QueryService(spark, new Storage(base))
+    val api = new HttpApi(qs, appender, port = 0).start()
+    try {
+      val url = s"http://localhost:${api.boundPort}"
+      // 50 points, explicit ns timestamps "now"-ish so the default window
+      // and an explicit range both cover them (loopback_test.sh:27–43).
+      val t0 = System.currentTimeMillis() - 60000
+      val lines = (0 until 50).map { i =>
+        s"home,room=Garden temp=${i % 10}.0 ${(t0 + i * 1000) * 1000000}"
+      }
+      val (wc, _) = post(s"$url/write", lines.mkString("\n"))
+      assert(wc == 201)
+      appender.flushAll()
+
+      // GET ?q= (loopback_test.sh:45–50 shape, count() dialect form).
+      val startIso = java.time.Instant.ofEpochMilli(t0).toString.replace("T", " ").dropRight(1)
+      val (qc, body) = get(s"$url/query?q=" + java.net.URLEncoder.encode(
+        s"SELECT count() as count, avg(temp) as temp FROM home WHERE time >= '$startIso'", "UTF-8"))
+      assert(qc == 200, body)
+      val expectedAvg = (0 until 50).map(i => (i % 10).toDouble).sum / 50
+      assert(body.contains("\"count\":50"), body)
+      assert(body.contains(s""""temp":$expectedAvg"""), body)
+
+      // POST {"query"} form (hepop.js:1033–1041).
+      val (pc, pbody) = post(s"$url/query", s"""{"query":"SELECT count() as c FROM home WHERE time >= '$startIso'"}""")
+      assert(pc == 200 && pbody.contains("\"c\":50"), pbody)
+
+      // Error shape (hepop.js:1053–1058).
+      val (ec, ebody) = get(s"$url/query?q=" + java.net.URLEncoder.encode("SELECT nope FROM missing", "UTF-8"))
+      assert(ec == 500 && ebody.contains("error"), s"$ec $ebody")
+    } finally api.stop()
+  }
+
+  test("UDP HEP ingest: datagram -> decode -> buffer -> flush -> query") {
+    val base = Files.createTempDirectory("graft-udp")
+    val appender = new BufferedAppender(spark, base, bufferSize = 1000)
+    val listener = new Listeners.UdpHepListener(appender, port = 0).start()
+    try {
+      val sock = new DatagramSocket()
+      val addr = InetAddress.getLoopbackAddress
+      val nowSec = System.currentTimeMillis() / 1000
+      (0 until 20).foreach { i =>
+        val pkt = HepV3.Packet(
+          HepV3.RcInfo(srcIp = Some("10.0.0.1"), dstIp = Some("10.0.0.2"),
+            srcPort = Some(5060 + i), dstPort = Some(5060),
+            timeSeconds = Some(nowSec), timeUseconds = Some(i * 1000L),
+            payloadType = Some(1)),
+          s"INVITE sip:u$i@x SIP/2.0".getBytes)
+        val wire = HepV3.encode(pkt)
+        sock.send(new DatagramPacket(wire, wire.length, addr, listener.boundPort))
+      }
+      // Datagram delivery is async — wait for the buffer to fill.
+      val deadline = System.currentTimeMillis() + 10000
+      while (appender.bufferedRowCount("hep_1") < 20 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(appender.bufferedRowCount("hep_1") == 20)
+      appender.flushAll()
+      val qs = new QueryService(spark, new Storage(base))
+      val rows = qs.execute("SELECT count(*) AS c, min(src_port) AS sp FROM hep_1").collect()
+      assert(rows(0).getLong(0) == 20)
+      assert(rows(0).getInt(1) == 5060)
+    } finally listener.stop()
+  }
+
+  test("TCP HEP framing reassembles split and coalesced frames") {
+    // Pure framer: two packets sent as [half1][half2+whole] chunks.
+    val p1 = HepV3.encode(HepV3.Packet(HepV3.RcInfo(payloadType = Some(1),
+      timeSeconds = Some(1700000000L)), "AAA".getBytes))
+    val p2 = HepV3.encode(HepV3.Packet(HepV3.RcInfo(payloadType = Some(1),
+      timeSeconds = Some(1700000001L)), "BBBB".getBytes))
+    val framer = new Listeners.HepFramer
+    val cut = p1.length / 2
+    assert(framer.feed(p1.take(cut), cut).isEmpty)
+    val rest = p1.drop(cut) ++ p2
+    val frames = framer.feed(rest, rest.length)
+    assert(frames.length == 2)
+    assert(frames(0).sameElements(p1) && frames(1).sameElements(p2))
+    assert(framer.pendingBytes == 0)
+
+    // And over a real socket, one connection, odd-sized writes.
+    val base = Files.createTempDirectory("graft-tcp")
+    val appender = new BufferedAppender(spark, base, bufferSize = 1000)
+    val listener = new Listeners.TcpHepListener(appender, port = 0).start()
+    try {
+      val sock = new Socket(InetAddress.getLoopbackAddress, listener.boundPort)
+      val out = sock.getOutputStream
+      val all = p1 ++ p2
+      var i = 0
+      while (i < all.length) { // dribble in 7-byte writes
+        val n = math.min(7, all.length - i)
+        out.write(all, i, n); out.flush()
+        i += n
+      }
+      sock.close()
+      val deadline = System.currentTimeMillis() + 10000
+      while (appender.bufferedRowCount("hep_1") < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(appender.bufferedRowCount("hep_1") == 2)
+    } finally listener.stop()
+  }
+
+  test("compaction tier 2 converges hourly files into a daily file") {
+    val base = Files.createTempDirectory("graft-tier2")
+    val appender = new BufferedAppender(spark, base, bufferSize = 1000)
+    // 6 flushes across 3 hours of one day -> 6 raw files.
+    val dayMs = 1704067200000L // 2024-01-01 00:00Z
+    (0 until 6).foreach { i =>
+      val ns = (dayMs + i * 30 * 60 * 1000L) * TimeUtils.NsPerMs
+      appender.addLinePoints(Seq(LineProtocol.parse(s"t2 v=$i.0 $ns").get))
+      appender.flushAll()
+    }
+    val man0 = Manifest.loadTable(Manifest.tableManifestPath(base, "writer1", "t2")).get
+    assert(man0.files.count(_.`type` == "raw") == 6)
+
+    val futureNs = (dayMs + 3 * 24 * 3600 * 1000L) * TimeUtils.NsPerMs
+    val compactor = new Compactor(spark, base)
+    // Pass 1: raw -> 1h (3 hourly groups), then 1h -> 24h in the same call
+    // sequence; run twice so tier 2 sees the tier-1 outputs.
+    compactor.compactTable("t2", nowNs = futureNs)
+    compactor.compactTable("t2", nowNs = futureNs)
+    val man = Manifest.loadTable(Manifest.tableManifestPath(base, "writer1", "t2")).get
+    assert(man.files.length == 1, man.files.map(f => (f.path, f.`type`, f.range)))
+    assert(man.files.head.range.contains("24h"))
+    assert(man.row_count == 6)
+    // Data survives both merges.
+    val df = new Storage(base).load(spark, "t2", Long.MinValue, Long.MaxValue).get
+    assert(df.count() == 6)
+    // Daily file sits in the 00-00 dir.
+    assert(man.files.head.path.contains("/00-00/"))
+  }
+
+  test("scheduler flushes on interval and on stop") {
+    val base = Files.createTempDirectory("graft-sched")
+    val appender = new BufferedAppender(spark, base, bufferSize = 1000000)
+    val storage = new Storage(base)
+    val sched = new IngestScheduler(appender, new Compactor(spark, base), storage,
+      flushIntervalMs = 300, compactIntervalMs = 100000).start()
+    try {
+      appender.addLinePoints(Seq(LineProtocol.parse(
+        s"s v=1.0 ${System.currentTimeMillis() * TimeUtils.NsPerMs}").get))
+      val deadline = System.currentTimeMillis() + 10000
+      while (appender.bufferedRowCount("s") > 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(appender.bufferedRowCount("s") == 0, "interval flush ran")
+      // Stop-flush: add more, stop, verify persisted.
+      appender.addLinePoints(Seq(LineProtocol.parse(
+        s"s v=2.0 ${System.currentTimeMillis() * TimeUtils.NsPerMs}").get))
+      sched.stop()
+      val df = storage.load(spark, "s", Long.MinValue, Long.MaxValue).get
+      assert(df.count() == 2)
+    } finally sched.stop()
+  }
+}
