@@ -186,7 +186,25 @@ final class BufferedAppender(
       max_time = TimeUtils.msToNs(maxMs))
     Manifest.save(Manifest.tableManifestPath(base, writerId, buf.name),
       manifest.addFile(entry))
+    updateWriterManifest()
     buf.rows.clear()
+  }
+
+  /** Maintain the per-writer root manifest (reference hepop.js:55–72):
+    * `writer_id` plus the next db/table ids to allocate. One db (`hep-0`)
+    * per writer in this layout; next_table_id tracks created tables. */
+  private def updateWriterManifest(): Unit = {
+    val path = base.resolve(writerId).resolve("metadata.json")
+    val dbDir = base.resolve(writerId).resolve("dbs").resolve("hep-0")
+    val tableCount =
+      if (!Files.exists(dbDir)) 0L
+      else {
+        val s = Files.list(dbDir)
+        try s.filter(Files.isDirectory(_)).count() finally s.close()
+      }
+    val current = Manifest.loadWriter(path)
+    if (!current.exists(w => w.next_table_id == tableCount))
+      Manifest.save(path, Manifest.WriterManifest(writerId, 1, tableCount))
   }
 
   /** Spark writes a directory; the reference layout wants one named file.

@@ -119,7 +119,45 @@ object Declared {
       .offset(10)
       .limit(10)
 
+  /** Q11 — remaining string family: lower/concat/trim/replace (SURVEY
+    * §2.6 declared subset, [P] passthrough tier). */
+  def q11(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        lower(col("c_name")).as("lo"),
+        concat(col("c_mktsegment"), lit("-"), col("c_name")).as("cc"),
+        trim(concat(lit("  "), col("c_name"), lit("  "))).as("tr"),
+        regexp_replace(col("c_name"), lit("Customer"), lit("C")).as("rep"))
+      .orderBy("c_custkey")
+      .limit(50)
+
+  /** Q12 — remaining date family: extract year/month/day (SURVEY §2.6). */
+  def q12(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"))
+      .orderBy("o_orderkey")
+      .limit(100)
+
+  /** Q13 — conditional family: coalesce/nullif (SURVEY §2.6). */
+  def q13(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("X")).as("rf"),
+        coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).as("disc"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_string_funcs2"     -> (q11 _),
+    "q12_date_extract"      -> (q12 _),
+    "q13_conditional"       -> (q13 _),
     "q1_filter_order_limit" -> (q1 _),
     "q2_like"               -> (q2 _),
     "q3_scalar_agg"         -> (q3 _),
@@ -133,6 +171,20 @@ object Declared {
     "q10_limit_offset"      -> (q10Offset _))
 
   val oracleSql: Map[String, String] = Map(
+    "q11_string_funcs2" ->
+      """SELECT c_custkey, lower(c_name) AS lo,
+        |concat(c_mktsegment, '-', c_name) AS cc,
+        |trim(concat('  ', c_name, '  ')) AS tr,
+        |regexp_replace(c_name, 'Customer', 'C') AS rep
+        |FROM customer ORDER BY c_custkey LIMIT 50""".stripMargin,
+    "q12_date_extract" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |day(o_orderdate) AS d FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "q13_conditional" ->
+      """SELECT l_orderkey, l_linenumber,
+        |coalesce(nullif(l_returnflag, 'N'), 'X') AS rf,
+        |coalesce(nullif(l_discount, 0.0), -1.0) AS disc
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
     "q1_filter_order_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > 100000 AND o_orderstatus = 'O'

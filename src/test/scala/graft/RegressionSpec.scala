@@ -177,6 +177,19 @@ class RegressionSpec extends GraftSuite {
   // --- VERDICT #5: schemaOf answers from one footer, and storage-level
   // time-series detection works for QueryService default-range logic ---
 
+  test("writer manifest is maintained on the write path") {
+    val base = Files.createTempDirectory("graft-wm")
+    val app = new BufferedAppender(spark, base, bufferSize = 1000)
+    app.addLinePoints(Seq(LineProtocol.parse("wm1 v=1.0 1704067200000000000").get))
+    app.flushAll()
+    val wm1 = Manifest.loadWriter(base.resolve("writer1").resolve("metadata.json")).get
+    assert(wm1.writer_id == "writer1" && wm1.next_table_id == 1)
+    app.addLinePoints(Seq(LineProtocol.parse("wm2 v=2.0 1704067201000000000").get))
+    app.flushAll()
+    val wm2 = Manifest.loadWriter(base.resolve("writer1").resolve("metadata.json")).get
+    assert(wm2.next_table_id == 2)
+  }
+
   test("Storage.schemaOf reads a single newest file") {
     val base = Files.createTempDirectory("graft-schema")
     val app = new BufferedAppender(spark, base, bufferSize = 1000)
