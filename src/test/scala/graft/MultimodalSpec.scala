@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.{Storage, TimeUtils}
+import graft.ingest.BufferedAppender
+import graft.ops.{DeclaredMedia, MediaFixture, Multimodal}
+import graft.streaming.StreamingLpIngest
+
+/** Multimodal binary plumbing + streaming ingest. */
+class MultimodalSpec extends GraftSuite {
+
+  private lazy val media = spark.read.parquet(MediaFixture.ensure(spark))
+
+  test("binary header decode agrees with the independent meta struct") {
+    val decoded = Multimodal.decodeDims(media).collect()
+    val meta = media.where("kind = 'image'")
+      .selectExpr("media_id", "meta.width", "meta.height", "length(payload)")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(decoded.nonEmpty)
+    decoded.foreach { r =>
+      val (w, h, len) = meta(r.getLong(0))
+      assert(r.getInt(r.fieldIndex("w")) == w)
+      assert(r.getInt(r.fieldIndex("h")) == h)
+      assert(r.getInt(r.fieldIndex("n_bytes")) == len)
+      assert(len == 8 + w * h, "payload = 8-byte header + w*h body")
+    }
+  }
+
+  test("histogram features are normalized and similarity is ranked") {
+    val rows = Multimodal.similarByHistogram(media).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val cs = rs.map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      assert(cs.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+    val feats = media.where("kind = 'image'")
+      .select(Multimodal.byteHistogram(
+        org.apache.spark.sql.functions.expr("substring(payload, 9, 2147483647)")))
+      .collect()
+    feats.foreach { r =>
+      val sum = r.getSeq[Float](0).sum
+      assert(math.abs(sum - 1.0f) < 1e-4, s"histogram L1 norm $sum")
+    }
+  }
+
+  test("frame sampling slices real bytes consistent with meta arithmetic") {
+    val rows = Multimodal.frameSampleStats(media).collect()
+    assert(rows.nonEmpty)
+    val meta = media.where("kind = 'image'")
+      .selectExpr("media_id", "meta.width", "meta.height")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    rows.foreach { r =>
+      val (w, h) = meta(r.getLong(0))
+      assert(r.getInt(r.fieldIndex("n_frames")) == h)
+      assert(r.getInt(r.fieldIndex("out_bytes")) == ((h + 3) / 4) * w)
+    }
+  }
+
+  test("media queries and oracles stay in sync (m2 is rows-only)") {
+    assert(DeclaredMedia.queries.keySet -- DeclaredMedia.oracleSql.keySet == Set("m2_media_sim"))
+  }
+
+  test("streaming LP ingest: files -> micro-batch -> WAL -> query") {
+    val base = Files.createTempDirectory("graft-stream")
+    val in = Files.createTempDirectory("graft-stream-in")
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    val appender = new BufferedAppender(spark, base, bufferSize = 1000000)
+    val q = new StreamingLpIngest(spark, in.toString, ckpt.toString, appender,
+      triggerMs = 500).start()
+    try {
+      val t0 = System.currentTimeMillis()
+      Files.writeString(in.resolve("batch1.txt"),
+        (0 until 30).map(i => s"sm,host=a v=$i.0 ${(t0 + i) * TimeUtils.NsPerMs}")
+          .mkString("\n"))
+      q.processAllAvailable()
+      Files.writeString(in.resolve("batch2.txt"),
+        (30 until 50).map(i => s"sm,host=b v=$i.0 ${(t0 + i) * TimeUtils.NsPerMs}")
+          .mkString("\n"))
+      q.processAllAvailable()
+      val df = new Storage(base).load(spark, "sm", Long.MinValue, Long.MaxValue).get
+      assert(df.count() == 50)
+    } finally q.stop()
+  }
+}
