@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-shape audit: prints `explain(formatted)` for scale-critical
+  * queries and asserts the properties that must survive a 100× scale-up
+  * (pushdown reaching the scan, broadcast joins staying broadcast, no
+  * cartesian products, top-k collapsing to TakeOrderedAndProject).
+  * Run: sbt "runMain graft.PlanAudit [sfDir]" — exits non-zero on any
+  * violated property.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Audit the static physical plan: under AQE the pre-execution plan
+      // hides ReusedExchange/codegen annotations behind AdaptiveSparkPlan.
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    var failures = 0
+    def audit(name: String, df: org.apache.spark.sql.DataFrame,
+        checks: (String, String => Boolean)*): Unit = {
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"\n===== $name =====")
+      println(plan.linesIterator.take(40).mkString("\n"))
+      checks.foreach { case (what, ok) =>
+        val pass = ok(plan)
+        println(f"  [${if (pass) "PASS" else "FAIL"}] $what")
+        if (!pass) failures += 1
+      }
+    }
+
+    val qs = SparkEntry.queries
+
+    audit("q1_filter_order_limit", qs("q1_filter_order_limit")(spark, sfDir),
+      "filters pushed to parquet scan" ->
+        (p => p.contains("PushedFilters: [IsNotNull(o_totalprice)") ||
+              p.contains("GreaterThan(o_totalprice")),
+      "top-k collapses to TakeOrderedAndProject" ->
+        (_.contains("TakeOrderedAndProject")),
+      "scan reads only needed columns" ->
+        (p => !p.contains("o_orderdate") && !p.contains("o_orderpriority")))
+
+    audit("q14_join_broadcast", qs("q14_join_broadcast")(spark, sfDir),
+      "dimension join is broadcast, fact side never shuffles for the join" ->
+        (_.contains("BroadcastHashJoin")),
+      "aggregate is partial (map-side) before the exchange" ->
+        (_.contains("HashAggregate")))
+
+    audit("d2_minhash_lsh", qs("d2_minhash_lsh")(spark, sfDir),
+      "no cartesian product anywhere" -> (p => !p.contains("CartesianProduct")),
+      "band self-join reuses the shingle exchange" ->
+        (_.contains("ReusedExchange")))
+
+    audit("e1_cosine_topk", qs("e1_cosine_topk")(spark, sfDir),
+      "query side broadcast (corpus scanned once, no N-way shuffle)" ->
+        (p => p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange")),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+
+    audit("q4_group_by", qs("q4_group_by")(spark, sfDir),
+      "partial aggregation before shuffle" ->
+        (p => p.linesIterator.count(_.contains("HashAggregate")) >= 2),
+      "whole-stage codegen covers the scan+partial-agg" ->
+        (_.contains("[codegen id :")))
+
+    audit("q20_sessionize", qs("q20_sessionize")(spark, sfDir),
+      "single shuffle by user_id feeds both window and lag" ->
+        (p => p.linesIterator.count(l => l.contains("Exchange hashpartitioning(user_id")) <= 1))
+
+    println(s"\nplan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}

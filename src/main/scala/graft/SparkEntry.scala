@@ -16,12 +16,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    query.Declared.queries ++ query.DeclaredHep.queries ++
+    query.Declared.queries ++ query.DeclaredExt.queries ++ query.DeclaredHep.queries ++
       ops.DeclaredOps.queries ++ ops.DeclaredMedia.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    query.Declared.oracleSql ++ query.DeclaredHep.oracleSql ++
+    query.Declared.oracleSql ++ query.DeclaredExt.oracleSql ++ query.DeclaredHep.oracleSql ++
       ops.DeclaredOps.oracleSql ++ ops.DeclaredMedia.oracleSql
 }

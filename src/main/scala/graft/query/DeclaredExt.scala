@@ -1,0 +1,149 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Extension operator families beyond the reference's own surface (SURVEY
+  * §2.3/§2.5 marked these "free in Spark; extension only"): joins, window
+  * functions, set ops, HAVING, ROLLUP, JSON extraction, sessionization.
+  * A reference user gets them the moment they switch; each is declared
+  * with a DuckDB oracle like the core set.
+  */
+object DeclaredExt {
+
+  /** Q14 — broadcast dimension join + aggregate. The customer side is
+    * explicitly broadcast: at 100 TB the fact table never shuffles for a
+    * dimension of this shape. */
+  def q14(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders").as("o")
+      .join(broadcast(Tables.load(spark, dir, "customer").as("c")),
+        col("o.o_custkey") === col("c.c_custkey"))
+      .groupBy(col("c.c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o.o_totalprice")), 2).as("rev"))
+      .orderBy("seg")
+
+  /** Q15 — window functions: top-2 orders per customer by price. */
+  def q15(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .where(col("rn") <= 2)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+      .limit(100)
+
+  /** Q16 — set ops: INTERSECT of two key sets. */
+  def q16(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .where(col("o_totalprice") > 200000).select(col("o_custkey").as("k"))
+      .intersect(
+        Tables.load(spark, dir, "customer")
+          .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k")))
+      .orderBy("k")
+      .limit(50)
+
+  /** Q17 — JSON extraction from the events props column (§2.6 JSON
+    * family; the engine-side virtual columns cover the rcinfo case). */
+  def q17(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .where(col("k") > 80)
+      .orderBy("event_id")
+      .limit(100)
+
+  /** Q18 — GROUP BY + HAVING (the reference rewriter drops HAVING with
+    * GROUP BY; documented-intent tier). */
+  def q18(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), round(avg(col("value")), 2).as("avg_v"))
+      .where(col("cnt") > 100)
+      .orderBy("event_type")
+
+  /** Q19 — ROLLUP hierarchy totals (null-safe ordering via coalesce so
+    * both engines sort identically). */
+  def q19(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(coalesce(col("l_returnflag"), lit("~")),
+        coalesce(col("l_linestatus"), lit("~")))
+
+  /** Q20 — sessionization (30-min gap) via gaps-and-islands over event
+    * time: the batch formulation of session windows, expressed with
+    * window functions so the oracle is exact. Order within a user is made
+    * unique by (ts, event_id). */
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(cum))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+      .orderBy("user_id", "sid")
+      .limit(200)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_join_broadcast" -> (q14 _),
+    "q15_window_topk"    -> (q15 _),
+    "q16_intersect"      -> (q16 _),
+    "q17_json_extract"   -> (q17 _),
+    "q18_having"         -> (q18 _),
+    "q19_rollup"         -> (q19 _),
+    "q20_sessionize"     -> (q20 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q14_join_broadcast" ->
+      """SELECT c.c_mktsegment AS seg, count(*) AS cnt, round(sum(o.o_totalprice),2) AS rev
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY seg""".stripMargin,
+    "q15_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2 ORDER BY o_custkey, rn LIMIT 100""".stripMargin,
+    "q16_intersect" ->
+      """SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000
+        |INTERSECT
+        |SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY k LIMIT 50""".stripMargin,
+    "q17_json_extract" ->
+      """SELECT event_id, k FROM (
+        |  SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events)
+        |WHERE k > 80 ORDER BY event_id LIMIT 100""".stripMargin,
+    "q18_having" ->
+      """SELECT event_type, count(*) AS cnt, round(avg(value),2) AS avg_v
+        |FROM events GROUP BY event_type HAVING count(*) > 100
+        |ORDER BY event_type""".stripMargin,
+    "q19_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY coalesce(l_returnflag, '~'), coalesce(l_linestatus, '~')""".stripMargin,
+    "q20_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    sum(CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, sid, count(*) AS n, round(sum(value),2) AS sv
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sid LIMIT 200""".stripMargin)
+}
