@@ -136,8 +136,29 @@ object HepV3 {
   private def u32(b: Array[Byte]): Long =
     ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) | ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
   private def ip4(b: Array[Byte]): String = b.map(_ & 0xff).mkString(".")
-  private def ip6(b: Array[Byte]): String =
-    java.net.InetAddress.getByAddress(b).getHostAddress
+
+  /** RFC 5952 canonical text form (longest zero run compressed to `::`,
+    * lowercase hex) — Java's getHostAddress expands instead, which would
+    * make decoded rcinfo differ textually from canonical input. */
+  private def ip6(b: Array[Byte]): String = {
+    val groups = Array.tabulate(8)(i => ((b(2 * i) & 0xff) << 8) | (b(2 * i + 1) & 0xff))
+    var bestStart = -1; var bestLen = 0
+    var i = 0
+    while (i < 8) {
+      if (groups(i) == 0) {
+        var j = i
+        while (j < 8 && groups(j) == 0) j += 1
+        if (j - i > bestLen) { bestStart = i; bestLen = j - i }
+        i = j
+      } else i += 1
+    }
+    if (bestLen < 2) groups.map(Integer.toHexString).mkString(":")
+    else {
+      val pre = groups.take(bestStart).map(Integer.toHexString).mkString(":")
+      val post = groups.drop(bestStart + bestLen).map(Integer.toHexString).mkString(":")
+      s"$pre::$post"
+    }
+  }
 
   /** Encoder (tests + loopback fixtures). */
   def encode(p: Packet): Array[Byte] = {

