@@ -94,7 +94,19 @@ object DeclaredExt {
       .limit(200)
   }
 
+  /** Q21 — tumbling event-time window via Spark's `window()` (the
+    * Structured-Streaming windowed-agg operator, batch form; identical
+    * code runs under readStream + watermark). Oracle: hour-truncation. */
+  def q21(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sv"))
+      .select(col("window.start").as("ws"), col("cnt"), col("sv"))
+      .orderBy("ws")
+      .limit(200)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_tumbling_window" -> (q21 _),
     "q14_join_broadcast" -> (q14 _),
     "q15_window_topk"    -> (q15 _),
     "q16_intersect"      -> (q16 _),
@@ -104,6 +116,9 @@ object DeclaredExt {
     "q20_sessionize"     -> (q20 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q21_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS ws, count(*) AS cnt, round(sum(value),2) AS sv
+        |FROM events GROUP BY 1 ORDER BY ws LIMIT 200""".stripMargin,
     "q14_join_broadcast" ->
       """SELECT c.c_mktsegment AS seg, count(*) AS cnt, round(sum(o.o_totalprice),2) AS rev
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey

@@ -1,0 +1,48 @@
+package graft
+
+import graft.core.StaticCatalog
+import graft.query.QueryService
+
+/** The SQL entry path (QueryService: parse → dialect → views → Catalyst)
+  * must agree with the DataFrame-API formulations of the same declared
+  * queries — the two front doors of the engine cannot diverge. */
+class SqlPathConsistencySpec extends GraftSuite {
+
+  private lazy val qs = new QueryService(spark, new StaticCatalog(sf))
+
+  private def viaSql(sql: String) = qs.execute(sql).collect().map(_.toString).toSeq
+
+  test("q1 via SQL string equals DataFrame API") {
+    val sql = viaSql(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 100000 AND o_orderstatus = 'O'
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)
+    val df = query.Declared.q1(spark, sf).collect().map(_.toString).toSeq
+    assert(sql == df)
+  }
+
+  test("q4 group-by via SQL string equals DataFrame API") {
+    val sql = viaSql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, round(sum(l_quantity),2) AS s_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    val df = query.Declared.q4(spark, sf).collect().map(_.toString).toSeq
+    assert(sql == df)
+  }
+
+  test("q14 join via SQL string equals DataFrame API") {
+    val sql = viaSql(
+      """SELECT c.c_mktsegment AS seg, count(*) AS cnt, round(sum(o.o_totalprice),2) AS rev
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY seg""".stripMargin)
+    val df = query.DeclaredExt.q14(spark, sf).collect().map(_.toString).toSeq
+    assert(sql == df)
+  }
+
+  test("count() dialect + OFFSET work through the SQL path") {
+    val r = viaSql("SELECT count() AS c FROM orders")
+    assert(r.length == 1)
+    val page = viaSql("SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 10")
+    val df = query.Declared.q10Offset(spark, sf).collect().map(_.toString).toSeq
+    assert(page == df)
+  }
+}
