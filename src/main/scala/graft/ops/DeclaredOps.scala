@@ -33,7 +33,9 @@ object DeclaredOps {
     "t1_langid"        -> ((s, dir) => TextAnalysis.langid(docs(s, dir))),
     "t2_quality"       -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
     "t3_token_stats"   -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
-    "t4_fingerprint"   -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))))
+    "t4_fingerprint"   -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
+    "t5_profile"       -> ((s, dir) => TextAnalysis.profile(docs(s, dir))),
+    "t6_hll_profile"   -> ((s, dir) => TextAnalysis.hllProfile(docs(s, dir))))
 
   // ---- DuckDB oracle SQL ----
 
@@ -142,6 +144,13 @@ object DeclaredOps {
         |  len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t5_profile" ->
+      """SELECT count(*) AS n, count(DISTINCT lang) AS ndv_lang,
+        |count(DISTINCT source) AS ndv_source,
+        |sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+        |min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |round(avg(n_chars), 2) AS avg_chars FROM documents""".stripMargin,
 
     "t4_fingerprint" ->
       s"""SELECT doc_id, CAST(list_reduce(

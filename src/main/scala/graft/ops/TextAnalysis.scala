@@ -62,6 +62,29 @@ object TextAnalysis {
       ceil(length(col("text")).cast("double") / 4).cast("long").as("bpe_est"))
       .orderBy("doc_id")
 
+  /** Column profiling — the dataset-health snapshot a curation pipeline
+    * runs first: row count, exact NDVs, null counts, ranges. One pass,
+    * partial aggregates map-side. */
+  def profile(docs: DataFrame): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("lang")).as("ndv_lang"),
+      countDistinct(col("source")).as("ndv_source"),
+      sum(when(col("text").isNull, 1).otherwise(0)).as("null_text"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"),
+      round(avg(col("n_chars")), 2).as("avg_chars"))
+
+  /** Approximate-distinct profile via HLL sketches — the scale path for
+    * NDV when exact countDistinct's shuffle is too wide. No SQL oracle
+    * (engine-specific sketch); declared rows-only. */
+  def hllProfile(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(
+        approx_count_distinct(col("text"), 0.02).as("approx_docs"),
+        approx_count_distinct(col("source"), 0.02).as("approx_sources"))
+      .orderBy("lang")
+
   /** Rolling-hash fingerprint: fold (acc*31 + h_w mod 1000003) mod 1e9+7
     * over the word sequence, with the portable md5-60-bit word hash. Order
     * sensitive (unlike simhash) — a reordering changes the fingerprint. */

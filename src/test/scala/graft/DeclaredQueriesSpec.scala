@@ -7,7 +7,8 @@ class DeclaredQueriesSpec extends GraftSuite {
   test("every declared query has an oracle or is documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only ops (non-SQL-expressible) are allowed but tracked explicitly
-    val documentedRowsOnly = Set("m2_media_sim") // histogram-feature cosine: no SQL oracle
+    // histogram-feature cosine and HLL sketches: engine-specific, no SQL oracle
+    val documentedRowsOnly = Set("m2_media_sim", "t6_hll_profile")
     assert(missing == documentedRowsOnly,
       s"queries without oracle SQL must be documented rows-only: $missing")
   }
