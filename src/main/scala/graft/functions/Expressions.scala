@@ -239,6 +239,27 @@ object Expressions {
       copy(child = newChild)
   }
 
+  /** Count of whitespace tokens of `text` that belong to `words` — one
+    * split + one pass; equals the sum of per-word size(filter(...)) counts
+    * the declarative form (and the DuckDB oracle) computes. */
+  case class CountWordsIn(child: Expression, words: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    private val set = words.toSet
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+      var n = 0
+      var i = 0
+      while (i < toks.length) {
+        if (set.contains(toks(i))) n += 1
+        i += 1
+      }
+      n
+    }
+    override protected def withNewChildInternal(newChild: Expression): CountWordsIn =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftshim.PlanExec.expression
 
   def minhashSig(c: Column, numHashes: Int): Column = column(MinHashSig(expression(c), numHashes))
@@ -248,4 +269,6 @@ object Expressions {
   def wordShingles(c: Column, n: Int = 3): Column = column(WordShingles(expression(c), n))
   def md5WordHashes(c: Column): Column = column(Md5WordHashes(expression(c)))
   def rollingFp(c: Column): Column = column(RollingFp(expression(c)))
+  def countWordsIn(c: Column, words: Seq[String]): Column =
+    column(CountWordsIn(expression(c), words))
 }

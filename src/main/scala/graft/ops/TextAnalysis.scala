@@ -17,11 +17,13 @@ object TextAnalysis {
   /** Marker-stopword language guess. The heuristic itself is the operator
     * under test (the corpus is synthetic); the oracle mirrors the exact
     * same decision tree. */
-  def langGuess(text: Column): Column =
-    when(wordCount(text, "the") >= 1, "en")
-      .when(wordCount(text, "der") + wordCount(text, "die") + wordCount(text, "das") >= 1, "de")
-      .when(wordCount(text, "el") + wordCount(text, "la") >= 1, "es")
+  def langGuess(text: Column): Column = {
+    import graft.functions.Expressions.countWordsIn
+    when(countWordsIn(text, Seq("the")) >= 1, "en")
+      .when(countWordsIn(text, Seq("der", "die", "das")) >= 1, "de")
+      .when(countWordsIn(text, Seq("el", "la")) >= 1, "es")
       .otherwise("und")
+  }
 
   def langid(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), langGuess(col("text")).as("lang_guess"))
@@ -35,8 +37,9 @@ object TextAnalysis {
     val nTok = size(toks)
     val meanLen = (length(col("text")) - nTok + 1).cast("double") / nTok
     val punct = length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))
-    val stop = wordCount(col("text"), "the") + wordCount(col("text"), "a") +
-      wordCount(col("text"), "of")
+    // Native one-pass count — same integer as summing per-word
+    // size(filter(...)) counts, which the oracle still spells out.
+    val stop = graft.functions.Expressions.countWordsIn(col("text"), Seq("the", "a", "of"))
     val stopRatio = stop.cast("double") / nTok
     val score =
       when(nTok < 5, 0.0).otherwise(
