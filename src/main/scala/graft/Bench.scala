@@ -24,7 +24,8 @@ object Bench {
       // a small fixed shuffle width (tasks are ~100k rows each; 200-way
       // shuffles would be pure scheduling overhead) and no AQE (its
       // per-stage re-planning costs more than it saves below ~GB scale).
-      .config("spark.sql.shuffle.partitions", math.min(cpus.toInt, 8))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", math.min(cpus.toInt, 8).toString))
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

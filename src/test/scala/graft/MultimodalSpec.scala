@@ -81,6 +81,21 @@ class MultimodalSpec extends GraftSuite {
       q.processAllAvailable()
       val df = new Storage(base).load(spark, "sm", Long.MinValue, Long.MaxValue).get
       assert(df.count() == 50)
+      q.stop()
+
+      // Recovery: a NEW stream on the SAME checkpoint must not reprocess
+      // the two already-committed batches (at-least-once upgrade over the
+      // reference's lose-on-crash buffers, SURVEY §2.7).
+      val q2 = new StreamingLpIngest(spark, in.toString, ckpt.toString, appender,
+        triggerMs = 500).start()
+      try {
+        Files.writeString(in.resolve("batch3.txt"),
+          (50 until 60).map(i => s"sm,host=c v=$i.0 ${(t0 + i) * TimeUtils.NsPerMs}")
+            .mkString("\n"))
+        q2.processAllAvailable()
+        val df2 = new Storage(base).load(spark, "sm", Long.MinValue, Long.MaxValue).get
+        assert(df2.count() == 60, "recovered stream must append only the new batch")
+      } finally q2.stop()
     } finally q.stop()
   }
 }
