@@ -27,6 +27,8 @@ object DeclaredOps {
     "d1_exact_dedup"   -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "d2_minhash_lsh"   -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
     "d3_simhash"       -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+    "d5_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(docs(s, dir))),
+    "d6_dedup_apply"   -> ((s, dir) => Dedup.dedupApply(docs(s, dir))),
     "d4_ngram_topk"    -> ((s, dir) => Dedup.ngramJaccardTopK(docs(s, dir), NgramQuery)),
     "e1_cosine_topk"   -> ((s, dir) => Similarity.cosineTopK(emb(s, dir), col("vec_id") < 5)),
     "e2_ivf_topk"      -> ((s, dir) => Similarity.ivfTopK(emb(s, dir), col("vec_id") < 5)),
@@ -73,6 +75,39 @@ object DeclaredOps {
          |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Ground-truth components via recursive transitive closure over the
+    // exact-Jaccard pair set (same pair oracle as d2).
+    "d5_dedup_clusters" ->
+      s"""${ShingleCte.replace("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         |edges AS (SELECT da AS a, db AS b FROM pairs UNION ALL SELECT db, da FROM pairs),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a
+         |ORDER BY doc_id""".stripMargin,
+
+    "d6_dedup_apply" ->
+      s"""${ShingleCte.replace("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         |edges AS (SELECT da AS a, db AS b FROM pairs UNION ALL SELECT db, da FROM pairs),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+         |SELECT count(*) AS survivors,
+         |  (SELECT count(*) FROM documents) - count(*) AS removed
+         |FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster)""".stripMargin,
 
     "d3_simhash" ->
       s"""SELECT doc_id, CAST(list_sum(list_transform(range(0, 60),

@@ -81,6 +81,58 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over the verified near-dup pairs — the step
+    * every dedup pipeline needs between pair generation and row removal
+    * (A~B, B~C must collapse to ONE cluster, not two pairs).
+    *
+    * Pregel-style min-label propagation with DataFrame joins: labels
+    * start as each member's own id and take the min over neighbors until
+    * a fixed point. Iterations = component diameter (tiny for dup
+    * clusters); each iteration is one key-partitioned join + aggregate,
+    * and `localCheckpoint` truncates the growing lineage — the standard
+    * iterative-algorithm shape on Spark. Only docs that appear in some
+    * pair participate; the corpus never joins in.
+    */
+  def nearDupClusters(docs: DataFrame, threshold: Double = 0.5,
+      maxIter: Int = 20): DataFrame = {
+    val pairs = minhashLsh(docs, threshold).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("lab", col("doc"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val prop = edges.join(labels, edges("src") === labels("doc"))
+        .groupBy(col("dst")).agg(min(col("lab")).as("nlab"))
+      val merged = labels.join(prop, labels("doc") === prop("dst"), "left")
+        .select(col("doc"), col("lab"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab2"))
+        .localCheckpoint(true)
+      changed = merged.where(col("lab2") =!= col("lab")).count()
+      labels = merged.select(col("doc"), col("lab2").as("lab"))
+      it += 1
+    }
+    labels.select(col("doc").as("doc_id"), col("lab").as("cluster"))
+      .orderBy("doc_id")
+  }
+
+  /** Apply dedup: drop every cluster member except the canonical (min id)
+    * one; report surviving/removed counts. The removal itself is a
+    * broadcast anti-join — the corpus scans once. */
+  def dedupApply(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val losers = nearDupClusters(docs, threshold)
+      .where(col("doc_id") =!= col("cluster"))
+      .select("doc_id")
+    val total = docs.count()
+    docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("survivors"))
+      .select(col("survivors"), (lit(total) - col("survivors")).as("removed"))
+  }
+
   /** 60-bit SimHash fingerprint per document.
     *
     * Word hash = first 15 hex chars of md5 (portable: the oracle derives

@@ -32,6 +32,29 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("near-dup clusters collapse transitive pairs and apply removes losers") {
+    val pairs = Dedup.minhashLsh(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assume(pairs.nonEmpty)
+    val clusters = Dedup.nearDupClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Every pair's two members share a cluster, labeled by the min member.
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+      assert(clusters(a) <= math.min(a, b))
+    }
+    // Transitivity: chains/triangles collapse (A~B, B~C -> one cluster).
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    adj.foreach { case (x, ns) =>
+      ns.foreach(n => assert(clusters(x) == clusters(n)))
+    }
+    val applied = Dedup.dedupApply(docs).collect()(0)
+    val losers = clusters.count { case (d, c) => d != c }
+    assert(applied.getLong(1) == losers)
+    assert(applied.getLong(0) == docs.count() - losers)
+  }
+
   test("simhash of near-dup pairs differs in few bits") {
     val fp = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val pairs = Dedup.minhashLsh(docs).collect()
