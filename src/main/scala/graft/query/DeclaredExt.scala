@@ -105,8 +105,21 @@ object DeclaredExt {
       .orderBy("ws")
       .limit(200)
 
+  /** Q22 — salted two-phase aggregation (skew pattern): the hot-key
+    * mitigation whose RESULT is identical to a plain GROUP BY, which is
+    * exactly what the oracle runs. l_returnflag has only 3 values — every
+    * key is a "heavy hitter" — so the salt genuinely spreads reducers. */
+  def q22(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.saltedCountSum(
+      Tables.load(spark, dir, "lineitem"),
+      col("l_returnflag"),
+      col("l_orderkey") * 8 + col("l_linenumber"),
+      col("l_quantity"))
+      .orderBy("k")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_tumbling_window" -> (q21 _),
+    "q22_salted_agg"      -> (q22 _),
     "q14_join_broadcast" -> (q14 _),
     "q15_window_topk"    -> (q15 _),
     "q16_intersect"      -> (q16 _),
@@ -119,6 +132,9 @@ object DeclaredExt {
     "q21_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS ws, count(*) AS cnt, round(sum(value),2) AS sv
         |FROM events GROUP BY 1 ORDER BY ws LIMIT 200""".stripMargin,
+    "q22_salted_agg" ->
+      """SELECT l_returnflag AS k, count(*) AS cnt, round(sum(l_quantity),2) AS s
+        |FROM lineitem GROUP BY 1 ORDER BY k""".stripMargin,
     "q14_join_broadcast" ->
       """SELECT c.c_mktsegment AS seg, count(*) AS cnt, round(sum(o.o_totalprice),2) AS rev
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
