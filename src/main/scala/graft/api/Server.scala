@@ -63,7 +63,7 @@ object Server {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val storage = new Storage(dataDir)
+    val storage = new Storage(dataDir, pruneInScan = true)
     val appender = new BufferedAppender(spark, dataDir)
     val queryService = new QueryService(spark, storage)
     val compactor = new Compactor(spark, dataDir)

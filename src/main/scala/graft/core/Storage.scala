@@ -18,7 +18,7 @@ import graft.query.TableProvider
   * is an ordinary distributed parquet read with pushdown. `mergeSchema`
   * covers LP schema widening (SURVEY §7.4 divergence).
   */
-final class Storage(base: Path) extends TableProvider {
+final class Storage(base: Path, pruneInScan: Boolean = false) extends TableProvider {
 
   // Schema cache keyed by the newest file path answering it — a new flush
   // or compaction changes that path, invalidating naturally. Without this,
@@ -42,6 +42,14 @@ final class Storage(base: Path) extends TableProvider {
 
   override def load(spark: SparkSession, name: String,
       startNs: Long, endNs: Long): Option[DataFrame] = {
+    // In-scan mode: one manifest-backed FileIndex relation; the query's
+    // OWN resolved timestamp predicates drive pruning at plan time
+    // (org.apache.spark.sql.graftshim.ManifestFileIndex), so the provider
+    // ignores the caller's range instead of pre-listing paths.
+    if (pruneInScan)
+      return schemaOf(spark, name).map(sch =>
+        org.apache.spark.sql.graftshim.ManifestFileIndex.table(spark, base, name, sch))
+
     val perWriter = Manifest.writerDirs(base).flatMap { wdir =>
       val writerId = wdir.getFileName.toString
       Manifest.loadTable(Manifest.tableManifestPath(base, writerId, name))

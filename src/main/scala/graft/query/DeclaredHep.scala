@@ -22,7 +22,12 @@ object DeclaredHep {
 
   private def service(spark: SparkSession): QueryService = {
     val base = FixtureGen.ensure(spark)
-    new QueryService(spark, new Storage(base), nowNs = () => FixtureGen.PinNowNs)
+    // In-scan pruning: the manifest-backed FileIndex prunes from the
+    // query's own resolved timestamp predicates (including the injected
+    // default range) — the registered-table architecture a long-lived
+    // server uses. The path-list provider stays covered by LoopbackSpec.
+    new QueryService(spark, new Storage(base, pruneInScan = true),
+      nowNs = () => FixtureGen.PinNowNs)
   }
 
   /** H1 — HEP shape: virtual columns + payload LIKE + `time` alias
