@@ -102,7 +102,10 @@ object Declared {
         col("l_linenumber"),
         when(col("l_discount") > 0.05, "HI").otherwise("LO").as("band"),
         round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique at sf0.1 — order by every
+      // output column so the LIMIT prefix is total (caught by a 10x-scale
+      // oracle spot-check in round 2).
+      .orderBy("l_orderkey", "l_linenumber", "net", "band")
       .limit(100)
 
   /** Q10a — count(DISTINCT). */
@@ -151,7 +154,7 @@ object Declared {
         col("l_linenumber"),
         coalesce(nullif(col("l_returnflag"), lit("N")), lit("X")).as("rf"),
         coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).as("disc"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "disc", "rf")
       .limit(100)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -184,7 +187,7 @@ object Declared {
       """SELECT l_orderkey, l_linenumber,
         |coalesce(nullif(l_returnflag, 'N'), 'X') AS rf,
         |coalesce(nullif(l_discount, 0.0), -1.0) AS disc
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, disc, rf LIMIT 100""".stripMargin,
     "q1_filter_order_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > 100000 AND o_orderstatus = 'O'
@@ -216,7 +219,7 @@ object Declared {
       """SELECT l_orderkey, l_linenumber,
         |CASE WHEN l_discount > 0.05 THEN 'HI' ELSE 'LO' END AS band,
         |round(l_extendedprice * (1 - l_discount), 2) AS net
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, net, band LIMIT 100""".stripMargin,
     "q10_count_distinct" ->
       "SELECT count(DISTINCT o_custkey) AS u FROM orders",
     "q10_limit_offset" ->

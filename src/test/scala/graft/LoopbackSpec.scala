@@ -136,6 +136,21 @@ class LoopbackSpec extends GraftSuite {
     } finally listener.stop()
   }
 
+  test("HEP payload types route to separate tables (hep_1 / hep_100)") {
+    val base = Files.createTempDirectory("graft-types")
+    val appender = new BufferedAppender(spark, base, bufferSize = 1000)
+    def pkt(ptype: Int, i: Int) = HepV3.decode(HepV3.encode(HepV3.Packet(
+      HepV3.RcInfo(payloadType = Some(ptype), timeSeconds = Some(1700000000L + i)),
+      s"payload-$ptype-$i".getBytes))).toOption.get
+    (0 until 3).foreach(i => appender.addHep(pkt(1, i)))
+    (0 until 5).foreach(i => appender.addHep(pkt(100, i)))
+    appender.flushAll()
+    val st = new Storage(base)
+    assert(st.load(spark, "hep_1", Long.MinValue, Long.MaxValue).get.count() == 3)
+    assert(st.load(spark, "hep_100", Long.MinValue, Long.MaxValue).get.count() == 5)
+    assert(st.tableNames.toSet == Set("hep_1", "hep_100"))
+  }
+
   test("compaction tier 2 converges hourly files into a daily file") {
     val base = Files.createTempDirectory("graft-tier2")
     val appender = new BufferedAppender(spark, base, bufferSize = 1000)
