@@ -16,7 +16,8 @@ object DeclaredMedia {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_decode"  -> ((s, _) => Multimodal.decodeDims(media(s))),
     "m2_media_sim"     -> ((s, _) => Multimodal.similarByHistogram(media(s))),
-    "m3_frame_sample"  -> ((s, _) => Multimodal.frameSampleStats(media(s))))
+    "m3_frame_sample"  -> ((s, _) => Multimodal.frameSampleStats(media(s))),
+    "m4_audio_decode"  -> ((s, _) => Multimodal.decodeAudio(media(s))))
 
   private val Fixture = MediaFixture.DefaultPath
 
@@ -30,5 +31,10 @@ object DeclaredMedia {
       s"""SELECT media_id, meta.height AS n_frames,
          |CAST(ceil(meta.height / 4.0) AS INTEGER) * meta.width AS out_bytes
          |FROM read_parquet('$Fixture') WHERE kind = 'image'
+         |ORDER BY media_id""".stripMargin,
+    "m4_audio_decode" ->
+      s"""SELECT media_id, meta.sample_rate AS rate,
+         |octet_length(payload) - 8 AS n_samples
+         |FROM read_parquet('$Fixture') WHERE kind = 'audio'
          |ORDER BY media_id""".stripMargin)
 }

@@ -103,6 +103,17 @@ object Multimodal {
         length(col("payload")).as("n_bytes"))
       .orderBy("media_id")
 
+  /** m1b — audio header decode: sample rate from the GAUD container's
+    * rate/100 u16 field, sample count from the body size. Same
+    * cross-validation contract as m1 (oracle reads the meta struct). */
+  def decodeAudio(media: DataFrame): DataFrame =
+    media.where(col("kind") === "audio")
+      .select(
+        col("media_id"),
+        (conv(hex(substring(col("payload"), 5, 2)), 16, 10).cast("int") * 100).as("rate"),
+        (length(col("payload")) - 8).as("n_samples"))
+      .orderBy("media_id")
+
   /** m2 — feature extraction + similarity: histogram features over body
     * bytes, then top-k most-similar images to each of the first 2 by
     * cosine (features shuffle/broadcast — 16 floats — never payloads). */
