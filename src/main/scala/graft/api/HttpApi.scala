@@ -25,7 +25,9 @@ final class HttpApi(
     port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 64)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+    val t = new Thread(r, "graft-http"); t.setDaemon(true); t
+  }))
 
   def boundPort: Int = server.getAddress.getPort
 

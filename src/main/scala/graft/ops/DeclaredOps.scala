@@ -32,6 +32,7 @@ object DeclaredOps {
     "d4_ngram_topk"    -> ((s, dir) => Dedup.ngramJaccardTopK(docs(s, dir), NgramQuery)),
     "e1_cosine_topk"   -> ((s, dir) => Similarity.cosineTopK(emb(s, dir), col("vec_id") < 5)),
     "e2_ivf_topk"      -> ((s, dir) => Similarity.ivfTopK(emb(s, dir), col("vec_id") < 5)),
+    "e3_label_centroids" -> ((s, dir) => Similarity.labelCentroids(emb(s, dir))),
     "t1_langid"        -> ((s, dir) => TextAnalysis.langid(docs(s, dir))),
     "t2_quality"       -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
     "t3_token_stats"   -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
@@ -144,6 +145,14 @@ object DeclaredOps {
          |    row_number() OVER (PARTITION BY q.query_id ORDER BY $DuckCos DESC, c.vec_id) AS rn
          |  FROM cells c JOIN q USING (cell) WHERE c.vec_id <> q.query_id)
          |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
+    "e3_label_centroids" ->
+      """WITH m AS (
+        |  SELECT label, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS m
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+        |  GROUP BY label, i)
+        |SELECT label, count(*) AS dims, list(m ORDER BY pos) AS centroid
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
 
     "t1_langid" ->
       """SELECT doc_id, CASE

@@ -48,6 +48,22 @@ object Similarity {
     aggregate(sequence(lit(0), lit(bits - 1)), lit(0),
       (acc, i) => acc * 2 + when(element_at(v, i + 1) >= 0f, 1).otherwise(0))
 
+  /** Per-label centroids: element-wise mean of the embedding vectors in
+    * each label group — the training step a real IVF quantizer runs.
+    *
+    * Scale: posexplode fans out to (label, position) keys, so the
+    * aggregation is map-side-partial + one shuffle of scalar partials —
+    * never whole vectors through a single reducer. Per-element rounding
+    * keeps the oracle hash stable under partial-sum reordering. */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 4).as("m"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("dims"),
+        expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("centroid"))
+      .orderBy("label")
+
   /** IVF-bucketed ANN: search only the query's own cell.
     *
     * Scale: corpus is (re)partitioned by cell once — each query probes one
