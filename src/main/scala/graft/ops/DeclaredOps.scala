@@ -29,6 +29,7 @@ object DeclaredOps {
     "d3_simhash"       -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "d5_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(docs(s, dir))),
     "d6_dedup_apply"   -> ((s, dir) => Dedup.dedupApply(docs(s, dir))),
+    "d7_source_overlap" -> ((s, dir) => Dedup.sourceOverlap(docs(s, dir))),
     "d4_ngram_topk"    -> ((s, dir) => Dedup.ngramJaccardTopK(docs(s, dir), NgramQuery)),
     "e1_cosine_topk"   -> ((s, dir) => Similarity.cosineTopK(emb(s, dir), col("vec_id") < 5)),
     "e2_ivf_topk"      -> ((s, dir) => Similarity.ivfTopK(emb(s, dir), col("vec_id") < 5)),
@@ -109,6 +110,20 @@ object DeclaredOps {
          |  (SELECT count(*) FROM documents) - count(*) AS removed
          |FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster)""".stripMargin,
+
+    "d7_source_overlap" ->
+      """WITH toks2 AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+        |sh2 AS (SELECT source, list_distinct(CASE WHEN len(w) < 3 THEN []
+        |  ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+        |FROM toks2),
+        |e AS (SELECT DISTINCT source, unnest(s) AS g FROM sh2),
+        |c AS (SELECT source, count(*) AS n FROM e GROUP BY source),
+        |i AS (SELECT a.source AS sa, b.source AS sb, count(*) AS inter
+        |      FROM e a JOIN e b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
+        |SELECT sa AS src_a, sb AS src_b,
+        |  round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 4) AS j
+        |FROM i JOIN c ca ON ca.source = sa JOIN c cb ON cb.source = sb
+        |ORDER BY src_a, src_b""".stripMargin,
 
     "d3_simhash" ->
       s"""SELECT doc_id, CAST(list_sum(list_transform(range(0, 60),

@@ -133,6 +133,30 @@ object Dedup {
       .select(col("survivors"), (lit(total) - col("survivors")).as("removed"))
   }
 
+  /** Pairwise dataset overlap (contamination check): exact shingle-set
+    * Jaccard between document SOURCES — the "is my eval set inside the
+    * training crawl" question, at dataset granularity.
+    *
+    * Scale: (source, shingle) pairs are deduplicated then self-joined ON
+    * THE SHINGLE — a key-partitioned equi-join whose width is the number
+    * of co-occurring shingles, never |sources|² × docs. Counts and the
+    * intersection aggregate map-side. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val e = docs.select(col("source"), explode(shingles(col("text"))).as("g"))
+      .distinct()
+    val counts = e.groupBy("source").agg(count(lit(1)).as("n"))
+    val eA = e.select(col("source").as("src_a"), col("g"))
+    val eB = e.select(col("source").as("src_b"), col("g"))
+    val inter = eA.join(eB, "g").where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+      .join(counts.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+      .select(col("src_a"), col("src_b"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4).as("j"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** 60-bit SimHash fingerprint per document.
     *
     * Word hash = first 15 hex chars of md5 (portable: the oracle derives
