@@ -30,6 +30,7 @@ object DeclaredOps {
     "d5_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(docs(s, dir))),
     "d6_dedup_apply"   -> ((s, dir) => Dedup.dedupApply(docs(s, dir))),
     "d7_source_overlap" -> ((s, dir) => Dedup.sourceOverlap(docs(s, dir))),
+    "d8_source_sketch" -> ((s, dir) => Dedup.sourceSketchSim(docs(s, dir))),
     "d4_ngram_topk"    -> ((s, dir) => Dedup.ngramJaccardTopK(docs(s, dir), NgramQuery)),
     "e1_cosine_topk"   -> ((s, dir) => Similarity.cosineTopK(emb(s, dir), col("vec_id") < 5)),
     "e2_ivf_topk"      -> ((s, dir) => Similarity.ivfTopK(emb(s, dir), col("vec_id") < 5)),

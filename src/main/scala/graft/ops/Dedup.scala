@@ -157,6 +157,30 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  /** Constant-size MinHash sketch per source (custom typed Aggregator:
+    * element-wise min of document signatures = signature of the union
+    * shingle set), then sketch-estimated pairwise Jaccard.
+    *
+    * Scale: each group reduces to 64 longs map-side (mergeable sketch);
+    * the pairwise stage runs over |sources| sketches, not over documents.
+    * The estimate is what you run when d7's exact overlap join is too
+    * wide; no SQL oracle (engine hash) — accuracy is asserted against d7
+    * in OpsSpec. */
+  def sourceSketchSim(docs: DataFrame, numHashes: Int = 64): DataFrame = {
+    val sketches = docs
+      .select(col("source"),
+        graft.functions.Expressions.minhashSig(shingles(col("text")), numHashes).as("sig"))
+      .groupBy("source")
+      .agg(graft.functions.MinHashUnionAgg.column(col("sig")).as("sk"))
+    val a = sketches.select(col("source").as("src_a"), col("sk").as("ska"))
+    val b = sketches.select(col("source").as("src_b"), col("sk").as("skb"))
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(expr("size(filter(zip_with(ska, skb, (x, y) -> x = y), m -> m))")
+          .cast("double") / numHashes, 4).as("est_j"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** 60-bit SimHash fingerprint per document.
     *
     * Word hash = first 15 hex chars of md5 (portable: the oracle derives

@@ -8,7 +8,7 @@ class DeclaredQueriesSpec extends GraftSuite {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only ops (non-SQL-expressible) are allowed but tracked explicitly
     // histogram-feature cosine and HLL sketches: engine-specific, no SQL oracle
-    val documentedRowsOnly = Set("m2_media_sim", "t6_hll_profile")
+    val documentedRowsOnly = Set("m2_media_sim", "t6_hll_profile", "d8_source_sketch")
     assert(missing == documentedRowsOnly,
       s"queries without oracle SQL must be documented rows-only: $missing")
   }

@@ -112,6 +112,23 @@ class OpsSpec extends GraftSuite {
     assert(fp(0).getLong(1) != fp(1).getLong(1))
   }
 
+  test("minhash-union sketch estimates exact source overlap") {
+    val exact = Dedup.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val est = Dedup.sourceSketchSim(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(est.nonEmpty)
+    // 64-hash sketch: std error ~ sqrt(j(1-j)/64) <= 0.0625; allow 4 sigma.
+    var checked = 0
+    exact.foreach { case (pair, j) =>
+      est.get(pair).foreach { e =>
+        assert(math.abs(e - j) <= 0.25, s"$pair est=$e exact=$j")
+        checked += 1
+      }
+    }
+    assert(checked > 0, "estimate and exact must cover common pairs")
+  }
+
   test("hll profile approximates exact NDV within the declared error") {
     val approx = TextAnalysis.hllProfile(docs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -125,6 +142,6 @@ class OpsSpec extends GraftSuite {
   }
 
   test("declared ops and oracles stay in sync") {
-    assert(DeclaredOps.queries.keySet -- DeclaredOps.oracleSql.keySet == Set("t6_hll_profile"))
+    assert(DeclaredOps.queries.keySet -- DeclaredOps.oracleSql.keySet == Set("t6_hll_profile", "d8_source_sketch"))
   }
 }
