@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias, UnresolvedWith}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -51,9 +51,24 @@ final class QueryService(
     val parser = spark.sessionState.sqlParser
     val plan0 = parser.parsePlan(Dialect.normalize(sql))
 
-    val relNames = plan0.collect {
-      case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
-    }.distinct
+    // CTE definitions live in UnresolvedWith.cteRelations, which the
+    // standard foreach/transform do NOT traverse — a `WITH x AS (SELECT
+    // ... FROM orders)` would otherwise never get `orders` registered.
+    // CTE names themselves are not tables and must not be resolved
+    // against the provider (they could shadow real table names).
+    val cteNames = scala.collection.mutable.Set.empty[String]
+    forEachNode(plan0) {
+      case w: UnresolvedWith => w.cteRelations.foreach(c => cteNames += c._1.toLowerCase)
+      case _ =>
+    }
+    val relBuf = scala.collection.mutable.LinkedHashSet.empty[String]
+    forEachNode(plan0) {
+      case r: UnresolvedRelation =>
+        val n = r.multipartIdentifier.mkString(".")
+        if (!cteNames.contains(n.toLowerCase)) relBuf += n
+      case _ =>
+    }
+    val relNames = relBuf.toSeq
 
     val schemas: Map[String, StructType] = relNames.flatMap { n =>
       tables.schemaOf(spark, n).map(n -> _)
@@ -106,8 +121,8 @@ final class QueryService(
     // star to the physical list before analysis sees the wide view.
     val plan2 = expandStars(plan1, relNames, physicalCols)
 
-    // Point the plan at the registered views.
-    val plan3 = plan2.transformUp {
+    // Point the plan at the registered views (CTE bodies included).
+    val plan3 = transformWithCtes(plan2) {
       case r: UnresolvedRelation if physicalCols.contains(r.multipartIdentifier.mkString(".")) =>
         UnresolvedRelation(Seq(viewName(r.multipartIdentifier.mkString("."), execId)))
     }
@@ -129,7 +144,7 @@ final class QueryService(
     val cond = spark.sessionState.sqlParser.parseExpression(
       s"timestamp >= TIMESTAMP '${TimeUtils.isoMs(r.startNs)}' AND " +
       s"timestamp <= TIMESTAMP '${TimeUtils.isoMs(r.endNs)}'")
-    plan.transformUp {
+    transformWithCtes(plan) {
       case rel: UnresolvedRelation if isTimeSeries(rel.multipartIdentifier.mkString(".")) =>
         Filter(cond, rel)
     }
@@ -139,6 +154,40 @@ final class QueryService(
 object QueryService {
 
   final case class TimeRange(startNs: Long, endNs: Long)
+
+  /** Visit every node INCLUDING CTE definition subtrees
+    * (UnresolvedWith.cteRelations are not part of `children`) and plans
+    * nested inside subquery EXPRESSIONS (scalar/IN/EXISTS subqueries). */
+  private[query] def forEachNode(plan: LogicalPlan)(f: LogicalPlan => Unit): Unit =
+    plan.foreach { node =>
+      f(node)
+      node match {
+        case w: UnresolvedWith =>
+          w.cteRelations.foreach(c => forEachNode(c._2)(f))
+        case _ =>
+      }
+      node.expressions.foreach(_.foreach {
+        case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          forEachNode(se.plan)(f)
+        case _ =>
+      })
+    }
+
+  /** transformUp that also rewrites inside CTE definition subtrees and
+    * inside subquery expressions. */
+  private[query] def transformWithCtes(plan: LogicalPlan)(
+      f: PartialFunction[LogicalPlan, LogicalPlan]): LogicalPlan = {
+    val withCtes: PartialFunction[LogicalPlan, LogicalPlan] = {
+      case w: UnresolvedWith =>
+        val rewritten = w.copy(cteRelations = w.cteRelations.map(c =>
+          c.copy(_2 = transformWithCtes(c._2)(f).asInstanceOf[SubqueryAlias])))
+        if (f.isDefinedAt(rewritten)) f(rewritten) else rewritten
+    }
+    plan.transformUp(withCtes.orElse(f)).transformAllExpressions {
+      case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        se.withNewPlan(transformWithCtes(se.plan)(f))
+    }
+  }
 
   private val executionCounter = new AtomicLong(0)
 
@@ -244,7 +293,7 @@ object QueryService {
       }
     }
 
-    plan.foreach {
+    forEachNode(plan) {
       case f: Filter => visit(f.condition, conjunctive = true)
       case _ =>
     }

@@ -38,6 +38,24 @@ class SqlPathConsistencySpec extends GraftSuite {
     assert(sql == df)
   }
 
+  test("CTEs and subqueries resolve through the SQL path") {
+    val cte = viaSql(
+      """WITH big AS (SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 200000)
+        |SELECT o_custkey, count(*) AS n FROM big GROUP BY o_custkey
+        |ORDER BY n DESC, o_custkey LIMIT 10""".stripMargin)
+    assert(cte.nonEmpty)
+    val sub = viaSql(
+      """SELECT avg_p FROM (
+        |  SELECT o_orderstatus, round(avg(o_totalprice), 2) AS avg_p
+        |  FROM orders GROUP BY o_orderstatus) t
+        |ORDER BY avg_p""".stripMargin)
+    assert(sub.length == 3)
+    // Scalar subquery in WHERE.
+    val scalar = viaSql(
+      "SELECT count(*) AS c FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)")
+    assert(scalar.length == 1)
+  }
+
   test("count() dialect + OFFSET work through the SQL path") {
     val r = viaSql("SELECT count() AS c FROM orders")
     assert(r.length == 1)
