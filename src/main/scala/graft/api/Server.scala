@@ -63,6 +63,9 @@ object Server {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Native expressions callable from /query SQL.
+    graft.functions.GraftExtensions.registerAll(spark)
+
     val storage = new Storage(dataDir, pruneInScan = true)
     val appender = new BufferedAppender(spark, dataDir)
     val queryService = new QueryService(spark, storage)

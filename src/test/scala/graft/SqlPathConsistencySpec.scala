@@ -56,6 +56,20 @@ class SqlPathConsistencySpec extends GraftSuite {
     assert(scalar.length == 1)
   }
 
+  test("native expressions are callable as SQL functions") {
+    graft.functions.GraftExtensions.registerAll(spark)
+    val j = viaSql(
+      """SELECT doc_id, round(jaccard_sim(word_shingles(text), word_shingles(text)), 4) AS self_j
+        |FROM documents ORDER BY doc_id LIMIT 5""".stripMargin)
+    assert(j.length == 5 && j.forall(_.contains("1.0")), j)
+    val sh = viaSql(
+      "SELECT simhash60(md5_word_hashes(text)) AS f FROM documents ORDER BY doc_id LIMIT 3")
+    assert(sh.length == 3)
+    val cos = viaSql(
+      "SELECT round(cosine_sim(embedding, embedding), 4) AS c FROM embeddings ORDER BY vec_id LIMIT 3")
+    assert(cos.forall(_.contains("1.0")), cos)
+  }
+
   test("count() dialect + OFFSET work through the SQL path") {
     val r = viaSql("SELECT count() AS c FROM orders")
     assert(r.length == 1)
