@@ -142,8 +142,11 @@ object Dedup {
     * of co-occurring shingles, never |sources|² × docs. Counts and the
     * intersection aggregate map-side. */
   def sourceOverlap(docs: DataFrame): DataFrame = {
+    // Repartition on the join key so both self-join sides and the count
+    // aggregate resolve to ReusedExchange over ONE shingling pass.
     val e = docs.select(col("source"), explode(shingles(col("text"))).as("g"))
       .distinct()
+      .repartition(col("g"))
     val counts = e.groupBy("source").agg(count(lit(1)).as("n"))
     val eA = e.select(col("source").as("src_a"), col("g"))
     val eB = e.select(col("source").as("src_b"), col("g"))
