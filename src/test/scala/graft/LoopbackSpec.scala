@@ -181,6 +181,26 @@ class LoopbackSpec extends GraftSuite {
     assert(man.files.head.path.contains("/00-00/"))
   }
 
+  test("flush failure retains the buffer for retry (at-least-once)") {
+    val base = Files.createTempDirectory("graft-retry")
+    val appender = new BufferedAppender(spark, base, bufferSize = 1000)
+    val ns = 1704067200000000000L // 2024-01-01 00:00Z
+    appender.addLinePoints(Seq(LineProtocol.parse(s"er v=1.0 $ns").get))
+    // Block the flush: a FILE where the date directory must be created.
+    val tableDir = Manifest.tableDir(base, "writer1", "er")
+    Files.createDirectories(tableDir)
+    val blocker = tableDir.resolve("2024-01-01")
+    Files.writeString(blocker, "not a directory")
+    intercept[Exception](appender.flushAll())
+    assert(appender.bufferedRowCount("er") == 1,
+      "rows must be retained after a failed flush (reference hepop.js:203-213)")
+    // Unblock and retry — same rows land exactly once.
+    Files.delete(blocker)
+    appender.flushAll()
+    assert(appender.bufferedRowCount("er") == 0)
+    assert(new Storage(base).load(spark, "er", Long.MinValue, Long.MaxValue).get.count() == 1)
+  }
+
   test("scheduler flushes on interval and on stop") {
     val base = Files.createTempDirectory("graft-sched")
     val appender = new BufferedAppender(spark, base, bufferSize = 1000000)
