@@ -38,7 +38,14 @@ object Manifest {
       min_time: Long,
       max_time: Long,
       wal_sequence: Long,
-      files: List[FileEntry]) {
+      files: List[FileEntry],
+      // Widened table schema (Spark StructType JSON), maintained on every
+      // flush like a real table format tracks evolution. Without it, a
+      // restarted appender re-infers a NARROW schema from its first point
+      // and a newest-file-footer schema probe would silently drop
+      // previously-widened columns. Optional: manifests written before
+      // this field (or by the reference) still load.
+      schema_json: Option[String] = None) {
 
     def typeName: String = `type` match {
       case JInt(n) => s"hep_$n"
@@ -59,6 +66,25 @@ object Manifest {
 
     def addFile(f: FileEntry): TableManifest =
       copy(files = files :+ f, wal_sequence = math.max(wal_sequence, f.id + 1)).recomputed
+
+    /** Merge a flush's schema into the tracked table schema (union of
+      * fields; first-seen type wins, matching the widening rules). */
+    def withMergedSchema(s: org.apache.spark.sql.types.StructType): TableManifest = {
+      val merged = schema_json.map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]) match {
+        case None => s
+        case Some(prev) =>
+          val known = prev.fieldNames.toSet
+          org.apache.spark.sql.types.StructType(
+            prev.fields ++ s.fields.filterNot(f => known.contains(f.name)))
+      }
+      copy(schema_json = Some(merged.json))
+    }
+
+    def trackedSchema: Option[org.apache.spark.sql.types.StructType] =
+      schema_json.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
 
     /** Compaction swap: drop inputs, add the merged output
       * (reference hepop.js:815–846). */

@@ -29,11 +29,25 @@ final class Storage(base: Path, pruneInScan: Boolean = false) extends TableProvi
 
   override def schemaOf(spark: SparkSession,
       name: String): Option[org.apache.spark.sql.types.StructType] = {
-    val newest = Manifest.writerDirs(base).flatMap { wdir =>
+    val manifests = Manifest.writerDirs(base).flatMap { wdir =>
       val writerId = wdir.getFileName.toString
       Manifest.loadTable(Manifest.tableManifestPath(base, writerId, name))
-        .toSeq.flatMap(_.files)
-    }.sortBy(-_.id).map(f => base.resolve(f.path)).find(Files.exists(_))
+    }
+    if (manifests.isEmpty) return None
+    // Prefer the manifest-tracked schema (survives appender restarts that
+    // would re-infer a narrower schema); union across writers.
+    val tracked = manifests.flatMap(_.trackedSchema)
+    if (tracked.nonEmpty) {
+      val merged = tracked.reduce { (a, b) =>
+        val known = a.fieldNames.toSet
+        org.apache.spark.sql.types.StructType(
+          a.fields ++ b.fields.filterNot(f => known.contains(f.name)))
+      }
+      return Some(merged)
+    }
+    // Legacy manifests without schema tracking: newest file's footer.
+    val newest = manifests.flatMap(_.files)
+      .sortBy(-_.id).map(f => base.resolve(f.path)).find(Files.exists(_))
     newest.map { p =>
       schemaCache.computeIfAbsent(p.toString,
         _ => spark.read.parquet(p.toString).schema)

@@ -185,7 +185,7 @@ final class BufferedAppender(
       min_time = TimeUtils.msToNs(minMs),
       max_time = TimeUtils.msToNs(maxMs))
     Manifest.save(Manifest.tableManifestPath(base, writerId, buf.name),
-      manifest.addFile(entry))
+      manifest.addFile(entry).withMergedSchema(buf.schema))
     updateWriterManifest()
     buf.rows.clear()
   }

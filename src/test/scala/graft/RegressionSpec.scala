@@ -190,6 +190,30 @@ class RegressionSpec extends GraftSuite {
     assert(wm2.next_table_id == 2)
   }
 
+  test("widened schema survives an appender restart via the manifest") {
+    val base = Files.createTempDirectory("graft-restart")
+    // First appender sees temp + hum (widened schema).
+    val a1 = new BufferedAppender(spark, base, bufferSize = 1000)
+    a1.addLinePoints(Seq(
+      LineProtocol.parse("rw temp=1.0,hum=40.0 1704067200000000000").get))
+    a1.flushAll()
+    // A RESTARTED appender re-infers from its first point, which lacks hum.
+    val a2 = new BufferedAppender(spark, base, bufferSize = 1000)
+    a2.addLinePoints(Seq(
+      LineProtocol.parse("rw temp=2.0 1704067300000000000").get))
+    a2.flushAll()
+    val st = new Storage(base)
+    // Manifest-tracked schema still carries hum...
+    assert(st.schemaOf(spark, "rw").get.fieldNames.contains("hum"))
+    // ...and both the path-list and FileIndex readers expose it with nulls.
+    val plain = st.load(spark, "rw", Long.MinValue, Long.MaxValue).get
+    assert(plain.columns.contains("hum") && plain.count() == 2)
+    val idx = new Storage(base, pruneInScan = true)
+      .load(spark, "rw", Long.MinValue, Long.MaxValue).get
+    assert(idx.columns.contains("hum") && idx.count() == 2)
+    assert(idx.where(org.apache.spark.sql.functions.col("hum").isNotNull).count() == 1)
+  }
+
   test("Storage.schemaOf reads a single newest file") {
     val base = Files.createTempDirectory("graft-schema")
     val app = new BufferedAppender(spark, base, bufferSize = 1000)
