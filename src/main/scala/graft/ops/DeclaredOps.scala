@@ -163,12 +163,11 @@ object DeclaredOps {
          |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
 
     "e3_label_centroids" ->
-      """WITH m AS (
-        |  SELECT label, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS m
-        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
-        |  GROUP BY label, i)
-        |SELECT label, count(*) AS dims, list(m ORDER BY pos) AS centroid
-        |FROM m GROUP BY label ORDER BY label""".stripMargin,
+      """SELECT label, i - 1 AS pos,
+        |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+        |        / count(*), 4) AS m
+        |FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
 
     "t1_langid" ->
       """SELECT doc_id, CASE
@@ -210,7 +209,8 @@ object DeclaredOps {
         |count(DISTINCT source) AS ndv_source,
         |sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
         |min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-        |round(avg(n_chars), 2) AS avg_chars FROM documents""".stripMargin,
+        |round(CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / count(n_chars), 2)
+        |  AS avg_chars FROM documents""".stripMargin,
 
     "t4_fingerprint" ->
       s"""SELECT doc_id, CAST(list_reduce(

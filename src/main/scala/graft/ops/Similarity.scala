@@ -53,16 +53,19 @@ object Similarity {
     *
     * Scale: posexplode fans out to (label, position) keys, so the
     * aggregation is map-side-partial + one shuffle of scalar partials —
-    * never whole vectors through a single reducer. Per-element rounding
-    * keeps the oracle hash stable under partial-sum reordering. */
+    * never whole vectors through a single reducer.
+    *
+    * Output shape is exploded scalar rows (label, pos, m) rather than one
+    * array column per label: same information, but hash/compare-friendly
+    * (array-typed result columns break row-wise comparators), and the
+    * element mean is computed with StableAgg's exact-decimal sum so the
+    * value is independent of partial-merge order. */
   def labelCentroids(emb: DataFrame): DataFrame =
     emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("v").cast("double")), 4).as("m"))
-      .groupBy(col("label"))
-      .agg(count(lit(1)).as("dims"),
-        expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("centroid"))
-      .orderBy("label")
+      .agg(graft.functions.StableAgg
+        .davg(col("v").cast("double"), 4, "decimal(18,9)").as("m"))
+      .orderBy("label", "pos")
 
   /** IVF-bucketed ANN: search only the query's own cell.
     *

@@ -22,8 +22,10 @@ object Skew {
     */
   def saltedCountSum(df: DataFrame, key: Column, saltSource: Column,
       valueCol: Column, salts: Int = 8): DataFrame =
+    // Partials sum in DECIMAL so the two-phase result is exactly the
+    // plain-GROUP-BY oracle regardless of salt/merge order (StableAgg).
     df.groupBy(key.as("k"), (abs(hash(saltSource)) % salts).as("salt"))
-      .agg(count(lit(1)).as("pc"), sum(valueCol).as("ps"))
+      .agg(count(lit(1)).as("pc"), sum(valueCol.cast("decimal(18,6)")).as("ps"))
       .groupBy(col("k"))
-      .agg(sum(col("pc")).as("cnt"), round(sum(col("ps")), 2).as("s"))
+      .agg(sum(col("pc")).as("cnt"), round(sum(col("ps")), 2).cast("double").as("s"))
 }

@@ -76,7 +76,9 @@ object TextAnalysis {
       sum(when(col("text").isNull, 1).otherwise(0)).as("null_text"),
       min(col("n_chars")).as("min_chars"),
       max(col("n_chars")).as("max_chars"),
-      round(avg(col("n_chars")), 2).as("avg_chars"))
+      // Order-independent avg (StableAgg): exact decimal sum / count, one
+      // double division, then round — reproducible at any parallelism.
+      graft.functions.StableAgg.davg(col("n_chars")).as("avg_chars"))
 
   /** Approximate-distinct profile via HLL sketches — the scale path for
     * NDV when exact countDistinct's shuffle is too wide. No SQL oracle

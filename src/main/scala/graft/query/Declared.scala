@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.functions.StableAgg
 
 /** The declared parity query set from SURVEY.md §2.9 (Q1–Q10), expressed
   * Spark-first with the DataFrame API so Catalyst gets a fully declarative
@@ -40,8 +41,8 @@ object Declared {
     Tables.load(spark, dir, "lineitem")
       .agg(
         count(lit(1)).as("cnt"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        StableAgg.davg(col("l_quantity")).as("avg_qty"),
+        StableAgg.dsum(col("l_extendedprice")).as("sum_price"),
         min(col("l_shipdate")).as("min_d"),
         max(col("l_shipdate")).as("max_d"))
 
@@ -52,7 +53,7 @@ object Declared {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         count(lit(1)).as("cnt"),
-        round(sum(col("l_quantity")), 2).as("s_qty"))
+        StableAgg.dsum(col("l_quantity")).as("s_qty"))
       .orderBy("l_returnflag", "l_linestatus")
 
   /** Q5 — time-range predicate, strict vs non-strict ops preserved
@@ -195,11 +196,13 @@ object Declared {
     "q2_like" ->
       "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%red%' ORDER BY p_partkey LIMIT 50",
     "q3_scalar_agg" ->
-      """SELECT count(*) AS cnt, round(avg(l_quantity),2) AS avg_qty,
-        |round(sum(l_extendedprice),2) AS sum_price,
+      """SELECT count(*) AS cnt,
+        |round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity), 2) AS avg_qty,
+        |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price,
         |min(l_shipdate) AS min_d, max(l_shipdate) AS max_d FROM lineitem""".stripMargin,
     "q4_group_by" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, round(sum(l_quantity),2) AS s_qty
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS s_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q5_time_range" ->
       """SELECT event_id, event_type FROM events

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.functions.StableAgg
 
 /** Extension operator families beyond the reference's own surface (SURVEY
   * §2.3/§2.5 marked these "free in Spark; extension only"): joins, window
@@ -22,7 +23,7 @@ object DeclaredExt {
       .join(broadcast(Tables.load(spark, dir, "customer").as("c")),
         col("o.o_custkey") === col("c.c_custkey"))
       .groupBy(col("c.c_mktsegment").as("seg"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("o.o_totalprice")), 2).as("rev"))
+      .agg(count(lit(1)).as("cnt"), StableAgg.dsum(col("o.o_totalprice")).as("rev"))
       .orderBy("seg")
 
   /** Q15 — window functions: top-2 orders per customer by price. */
@@ -61,7 +62,7 @@ object DeclaredExt {
   def q18(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
       .groupBy("event_type")
-      .agg(count(lit(1)).as("cnt"), round(avg(col("value")), 2).as("avg_v"))
+      .agg(count(lit(1)).as("cnt"), StableAgg.davg(col("value")).as("avg_v"))
       .where(col("cnt") > 100)
       .orderBy("event_type")
 
@@ -89,7 +90,7 @@ object DeclaredExt {
           col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
       .withColumn("sid", sum(col("new_s")).over(cum))
       .groupBy("user_id", "sid")
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+      .agg(count(lit(1)).as("n"), StableAgg.dsum(col("value")).as("sv"))
       .orderBy("user_id", "sid")
       .limit(200)
   }
@@ -100,7 +101,7 @@ object DeclaredExt {
   def q21(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
       .groupBy(window(col("ts"), "1 hour"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sv"))
+      .agg(count(lit(1)).as("cnt"), StableAgg.dsum(col("value")).as("sv"))
       .select(col("window.start").as("ws"), col("cnt"), col("sv"))
       .orderBy("ws")
       .limit(200)
@@ -130,13 +131,16 @@ object DeclaredExt {
 
   val oracleSql: Map[String, String] = Map(
     "q21_tumbling_window" ->
-      """SELECT date_trunc('hour', ts) AS ws, count(*) AS cnt, round(sum(value),2) AS sv
+      """SELECT date_trunc('hour', ts) AS ws, count(*) AS cnt,
+        |CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv
         |FROM events GROUP BY 1 ORDER BY ws LIMIT 200""".stripMargin,
     "q22_salted_agg" ->
-      """SELECT l_returnflag AS k, count(*) AS cnt, round(sum(l_quantity),2) AS s
+      """SELECT l_returnflag AS k, count(*) AS cnt,
+        |CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS s
         |FROM lineitem GROUP BY 1 ORDER BY k""".stripMargin,
     "q14_join_broadcast" ->
-      """SELECT c.c_mktsegment AS seg, count(*) AS cnt, round(sum(o.o_totalprice),2) AS rev
+      """SELECT c.c_mktsegment AS seg, count(*) AS cnt,
+        |CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS rev
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment ORDER BY seg""".stripMargin,
     "q15_window_topk" ->
@@ -156,7 +160,8 @@ object DeclaredExt {
         |  FROM events)
         |WHERE k > 80 ORDER BY event_id LIMIT 100""".stripMargin,
     "q18_having" ->
-      """SELECT event_type, count(*) AS cnt, round(avg(value),2) AS avg_v
+      """SELECT event_type, count(*) AS cnt,
+        |round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 2) AS avg_v
         |FROM events GROUP BY event_type HAVING count(*) > 100
         |ORDER BY event_type""".stripMargin,
     "q19_rollup" ->
@@ -175,6 +180,7 @@ object DeclaredExt {
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
         |            ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM x)
-        |SELECT user_id, sid, count(*) AS n, round(sum(value),2) AS sv
+        |SELECT user_id, sid, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv
         |FROM s GROUP BY user_id, sid ORDER BY user_id, sid LIMIT 200""".stripMargin)
 }

@@ -51,10 +51,13 @@ object DeclaredHep {
     service(spark).execute(
       "SELECT time, usage_idle FROM cpu WHERE usage_idle > 50 ORDER BY time LIMIT 10")
 
-  /** H4 — LP aggregate (reference README.md:216). */
+  /** H4 — LP aggregate (reference README.md:216). The avg is spelled as an
+    * exact decimal sum / count (StableAgg shape, through the SQL surface)
+    * so the hashed value is independent of partial-merge order. */
   def h4(spark: SparkSession, dir: String): DataFrame =
     service(spark).execute(
-      "SELECT round(avg(used_percent),2) AS a, count() AS cnt FROM memory")
+      """SELECT round(cast(sum(cast(used_percent AS decimal(18,6))) AS double)
+        |  / count(used_percent), 2) AS a, count() AS cnt FROM memory""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h1_hep_virtual_cols" -> (h1 _),
@@ -90,6 +93,7 @@ object DeclaredHep {
       s"""SELECT timestamp AS time, usage_idle FROM read_parquet('$CpuGlob')
          |WHERE usage_idle > 50 AND $Win ORDER BY time LIMIT 10""".stripMargin,
     "h4_lp_agg" ->
-      s"""SELECT round(avg(used_percent),2) AS a, count(*) AS cnt
+      s"""SELECT round(CAST(sum(CAST(used_percent AS DECIMAL(18,6))) AS DOUBLE)
+         |  / count(used_percent), 2) AS a, count(*) AS cnt
          |FROM read_parquet('$MemGlob') WHERE $Win""".stripMargin)
 }

@@ -17,7 +17,9 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # Full precision: %.6g hid exactly the last-ulp noise that flips a
+        # rounded cell in the driver's environment (round-2 t5/q20 lesson).
+        return f"{v:.17g}"
     if isinstance(v, bool):
         return str(v).lower()
     if isinstance(v, bytes):
@@ -25,6 +27,14 @@ def canon(v):
     if isinstance(v, list):
         return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
+
+
+def array_cols(rows):
+    """Indices of columns holding list/array values — the driver's
+    pandas-based comparator cannot hash these (round-2 e3 lesson)."""
+    for r in rows[:5]:
+        return [i for i, v in enumerate(r) if isinstance(v, (list, tuple))]
+    return []
 
 def table_hash(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -55,6 +65,13 @@ def main(sf_dir, out_dir):
             d_rows = d_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); failures += 1; continue
+        bad = sorted({s_cols[i] for i in array_cols(s_rows)} |
+                     {d_cols[i] for i in array_cols(d_rows)})
+        if bad:
+            print(f"FAIL {name}: array-typed result column(s) {bad} — "
+                  "driver comparator cannot hash arrays; declare exploded scalar rows")
+            failures += 1
+            continue
         if sorted(s_cols) != sorted(d_cols):
             print(f"FAIL {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}"); failures += 1; continue
         if len(s_rows) != len(d_rows):
