@@ -63,7 +63,9 @@ object PlanAudit {
     audit("e1_cosine_topk", qs("e1_cosine_topk")(spark, sfDir),
       "query side broadcast (corpus scanned once, no N-way shuffle)" ->
         (p => p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange")),
-      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")),
+      "top-k is a bounded partial aggregate, scored set never shuffles whole" ->
+        (p => p.contains("ObjectHashAggregate") && !p.contains("Window")))
 
     audit("q4_group_by", qs("q4_group_by")(spark, sfDir),
       "partial aggregation before shuffle" ->

@@ -32,9 +32,9 @@ object Dedup {
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     *
     * Pipeline (all shuffles key-partitioned):
-    *  1. shingle (3-word) → 128-hash MinHash signature, per row, codegen'd
-    *     higher-order functions — no UDF;
-    *  2. 32 bands × 4 rows: band key = xxhash64 of the band's slice;
+    *  1. shingle (3-word) → 64-hash MinHash signature, per row, in a
+    *     native expression — no UDF;
+    *  2. 16 bands × 4 rows: band key = xxhash64 of the band's slice;
     *  3. candidate pairs = self-equi-join on (band, key) — the ONLY place
     *     pairs form, and only within buckets (expected bucket size ≈
     *     collision rate, not N);
@@ -105,6 +105,11 @@ object Dedup {
       .localCheckpoint(true)
     var changed = 1L
     var it = 0
+    // Convergence is checked every 2nd iteration: each check is a driver
+    // round-trip (a full pass over the label frame at scale), and dup
+    // components are near-cliques that converge in 2–3 rounds — one
+    // possibly-redundant propagation costs the same as the count it
+    // replaces, while halving the driver-side job count.
     while (changed > 0 && it < maxIter) {
       val prop = edges.join(labels, edges("src") === labels("doc"))
         .groupBy(col("dst")).agg(min(col("lab")).as("nlab"))
@@ -112,25 +117,33 @@ object Dedup {
         .select(col("doc"), col("lab"),
           least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab2"))
         .localCheckpoint(true)
-      changed = merged.where(col("lab2") =!= col("lab")).count()
-      labels = merged.select(col("doc"), col("lab2").as("lab"))
       it += 1
+      if (it % 2 == 0 || it >= maxIter)
+        changed = merged.where(col("lab2") =!= col("lab")).count()
+      labels = merged.select(col("doc"), col("lab2").as("lab"))
     }
     labels.select(col("doc").as("doc_id"), col("lab").as("cluster"))
       .orderBy("doc_id")
   }
 
   /** Apply dedup: drop every cluster member except the canonical (min id)
-    * one; report surviving/removed counts. The removal itself is a
-    * broadcast anti-join — the corpus scans once. */
+    * one; report surviving/removed counts.
+    *
+    * One action total: the cluster labels are already materialized
+    * (localCheckpoint) by `nearDupClusters`, and a single left join +
+    * aggregate derives BOTH counts — no separate `docs.count()` job and
+    * no second execution of the LSH→CC chain (round-2's worst bench
+    * query was exactly that). The loser side is broadcast; the corpus
+    * scans once, doc_id column only. */
   def dedupApply(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val losers = nearDupClusters(docs, threshold)
       .where(col("doc_id") =!= col("cluster"))
-      .select("doc_id")
-    val total = docs.count()
-    docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
-      .agg(count(lit(1)).as("survivors"))
-      .select(col("survivors"), (lit(total) - col("survivors")).as("removed"))
+      .select(col("doc_id"), lit(1).as("is_loser"))
+    docs.select("doc_id")
+      .join(broadcast(losers), Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("total"),
+        sum(coalesce(col("is_loser"), lit(0))).as("removed"))
+      .select((col("total") - col("removed")).as("survivors"), col("removed"))
   }
 
   /** Pairwise dataset overlap (contamination check): exact shingle-set

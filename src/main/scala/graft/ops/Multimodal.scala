@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression => CatalystBinary, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.PlanExec.{column, expression}
 import org.apache.spark.sql.types._
@@ -123,14 +122,12 @@ object Multimodal {
         byteHistogram(expr("substring(payload, 9, 2147483647)")).as("f"))
     val q = feats.where(col("media_id") < 2)
       .select(col("media_id").as("query_id"), col("f").as("qf"))
-    feats.crossJoin(broadcast(q))
+    val scored = feats.crossJoin(broadcast(q))
       .where(col("media_id") =!= col("query_id"))
       .withColumn("cos", round(graft.functions.Expressions.cosineSim(col("f"), col("qf")), 4))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos").desc, col("media_id"))))
-      .where(col("rn") <= k)
-      .select(col("query_id"), col("media_id").as("neighbor_id"), col("cos"))
-      .orderBy("query_id", "rn")
+    // Bounded top-k aggregate, not a window rank — the scored set never
+    // shuffles whole (see TopKByScoreAgg).
+    Similarity.rankTopK(scored, "media_id", k)
   }
 
   /** m3 — frame sampling: treat each image body as `h` frames of `w`

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`Array[Float]`).
@@ -19,14 +18,28 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.Expressions.cosineSim(a, b)
 
+  /** Per-query bounded top-k over a scored (query_id, id, cos) frame —
+    * shared ranking tail of e1/e2: a map-side-partial TopKByScoreAgg, so
+    * only ≤ k candidates per (partition, query) reach the shuffle, never
+    * the full corpus×queries scored set (see TopKByScoreAgg). The final
+    * ORDER BY reproduces the rank order: (cos desc, id asc) per query. */
+  private[ops] def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKByScoreAgg.column(k, col("cos"), col(idCol)).as("top"))
+      .select(col("query_id"), explode(col("top")).as("nb"))
+      .select(col("query_id"), col("nb._2").as("neighbor_id"), col("nb._1").as("cos"))
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+
   /** Brute-force cosine top-k: for each query vector (small set), the k
     * nearest corpus vectors.
     *
     * Scale: the QUERY side is broadcast (it's the small dimension); the
-    * corpus is scanned once, partition-local, and only k rows per query
-    * survive the window — executor memory is O(queries × k), never O(N).
-    * Ranking uses the ROUNDED cosine with vec_id tiebreak so ordering is
-    * stable under last-ulp float noise across engines.
+    * corpus is scanned once, partition-local, and the ranking is a
+    * bounded top-k AGGREGATE — executor memory and shuffle are
+    * O(queries × k), never O(N) (round-2's window-rank shape shuffled
+    * the whole scored set). Ranking uses the ROUNDED cosine with vec_id
+    * tiebreak so ordering is stable under last-ulp float noise across
+    * engines.
     */
   def cosineTopK(emb: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
     val q = emb.where(queryPred)
@@ -34,12 +47,7 @@ object Similarity {
     val scored = emb.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("embedding"), col("qv")), 4))
-    scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
-      .where(col("rn") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
-      .orderBy("query_id", "rn")
+    rankTopK(scored, "vec_id", k)
   }
 
   /** Deterministic IVF-style coarse cell: sign bits of the first `bits`
@@ -80,13 +88,9 @@ object Similarity {
       signBucket(col("embedding"), bits).as("cell"))
     val q = cells.where(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
-    cells.join(broadcast(q), "cell")
+    val scored = cells.join(broadcast(q), "cell")
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("embedding"), col("qv")), 4))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
-      .where(col("rn") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
-      .orderBy("query_id", "rn")
+    rankTopK(scored, "vec_id", k)
   }
 }
