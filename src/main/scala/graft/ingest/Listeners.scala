@@ -38,10 +38,16 @@ object Listeners {
             buf = java.util.Arrays.copyOfRange(buf, 4, buf.length)
           case Some(_) => continue = false // incomplete frame, wait
           case None =>
-            if (buf.length >= 4) {
-              // Not a HEP3 magic at the head: drop one byte and rescan.
-              buf = java.util.Arrays.copyOfRange(buf, 1, buf.length)
-            } else continue = false
+            // None means EITHER fewer than 6 buffered bytes OR a magic
+            // mismatch. Resync (drop one byte) only when the buffered
+            // prefix already CONTRADICTS 'HEP3' — a TCP read boundary can
+            // leave 1–5 valid bytes of a real frame head, and dropping one
+            // of those would corrupt the frame and lose the packet.
+            val n = math.min(buf.length, HepV3.Magic.length)
+            var i = 0
+            while (i < n && buf(i) == HepV3.Magic(i)) i += 1
+            if (i < n) buf = java.util.Arrays.copyOfRange(buf, 1, buf.length)
+            else continue = false // plausible (possibly partial) head: wait
         }
       }
       out.toSeq

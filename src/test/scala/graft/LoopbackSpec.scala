@@ -114,6 +114,23 @@ class LoopbackSpec extends GraftSuite {
     assert(frames(0).sameElements(p1) && frames(1).sameElements(p2))
     assert(framer.pendingBytes == 0)
 
+    // Regression (ADVICE r2): a read boundary leaving exactly 4 or 5
+    // buffered bytes of a VALID frame head must wait for more input, not
+    // resync-drop a byte (that corrupted the frame and lost the packet).
+    for (cutAt <- Seq(1, 2, 3, 4, 5)) {
+      val f2 = new Listeners.HepFramer
+      assert(f2.feed(p1.take(cutAt), cutAt).isEmpty)
+      assert(f2.pendingBytes == cutAt, s"head bytes dropped at cut=$cutAt")
+      val tail = p1.drop(cutAt)
+      val got = f2.feed(tail, tail.length)
+      assert(got.length == 1 && got(0).sameElements(p1), s"frame lost at cut=$cutAt")
+    }
+    // Garbage before a real frame still resyncs.
+    val f3 = new Listeners.HepFramer
+    val noisy = "XYHE".getBytes ++ p1
+    val got3 = f3.feed(noisy, noisy.length)
+    assert(got3.length == 1 && got3(0).sameElements(p1))
+
     // And over a real socket, one connection, odd-sized writes.
     val base = Files.createTempDirectory("graft-tcp")
     val appender = new BufferedAppender(spark, base, bufferSize = 1000)

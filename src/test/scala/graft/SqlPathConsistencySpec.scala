@@ -23,7 +23,8 @@ class SqlPathConsistencySpec extends GraftSuite {
 
   test("q4 group-by via SQL string equals DataFrame API") {
     val sql = viaSql(
-      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, round(sum(l_quantity),2) AS s_qty
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |cast(round(sum(cast(l_quantity AS decimal(18,6))),2) AS double) AS s_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)
     val df = query.Declared.q4(spark, sf).collect().map(_.toString).toSeq
     assert(sql == df)
@@ -31,11 +32,60 @@ class SqlPathConsistencySpec extends GraftSuite {
 
   test("q14 join via SQL string equals DataFrame API") {
     val sql = viaSql(
-      """SELECT c.c_mktsegment AS seg, count(*) AS cnt, round(sum(o.o_totalprice),2) AS rev
+      """SELECT c.c_mktsegment AS seg, count(*) AS cnt,
+        |cast(round(sum(cast(o.o_totalprice AS decimal(18,6))),2) AS double) AS rev
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment ORDER BY seg""".stripMargin)
     val df = query.DeclaredExt.q14(spark, sf).collect().map(_.toString).toSeq
     assert(sql == df)
+  }
+
+  test("SELECT * stays physical across joins, aliases, and qualified stars") {
+    // events is time-series: the view carries a virtual `time` column that
+    // must NOT leak into any star expansion (reference README.md:141-143).
+    val eventsCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val customerCols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+    // Join star: both tables' physical columns in FROM order (DuckDB's
+    // SELECT * column order over a join).
+    val j = qs.execute(
+      """SELECT * FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.ts >= TIMESTAMP '2000-01-01 00:00:00'
+        |ORDER BY e.event_id LIMIT 3""".stripMargin)
+    assert(j.columns.toSeq == eventsCols ++ customerCols)
+
+    // Qualified star over an alias: that table only.
+    val q = qs.execute(
+      """SELECT e.* FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.ts >= TIMESTAMP '2000-01-01 00:00:00'
+        |ORDER BY e.event_id LIMIT 3""".stripMargin)
+    assert(q.columns.toSeq == eventsCols)
+
+    // Qualified star by table name, no alias.
+    val t = qs.execute(
+      """SELECT events.* FROM events JOIN customer ON events.user_id = customer.c_custkey
+        |WHERE events.ts >= TIMESTAMP '2000-01-01 00:00:00'
+        |ORDER BY events.event_id LIMIT 3""".stripMargin)
+    assert(t.columns.toSeq == eventsCols)
+
+    // Mixed list: qualified star + extra column.
+    val m = qs.execute(
+      """SELECT c.*, e.event_type FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.ts >= TIMESTAMP '2000-01-01 00:00:00'
+        |ORDER BY e.event_id LIMIT 3""".stripMargin)
+    assert(m.columns.toSeq == customerCols :+ "event_type")
+
+    // UNION ALL branches expand independently (scope = own branch).
+    val u = qs.execute(
+      """SELECT * FROM events WHERE ts >= TIMESTAMP '2000-01-01 00:00:00'
+        |UNION ALL SELECT * FROM events WHERE ts >= TIMESTAMP '2999-01-01 00:00:00'""".stripMargin)
+    assert(u.columns.toSeq == eventsCols)
+
+    // Derived-table star still resolves (inner output is physical-only).
+    val d = qs.execute(
+      """SELECT * FROM (SELECT event_id, event_type FROM events
+        |WHERE ts >= TIMESTAMP '2000-01-01 00:00:00') x ORDER BY event_id LIMIT 3""".stripMargin)
+    assert(d.columns.toSeq == Seq("event_id", "event_type"))
   }
 
   test("CTEs and subqueries resolve through the SQL path") {
