@@ -45,7 +45,16 @@ object Manifest {
       // and a newest-file-footer schema probe would silently drop
       // previously-widened columns. Optional: manifests written before
       // this field (or by the reference) still load.
-      schema_json: Option[String] = None) {
+      schema_json: Option[String] = None,
+      // Deletion WAL for the compaction swap: input paths are recorded
+      // here in the SAME manifest save that publishes the compacted
+      // output, then cleared once the inputs are physically deleted. A
+      // crash inside that window leaves replaced-but-undeleted inputs on
+      // disk, and without this record the heal pass could not tell them
+      // from appender orphans (re-adopting them would duplicate rows).
+      // Omitted from JSON when empty — reference-shaped manifests load
+      // and round-trip unchanged.
+      pending_delete: Option[List[String]] = None) {
 
     def typeName: String = `type` match {
       case JInt(n) => s"hep_$n"
