@@ -18,7 +18,8 @@ final class IngestScheduler(
     compactor: Compactor,
     storage: Storage,
     flushIntervalMs: Long = 10000,
-    compactIntervalMs: Long = 60000) {
+    compactIntervalMs: Long = 60000,
+    onFlush: () => Unit = () => ()) {
 
   private val exec: ScheduledExecutorService = Executors.newScheduledThreadPool(2, r => {
     val t = new Thread(r, "graft-scheduler"); t.setDaemon(true); t
@@ -26,7 +27,7 @@ final class IngestScheduler(
 
   def start(): this.type = {
     exec.scheduleAtFixedRate(() =>
-      try appender.flushAll()
+      try { appender.flushAll(); onFlush() }
       catch { case e: Exception => System.err.println(s"[flush] $e") },
       flushIntervalMs, flushIntervalMs, TimeUnit.MILLISECONDS)
     exec.scheduleAtFixedRate(() =>
@@ -71,13 +72,31 @@ object Server {
     val queryService = new QueryService(spark, storage)
     val compactor = new Compactor(spark, dataDir)
 
-    val udp = new Listeners.UdpHepListener(appender, port).start()
-    val tcp = new Listeners.TcpHepListener(appender, port).start()
+    // GRAFT_HEP_STREAMING=1: HEP frames land in a durable spool and flow
+    // through the checkpointed Structured-Streaming ingest (executor-side
+    // decode, at-least-once across restarts). Default: the reference's
+    // driver-side buffer path.
+    val streamingHep = sys.env.get("GRAFT_HEP_STREAMING").contains("1")
+    val (udp, tcp, spool, stream) =
+      if (streamingHep) {
+        val sp = new graft.streaming.HepSpool(dataDir.resolve("_spool"))
+        val u = new Listeners.UdpHepListener(sp.append(_), port).start()
+        val t = new Listeners.TcpHepListener(sp.append(_), port).start()
+        val q = new graft.streaming.StreamingHepIngest(spark,
+          dataDir.resolve("_spool").toString, dataDir.resolve("_ckpt").toString,
+          appender).start()
+        (u, t, Some(sp), Some(q))
+      } else {
+        (new Listeners.UdpHepListener(appender, port).start(),
+          new Listeners.TcpHepListener(appender, port).start(), None, None)
+      }
     val http = new HttpApi(queryService, appender, httpPort).start()
-    val sched = new IngestScheduler(appender, compactor, storage).start()
+    val sched = new IngestScheduler(appender, compactor, storage,
+      onFlush = () => spool.foreach(_.roll())).start()
 
     sys.addShutdownHook {
       sched.stop(); udp.stop(); tcp.stop(); http.stop()
+      spool.foreach(_.roll()); stream.foreach(_.stop())
     }
     println(s"graft server: HEP udp/tcp :$port, HTTP :$httpPort, data at $dataDir")
     Thread.currentThread().join()

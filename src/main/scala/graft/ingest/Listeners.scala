@@ -66,9 +66,17 @@ object Listeners {
     protected def onStop(): Unit = {}
   }
 
+  /** Default frame sink: decode + append to the WAL buffer (the
+    * reference's driver-side path). The spooling/streaming ingest passes
+    * a raw-frame sink instead (StreamingHepIngest). */
+  def appenderSink(appender: BufferedAppender): Array[Byte] => Unit =
+    frame => HepV3.decode(frame).foreach(appender.addHep(_))
+
   /** UDP HEP source (hepop.js:1006–1014): datagram = packet. */
-  final class UdpHepListener(appender: BufferedAppender, port: Int = 0)
+  final class UdpHepListener(sink: Array[Byte] => Unit, port: Int)
       extends StoppableThread("graft-udp") {
+    def this(appender: BufferedAppender, port: Int = 0) =
+      this(appenderSink(appender), port)
     private val socket = new DatagramSocket(port)
     def boundPort: Int = socket.getLocalPort
     override protected def loop(): Unit = {
@@ -77,8 +85,7 @@ object Listeners {
         try {
           val dgram = new DatagramPacket(buf, buf.length)
           socket.receive(dgram)
-          HepV3.decode(java.util.Arrays.copyOf(dgram.getData, dgram.getLength))
-            .foreach(appender.addHep(_))
+          sink(java.util.Arrays.copyOf(dgram.getData, dgram.getLength))
         } catch {
           case _: java.net.SocketException if !running.get => // closing
           case e: Exception => System.err.println(s"[udp] ${e.getMessage}")
@@ -89,8 +96,10 @@ object Listeners {
   }
 
   /** TCP HEP source with framing (fixes hepop.js:996–1003). */
-  final class TcpHepListener(appender: BufferedAppender, port: Int = 0)
+  final class TcpHepListener(sink: Array[Byte] => Unit, port: Int)
       extends StoppableThread("graft-tcp") {
+    def this(appender: BufferedAppender, port: Int = 0) =
+      this(appenderSink(appender), port)
     private val server = new ServerSocket(port)
     def boundPort: Int = server.getLocalPort
     override protected def loop(): Unit = {
@@ -111,9 +120,7 @@ object Listeners {
       try {
         var n = in.read(chunk)
         while (n >= 0 && running.get) {
-          if (n > 0) framer.feed(chunk, n).foreach { frame =>
-            HepV3.decode(frame).foreach(appender.addHep(_))
-          }
+          if (n > 0) framer.feed(chunk, n).foreach(sink)
           n = in.read(chunk)
         }
       } catch {

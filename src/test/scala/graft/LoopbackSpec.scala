@@ -153,6 +153,63 @@ class LoopbackSpec extends GraftSuite {
     } finally listener.stop()
   }
 
+  test("streaming HEP ingest: spool -> readStream -> WAL; kill/restart at-least-once") {
+    val base = Files.createTempDirectory("graft-shep")
+    val dataDir = base.resolve("data")
+    val appender = new BufferedAppender(spark, dataDir, bufferSize = 100000)
+    val spoolDir = base.resolve("spool")
+    val spool = new graft.streaming.HepSpool(spoolDir)
+    // The same UDP edge as the driver-side path, but frames land in the
+    // durable spool instead of an in-memory buffer.
+    val listener = new Listeners.UdpHepListener(spool.append(_), 0).start()
+    try {
+      val sock = new DatagramSocket()
+      val addr = InetAddress.getLoopbackAddress
+      val nowSec = System.currentTimeMillis() / 1000
+      def send(i: Int): Unit = {
+        val pkt = HepV3.Packet(
+          HepV3.RcInfo(srcIp = Some("10.0.0.9"), srcPort = Some(7000 + i),
+            timeSeconds = Some(nowSec), timeUseconds = Some(i * 1000L),
+            payloadType = Some(1)),
+          s"OPTIONS sip:s$i@x SIP/2.0".getBytes)
+        val wire = HepV3.encode(pkt)
+        sock.send(new DatagramPacket(wire, wire.length, addr, listener.boundPort))
+      }
+      def awaitSpooled(n: Int): Unit = {
+        val deadline = System.currentTimeMillis() + 10000
+        while (spool.appended < n && System.currentTimeMillis() < deadline)
+          Thread.sleep(20)
+        assert(spool.appended == n)
+      }
+      def stored(): Long =
+        new Storage(dataDir).load(spark, "hep_1", Long.MinValue, Long.MaxValue)
+          .map(_.count()).getOrElse(0L)
+
+      (0 until 10).foreach(send)
+      awaitSpooled(10)
+      spool.roll() // publish segment (the 10 s flush cadence in production)
+
+      val ing = new graft.streaming.StreamingHepIngest(
+        spark, spoolDir.toString, base.resolve("ckpt").toString, appender,
+        triggerMs = 250)
+      val q1 = ing.start()
+      q1.processAllAvailable()
+      q1.stop() // kill
+      assert(stored() == 10)
+
+      // Packets arriving while the stream is DOWN survive in the spool.
+      (10 until 16).foreach(send)
+      awaitSpooled(16)
+      spool.roll()
+
+      val q2 = ing.start() // restart against the same checkpoint
+      q2.processAllAvailable()
+      q2.stop()
+      assert(stored() == 16,
+        "restart picks up the new segment exactly once and never replays the old one")
+    } finally listener.stop()
+  }
+
   test("HEP payload types route to separate tables (hep_1 / hep_100)") {
     val base = Files.createTempDirectory("graft-types")
     val appender = new BufferedAppender(spark, base, bufferSize = 1000)
