@@ -26,7 +26,7 @@ object Bench {
       // per-stage re-planning costs more than it saves below ~GB scale).
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", math.min(cpus.toInt, 8).toString))
-      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -40,21 +40,33 @@ object Bench {
       try fn(spark, sfDir).collect() catch { case _: Throwable => }
     }
 
+    // A failing query is recorded as -1 and listed in "errors" — silently
+    // timing the throw would publish a bogus (small) duration and HIDE the
+    // regression (ADVICE r2).
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).collect() catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).collect(); true }
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
+          errors += name
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val ejson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qjson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qjson,"errors":$ejson,"sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try Files.writeString(Paths.get(out), line + "\n")
     catch { case e: Exception => System.err.println(s"[bench] write $out: $e") }
     spark.stop()
+    if (errors.nonEmpty) sys.exit(2)
   }
 }
