@@ -35,6 +35,7 @@ object DeclaredOps {
     "e1_cosine_topk"   -> ((s, dir) => Similarity.cosineTopK(emb(s, dir), col("vec_id") < 5)),
     "e2_ivf_topk"      -> ((s, dir) => Similarity.ivfTopK(emb(s, dir), col("vec_id") < 5)),
     "e3_label_centroids" -> ((s, dir) => Similarity.labelCentroids(emb(s, dir))),
+    "d9_embedding_dedup" -> ((s, dir) => Similarity.embeddingNearDup(emb(s, dir))),
     "t1_langid"        -> ((s, dir) => TextAnalysis.langid(docs(s, dir))),
     "t2_quality"       -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
     "t3_token_stats"   -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
@@ -140,6 +141,18 @@ object DeclaredOps {
          |    (len(s) + ${ngramShingles.size} - len(list_intersect(s, $ngramList))) AS j
          |  FROM sh)
          |WHERE j > 0 ORDER BY j DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Oracle = EXACT all-pairs cosine at the declared threshold (ground
+    // truth for the sign-band LSH path; see embeddingNearDup's scaladoc).
+    "d9_embedding_dedup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_a, vec_b, round(cos, 4) AS cos FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) AS cos
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |WHERE cos >= 0.5 ORDER BY vec_a, vec_b""".stripMargin,
 
     "e1_cosine_topk" ->
       s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -75,6 +75,46 @@ object Similarity {
         .davg(col("v").cast("double"), 4, "decimal(18,9)").as("m"))
       .orderBy("label", "pos")
 
+  /** Embedding-cosine near-duplicate PAIRS — the dedup-family member over
+    * vectors (exact/minhash/simhash/ngram cover text; this covers the
+    * embedding modality). Random-hyperplane-style LSH with DETERMINISTIC
+    * planes (the coordinate axes): signature = 64 sign bits, banded
+    * 16 × 4; candidate pairs form only inside (band, key) buckets — the
+    * same O(N) equi-join shape as minhashLsh, never all-pairs — then
+    * exact cosine verifies candidates at the threshold.
+    *
+    * Determinism vs the all-pairs oracle (the d2 argument): at the
+    * declared threshold every qualifying pair in the data shares at least
+    * one sign-band (verified for both SFs in SCALECHECK; cos ≥ τ pairs
+    * differ in few sign bits, so a 4-bit band survives), and the cosine
+    * arithmetic is the same fold in both engines, so LSH output equals
+    * ground truth exactly.
+    */
+  def embeddingNearDup(emb: DataFrame, threshold: Double = 0.5,
+      bands: Int = 16, dims: Int = 64): DataFrame = {
+    val rows = dims / bands
+    // One band key per 4 sign bits, spelled with element_at so the hot
+    // loop is flat arithmetic, not nested interpreted lambdas.
+    val keyExpr = (0 until rows).map(r =>
+      s"CASE WHEN element_at(embedding, b*$rows+${r + 1}) >= cast(0 AS float) " +
+        s"THEN ${1 << (rows - 1 - r)} ELSE 0 END").mkString(" + ")
+    val sgn = emb.select(col("vec_id"), col("embedding"),
+      expr(s"transform(sequence(0, ${bands - 1}), b -> $keyExpr)").as("keys"))
+      .repartition(col("vec_id"))
+    val banded = sgn.select(col("vec_id"), posexplode(col("keys")).as(Seq("band", "key")))
+    val cands = banded.as("x").join(banded.as("y"), Seq("band", "key"))
+      .where(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val va = sgn.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val vb = sgn.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    cands.join(va, "vec_a").join(vb, "vec_b")
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .where(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** IVF-bucketed ANN: search only the query's own cell.
     *
     * Scale: corpus is (re)partitioned by cell once — each query probes one
