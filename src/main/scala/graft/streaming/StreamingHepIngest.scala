@@ -100,25 +100,37 @@ final class StreamingHepIngest(
           org.apache.spark.sql.types.BinaryType))))
       .option("pathGlobFilter", "*.hepspool")
       .load(spoolDir)
-      .select("content")
+      .select("path", "content")
       .writeStream
       .trigger(Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val packets = batch
-          .select("content").as(Encoders.BINARY)
-          .mapPartitions { segs: Iterator[Array[Byte]] =>
-            segs.flatMap { bytes =>
-              val framer = new Listeners.HepFramer
-              framer.feed(bytes, bytes.length).iterator
-                .flatMap(f => HepV3.decode(f).toOption)
-            }
-          }(Encoders.product[HepV3.Packet])
-          .collect()
-        if (packets.nonEmpty) {
-          packets.foreach(appender.addHep(_))
-          appender.flushAll()
-        }
+        val persisted = batch.persist()
+        try {
+          val packets = persisted
+            .select("content").as(Encoders.BINARY)
+            .mapPartitions { segs: Iterator[Array[Byte]] =>
+              segs.flatMap { bytes =>
+                val framer = new Listeners.HepFramer
+                framer.feed(bytes, bytes.length).iterator
+                  .flatMap(f => HepV3.decode(f).toOption)
+              }
+            }(Encoders.product[HepV3.Packet])
+            .collect()
+          if (packets.nonEmpty) {
+            packets.foreach(appender.addHep(_))
+            appender.flushAll()
+          }
+          // Retention: a segment's frames are now in the WAL (flushed
+          // above), so the spool copy is garbage — delete AFTER the flush
+          // so a crash in between replays rather than loses (the
+          // checkpoint would skip the file either way; deletion only
+          // bounds disk growth).
+          persisted.select("path").collect().foreach { r =>
+            val p = r.getString(0).stripPrefix("file:")
+            Files.deleteIfExists(java.nio.file.Paths.get(p))
+          }
+        } finally persisted.unpersist()
       }
       .start()
 }

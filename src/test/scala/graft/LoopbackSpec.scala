@@ -4,6 +4,8 @@ import java.net.{DatagramPacket, DatagramSocket, InetAddress, Socket, URI}
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import graft.api.{HttpApi, IngestScheduler}
 import graft.compact.Compactor
 import graft.core.{Manifest, Storage, TimeUtils}
@@ -196,6 +198,11 @@ class LoopbackSpec extends GraftSuite {
       q1.processAllAvailable()
       q1.stop() // kill
       assert(stored() == 10)
+      // Retention: the processed segment is deleted once its frames are
+      // flushed to the WAL (disk growth stays bounded).
+      val leftover = Files.list(spoolDir)
+      try assert(!leftover.iterator().asScala.exists(_.toString.endsWith(".hepspool")))
+      finally leftover.close()
 
       // Packets arriving while the stream is DOWN survive in the spool.
       (10 until 16).foreach(send)
