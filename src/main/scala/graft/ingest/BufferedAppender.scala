@@ -190,21 +190,19 @@ final class BufferedAppender(
     buf.rows.clear()
   }
 
-  /** Maintain the per-writer root manifest (reference hepop.js:55–72):
-    * `writer_id` plus the next db/table ids to allocate. One db (`hep-0`)
-    * per writer in this layout; next_table_id tracks created tables. */
+  /** Maintain the per-writer root manifest (reference hepop.js:55–72).
+    * Despite the `next_*` names these are NOT counters in the reference:
+    * they are initialized to 0 and never incremented, and every table
+    * path is built from them as `hep-${next_db_id}/<table>-${next_table_id}`
+    * (hepop.js:126–127, 221–222, 695–696). They must therefore stay 0 to
+    * agree with the physical `hep-0/<table>-0` layout — a reference
+    * process reading a manifest with other values would derive paths that
+    * don't exist. This is the manifest-compatibility contract, verified
+    * against the reference's own path arithmetic. */
   private def updateWriterManifest(): Unit = {
     val path = base.resolve(writerId).resolve("metadata.json")
-    val dbDir = base.resolve(writerId).resolve("dbs").resolve("hep-0")
-    val tableCount =
-      if (!Files.exists(dbDir)) 0L
-      else {
-        val s = Files.list(dbDir)
-        try s.filter(Files.isDirectory(_)).count() finally s.close()
-      }
-    val current = Manifest.loadWriter(path)
-    if (!current.exists(w => w.next_table_id == tableCount))
-      Manifest.save(path, Manifest.WriterManifest(writerId, 1, tableCount))
+    if (Manifest.loadWriter(path).isEmpty)
+      Manifest.save(path, Manifest.WriterManifest(writerId, 0, 0))
   }
 
   /** Spark writes a directory; the reference layout wants one named file.

@@ -177,17 +177,23 @@ class RegressionSpec extends GraftSuite {
   // --- VERDICT #5: schemaOf answers from one footer, and storage-level
   // time-series detection works for QueryService default-range logic ---
 
-  test("writer manifest is maintained on the write path") {
+  test("writer manifest matches the reference's path arithmetic (ids stay 0)") {
     val base = Files.createTempDirectory("graft-wm")
     val app = new BufferedAppender(spark, base, bufferSize = 1000)
     app.addLinePoints(Seq(LineProtocol.parse("wm1 v=1.0 1704067200000000000").get))
     app.flushAll()
     val wm1 = Manifest.loadWriter(base.resolve("writer1").resolve("metadata.json")).get
-    assert(wm1.writer_id == "writer1" && wm1.next_table_id == 1)
+    // The reference builds every table path as
+    // hep-${next_db_id}/<table>-${next_table_id} and never increments
+    // either id (hepop.js:64–65, 126–127) — so 0/0 is what agrees with
+    // the physical hep-0/<table>-0 layout.
+    assert(wm1.writer_id == "writer1" && wm1.next_db_id == 0 && wm1.next_table_id == 0)
     app.addLinePoints(Seq(LineProtocol.parse("wm2 v=2.0 1704067201000000000").get))
     app.flushAll()
     val wm2 = Manifest.loadWriter(base.resolve("writer1").resolve("metadata.json")).get
-    assert(wm2.next_table_id == 2)
+    assert(wm2.next_db_id == 0 && wm2.next_table_id == 0)
+    assert(Files.exists(base.resolve("writer1").resolve("dbs").resolve("hep-0")
+      .resolve("wm2-0")), "layout agrees with the manifest-derived path")
   }
 
   test("widened schema survives an appender restart via the manifest") {
