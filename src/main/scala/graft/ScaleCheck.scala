@@ -30,16 +30,9 @@ object ScaleCheck {
 
     dirs.foreach { dir =>
       val docs = spark.read.parquet(s"$dir/documents.parquet")
-      val withSh = docs
-        .select(col("doc_id"), graft.ops.Dedup.shingles(col("text")).as("s"))
-        .where(size(col("s")) > 0)
-      val sig = withSh.withColumn("sig",
-        graft.functions.Expressions.minhashSig(col("s"), 64))
-      val banded = sig.select(col("doc_id"), posexplode(expr(
-        """transform(sequence(0,15), b -> xxhash64(
-          |element_at(sig,b*4+1), element_at(sig,b*4+2),
-          |element_at(sig,b*4+3), element_at(sig,b*4+4)))""".stripMargin))
-        .as(Seq("band", "key")))
+      // The SAME banding pipeline minhashLsh executes (shared helper) —
+      // the measured bucket distribution cannot drift from the real one.
+      val banded = graft.ops.Dedup.bandedSignatures(graft.ops.Dedup.shingled(docs))
       val buckets = banded.groupBy("band", "key").count()
       val tot = buckets.agg(count(lit(1)), max("count"), round(avg("count"), 3)).head()
       val multi = buckets.where(col("count") > 1)

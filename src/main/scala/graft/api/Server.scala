@@ -84,7 +84,7 @@ object Server {
         val t = new Listeners.TcpHepListener(sp.append(_), port).start()
         val q = new graft.streaming.StreamingHepIngest(spark,
           dataDir.resolve("_spool").toString, dataDir.resolve("_ckpt").toString,
-          appender).start()
+          appender).startSupervised()
         (u, t, Some(sp), Some(q))
       } else {
         (new Listeners.UdpHepListener(appender, port).start(),
@@ -96,7 +96,7 @@ object Server {
 
     sys.addShutdownHook {
       sched.stop(); udp.stop(); tcp.stop(); http.stop()
-      spool.foreach(_.roll()); stream.foreach(_.stop())
+      spool.foreach(_.roll()); stream.foreach(_.close())
     }
     println(s"graft server: HEP udp/tcp :$port, HTTP :$httpPort, data at $dataDir")
     Thread.currentThread().join()

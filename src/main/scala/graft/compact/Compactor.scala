@@ -61,7 +61,7 @@ final class Compactor(
     * IngestScheduler). */
   def compactTable(table: String,
       nowNs: Long = System.currentTimeMillis() * TimeUtils.NsPerMs): Int = {
-    verifyTable(table)
+    verifyTable(table, nowNs)
     runTier(table, tier1, nowNs) + runTier(table, tier2, nowNs)
   }
 
@@ -74,10 +74,16 @@ final class Compactor(
     *       (their inputs are still manifest-listed; compaction will redo);
     *     - raw WAL files (appender crashed between file write and
     *       manifest save) → ADOPT with footer-derived stats, preserving
-    *       at-least-once ingest;
+    *       at-least-once ingest — but only once the file is older than
+    *       `adoptAgeNs`: a LIVE appender whose manifest save failed
+    *       retains the rows in its buffer and re-flushes within seconds
+    *       (overwriting the same seq-numbered path), and adopting its
+    *       file in that window would commit the rows twice;
     *     - unreadable/empty files → delete.
     * Returns (droppedEntries, adoptedOrphans). */
-  def verifyTable(table: String): (Int, Int) =
+  def verifyTable(table: String,
+      nowNs: Long = System.currentTimeMillis() * TimeUtils.NsPerMs,
+      adoptAgeNs: Long = 600L * 1000000000L): (Int, Int) =
     Manifest.withTableLock(base, writerId, table) {
       import org.apache.spark.sql.functions.{count => fcount, lit, max => fmax, min => fmin}
       val mpath = Manifest.tableManifestPath(base, writerId, table)
@@ -105,7 +111,11 @@ final class Compactor(
       var adopted = 0
       orphans.foreach { p =>
         if (p.getFileName.toString.startsWith("c_")) Files.deleteIfExists(p)
-        else try {
+        else if (Files.getLastModifiedTime(p).toMillis * TimeUtils.NsPerMs >
+            nowNs - adoptAgeNs) {
+          // Too fresh: may be a live appender's pending retry — leave it
+          // for a later pass.
+        } else try {
           val row = spark.read.parquet(p.toString)
             .agg(fmin("timestamp"), fmax("timestamp"), fcount(lit(1))).head()
           if (row.isNullAt(0)) Files.deleteIfExists(p)

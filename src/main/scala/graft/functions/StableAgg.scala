@@ -31,7 +31,12 @@ object StableAgg {
     round(sum(c.cast(dec)), scale).cast("double")
 
   /** Order-independent average: exact decimal sum / non-null count, the
-    * division done once in double, then rounded. */
+    * division done once in double, then rounded. The trailing `+ 0`
+    * normalizes IEEE negative zero: Spark's double round (BigDecimal-
+    * based) always yields +0.0 while DuckDB's preserves -0.0, and a
+    * full-precision comparator distinguishes them (caught by the sf0.1
+    * spot-check on e3). `-0.0 + 0 == +0.0` on both engines; a no-op for
+    * every other value. The oracle spelling carries the same `+ 0`. */
   def davg(c: Column, scale: Int = 2, dec: String = "decimal(18,6)"): Column =
-    round(sum(c.cast(dec)).cast("double") / count(c), scale)
+    round(sum(c.cast(dec)).cast("double") / count(c), scale) + lit(0d)
 }

@@ -59,10 +59,12 @@ object DeclaredOps {
   private val DuckWordHash =
     "list_transform(string_split(text, ' '), w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS UBIGINT))"
 
+  // `+ 0` normalizes IEEE -0.0 (DuckDB's round preserves it, Spark's
+  // BigDecimal-based round does not — see StableAgg.davg).
   private val DuckCos =
     """round(list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) /
       |  (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
-      |   sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))), 4)""".stripMargin
+      |   sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))), 4) + 0""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" ->
@@ -146,7 +148,7 @@ object DeclaredOps {
     // truth for the sign-band LSH path; see embeddingNearDup's scaladoc).
     "d9_embedding_dedup" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |SELECT vec_a, vec_b, round(cos, 4) AS cos FROM (
+        |SELECT vec_a, vec_b, round(cos, 4) + 0 AS cos FROM (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
         |    (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
@@ -178,7 +180,7 @@ object DeclaredOps {
     "e3_label_centroids" ->
       """SELECT label, i - 1 AS pos,
         |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
-        |        / count(*), 4) AS m
+        |        / count(*), 4) + 0 AS m
         |FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
         |GROUP BY label, i ORDER BY label, pos""".stripMargin,
 
@@ -222,7 +224,7 @@ object DeclaredOps {
         |count(DISTINCT source) AS ndv_source,
         |sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
         |min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-        |round(CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / count(n_chars), 2)
+        |round(CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / count(n_chars), 2) + 0
         |  AS avg_chars FROM documents""".stripMargin,
 
     "t4_fingerprint" ->

@@ -46,26 +46,8 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.5,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    // The explicit repartition puts an Exchange directly above the shingle
-    // computation: every downstream consumer (both band-join sides, both
-    // verify-join sides) resolves to a ReusedExchange, so shingling and
-    // signatures run ONCE over the corpus instead of once per join side.
-    val withSh = docs.select(col("doc_id"), shingles(col("text")).as("s"))
-      .where(size(col("s")) > 0)
-      .repartition(col("doc_id"))
-
-    // Native Catalyst expression: one string hash per shingle + affine
-    // permutations in a tight loop (the transform/array_min lambda
-    // formulation evaluates interpreted per element — 100× slower).
-    val sig = withSh.withColumn("sig",
-      graft.functions.Expressions.minhashSig(col("s"), numHashes))
-
-    val banded = sig.select(col("doc_id"), posexplode(expr(
-      s"""transform(sequence(0, ${bands - 1}), b ->
-         |  xxhash64(${(0 until rowsPerBand).map(r => s"element_at(sig, b * $rowsPerBand + ${r + 1})").mkString(", ")}))"""
-        .stripMargin)).as(Seq("band", "key")))
-
+    val withSh = shingled(docs)
+    val banded = bandedSignatures(withSh, numHashes, bands)
     val cands = banded.as("x")
       .join(banded.as("y"), Seq("band", "key"))
       .where(col("x.doc_id") < col("y.doc_id"))
@@ -79,6 +61,34 @@ object Dedup {
       .where(col("jacc") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jacc"), 4).as("j"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Shingled (doc_id, s) corpus — stage 1 of the LSH pipeline. The
+    * explicit repartition puts an Exchange directly above the shingle
+    * computation: every downstream consumer (both band-join sides, both
+    * verify-join sides) resolves to a ReusedExchange, so shingling and
+    * signatures run ONCE over the corpus instead of once per join side. */
+  private[graft] def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingles(col("text")).as("s"))
+      .where(size(col("s")) > 0)
+      .repartition(col("doc_id"))
+
+  /** (doc_id, band, key) banded MinHash signatures — stages 2–3's input.
+    * Shared with graft.ScaleCheck so the bucket distribution it measures
+    * is the one minhashLsh executes (no drift when parameters change).
+    * The signature is a native Catalyst expression: one string hash per
+    * shingle + affine permutations in a tight loop (the
+    * transform/array_min lambda form evaluates interpreted per element —
+    * ~100× slower). */
+  private[graft] def bandedSignatures(withSh: DataFrame,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    withSh
+      .withColumn("sig", graft.functions.Expressions.minhashSig(col("s"), numHashes))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, ${bands - 1}), b ->
+           |  xxhash64(${(0 until rowsPerBand).map(r => s"element_at(sig, b * $rowsPerBand + ${r + 1})").mkString(", ")}))"""
+          .stripMargin)).as(Seq("band", "key")))
   }
 
   /** Connected components over the verified near-dup pairs — the step
@@ -118,7 +128,7 @@ object Dedup {
           least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab2"))
         .localCheckpoint(true)
       it += 1
-      if (it % 2 == 0 || it >= maxIter)
+      if (it % 2 == 0)
         changed = merged.where(col("lab2") =!= col("lab")).count()
       labels = merged.select(col("doc"), col("lab2").as("lab"))
     }
@@ -141,8 +151,10 @@ object Dedup {
       .select(col("doc_id"), lit(1).as("is_loser"))
     docs.select("doc_id")
       .join(broadcast(losers), Seq("doc_id"), "left")
+      // Outer coalesce: sum over an EMPTY corpus is null, and (0, 0) is
+      // the correct answer there, not (null, null).
       .agg(count(lit(1)).as("total"),
-        sum(coalesce(col("is_loser"), lit(0))).as("removed"))
+        coalesce(sum(coalesce(col("is_loser"), lit(0))), lit(0L)).as("removed"))
       .select((col("total") - col("removed")).as("survivors"), col("removed"))
   }
 

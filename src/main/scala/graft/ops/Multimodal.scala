@@ -124,7 +124,7 @@ object Multimodal {
       .select(col("media_id").as("query_id"), col("f").as("qf"))
     val scored = feats.crossJoin(broadcast(q))
       .where(col("media_id") =!= col("query_id"))
-      .withColumn("cos", round(graft.functions.Expressions.cosineSim(col("f"), col("qf")), 4))
+      .withColumn("cos", round(graft.functions.Expressions.cosineSim(col("f"), col("qf")), 4) + lit(0d))
     // Bounded top-k aggregate, not a window rank — the scored set never
     // shuffles whole (see TopKByScoreAgg).
     Similarity.rankTopK(scored, "media_id", k)

@@ -46,7 +46,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val scored = emb.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("embedding"), col("qv")), 4))
+      .withColumn("cos", round(cosine(col("embedding"), col("qv")), 4) + lit(0d))
     rankTopK(scored, "vec_id", k)
   }
 
@@ -111,7 +111,7 @@ object Similarity {
     cands.join(va, "vec_a").join(vb, "vec_b")
       .withColumn("cos", cosine(col("ea"), col("eb")))
       .where(col("cos") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+      .select(col("vec_a"), col("vec_b"), (round(col("cos"), 4) + lit(0d)).as("cos"))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -130,7 +130,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
     val scored = cells.join(broadcast(q), "cell")
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("embedding"), col("qv")), 4))
+      .withColumn("cos", round(cosine(col("embedding"), col("qv")), 4) + lit(0d))
     rankTopK(scored, "vec_id", k)
   }
 }

@@ -197,7 +197,7 @@ object Declared {
       "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%red%' ORDER BY p_partkey LIMIT 50",
     "q3_scalar_agg" ->
       """SELECT count(*) AS cnt,
-        |round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity), 2) AS avg_qty,
+        |round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity), 2) + 0 AS avg_qty,
         |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price,
         |min(l_shipdate) AS min_d, max(l_shipdate) AS max_d FROM lineitem""".stripMargin,
     "q4_group_by" ->

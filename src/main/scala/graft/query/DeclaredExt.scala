@@ -161,7 +161,7 @@ object DeclaredExt {
         |WHERE k > 80 ORDER BY event_id LIMIT 100""".stripMargin,
     "q18_having" ->
       """SELECT event_type, count(*) AS cnt,
-        |round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 2) AS avg_v
+        |round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 2) + 0 AS avg_v
         |FROM events GROUP BY event_type HAVING count(*) > 100
         |ORDER BY event_type""".stripMargin,
     "q19_rollup" ->

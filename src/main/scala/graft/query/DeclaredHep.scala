@@ -57,7 +57,7 @@ object DeclaredHep {
   def h4(spark: SparkSession, dir: String): DataFrame =
     service(spark).execute(
       """SELECT round(cast(sum(cast(used_percent AS decimal(18,6))) AS double)
-        |  / count(used_percent), 2) AS a, count() AS cnt FROM memory""".stripMargin)
+        |  / count(used_percent), 2) + 0 AS a, count() AS cnt FROM memory""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h1_hep_virtual_cols" -> (h1 _),
@@ -94,6 +94,6 @@ object DeclaredHep {
          |WHERE usage_idle > 50 AND $Win ORDER BY time LIMIT 10""".stripMargin,
     "h4_lp_agg" ->
       s"""SELECT round(CAST(sum(CAST(used_percent AS DECIMAL(18,6))) AS DOUBLE)
-         |  / count(used_percent), 2) AS a, count(*) AS cnt
+         |  / count(used_percent), 2) + 0 AS a, count(*) AS cnt
          |FROM read_parquet('$MemGlob') WHERE $Win""".stripMargin)
 }

@@ -155,9 +155,12 @@ final class QueryService(
     * plan, so the cap prunes work, not just transfer) and flag the
     * truncation in-band as a trailing `{"_truncated":true}` object. */
   def executeJson(sql: String, maxRows: Int = QueryService.DefaultMaxJsonRows): String = {
-    val rows = execute(sql).limit(maxRows + 1).toJSON.collect()
-    if (rows.length > maxRows)
-      (rows.take(maxRows) :+ """{"_truncated":true}""").mkString("[", ",", "]")
+    // Clamp so `cap + 1` can't overflow when the cap is configured to
+    // Int.MaxValue ("unlimited").
+    val cap = math.min(math.max(maxRows, 0), Int.MaxValue - 1)
+    val rows = execute(sql).limit(cap + 1).toJSON.collect()
+    if (rows.length > cap)
+      (rows.take(cap) :+ """{"_truncated":true}""").mkString("[", ",", "]")
     else rows.mkString("[", ",", "]")
   }
 
@@ -348,29 +351,37 @@ object QueryService {
   private[query] val DefaultMaxJsonRows: Int =
     sys.env.get("GRAFT_MAX_JSON_ROWS").flatMap(_.toIntOption).getOrElse(100000)
 
-  /** Base-relation references in direct scope of a SELECT: (alias-or-name,
-    * table) pairs in FROM-clause order. Descent stops at derived-table /
-    * set-op boundaries (Project/Aggregate/…): a star above those resolves
-    * against the derived output — which is already physical-only — so no
-    * expansion is needed or sound there. */
-  private def scopeRefs(n: LogicalPlan): Seq[(String, String)] = n match {
+  /** A relation reference in direct scope of a SELECT, FROM-clause order:
+    * either a base table (alias/name + table) or an opaque derived table
+    * (subquery boundary) with its alias if it has one. Opaque refs must
+    * be REPRESENTED, not skipped — an unqualified star over
+    * `base JOIN (subquery) x` covers both sides, and pretending the
+    * derived side isn't there would silently drop its columns. */
+  private sealed trait ScopeRef
+  private final case class BaseRef(qualifier: String, table: String) extends ScopeRef
+  private final case class OpaqueRef(alias: Option[String]) extends ScopeRef
+
+  private def scopeRefs(n: LogicalPlan): Seq[ScopeRef] = n match {
     case SubqueryAlias(id, r: UnresolvedRelation) =>
-      Seq(id.name -> r.multipartIdentifier.mkString("."))
+      Seq(BaseRef(id.name, r.multipartIdentifier.mkString(".")))
     case r: UnresolvedRelation =>
       val t = r.multipartIdentifier.mkString(".")
-      Seq(t -> t)
+      Seq(BaseRef(t, t))
+    case SubqueryAlias(id, _) => Seq(OpaqueRef(Some(id.name)))
     case _: Project | _: Aggregate | _: Union | _: Distinct | _: UnresolvedWith =>
-      Seq.empty
+      Seq(OpaqueRef(None))
     case other => other.children.flatMap(scopeRefs)
   }
 
   /** Expand `SELECT *` / `t.*` to physical columns (reference `*` is
     * physical-only, README.md:141–143 — the virtual columns must not leak
     * into star output). Covers single tables, joins (left-to-right
-    * FROM-clause column order, DuckDB-compatible), table aliases, and
-    * qualified `t.*`; stars whose scope isn't a known base table (CTE
-    * heads, derived tables) are left for the analyzer, which resolves
-    * them against already-physical derived output. */
+    * FROM-clause column order, DuckDB-compatible), table aliases,
+    * qualified `t.*`, and mixed base-and-derived joins (the base side
+    * expands to physical columns, the derived side to its own `x.*`,
+    * which resolves against the subquery's already-physical output). A
+    * star whose scope holds an unaliased derived table or an unknown
+    * base table (CTE head) is left for the analyzer. */
   def expandStars(plan: LogicalPlan,
       physicalCols: Map[String, Seq[String]]): LogicalPlan =
     transformWithCtes(plan) {
@@ -380,17 +391,23 @@ object QueryService {
           physicalCols(table).map { c =>
             UnresolvedAttribute(if (qualify) Seq(qualifier, c) else Seq(c))
           }
+        def expandable(r: ScopeRef): Boolean = r match {
+          case BaseRef(_, t) => physicalCols.contains(t)
+          case OpaqueRef(a) => a.isDefined
+        }
         val expanded = p.projectList.flatMap {
           case s: UnresolvedStar => s.target match {
-            case None if refs.nonEmpty && refs.forall(r => physicalCols.contains(r._2)) =>
-              // Unqualified star: every in-scope table, FROM order;
-              // qualify when more than one relation is in scope.
-              refs.flatMap { case (q, t) => attrs(q, t, refs.length > 1) }
-            case Some(Seq(q)) =>
-              refs.find(_._1.equalsIgnoreCase(q)) match {
-                case Some((_, t)) if physicalCols.contains(t) => attrs(q, t, qualify = true)
-                case _ => Seq(s) // alias of a derived table / CTE: analyzer's job
+            case None if refs.nonEmpty && refs.forall(expandable) =>
+              refs.flatMap {
+                case BaseRef(q, t) => attrs(q, t, qualify = refs.length > 1)
+                case OpaqueRef(Some(a)) => Seq(UnresolvedStar(Some(Seq(a))))
+                case OpaqueRef(None) => Seq.empty // unreachable (expandable)
               }
+            case Some(Seq(q)) =>
+              refs.collectFirst {
+                case BaseRef(qual, t) if qual.equalsIgnoreCase(q) &&
+                  physicalCols.contains(t) => attrs(q, t, qualify = true)
+              }.getOrElse(Seq(s)) // derived/CTE alias: analyzer's job
             case _ => Seq(s)
           }
           case other => Seq(other)

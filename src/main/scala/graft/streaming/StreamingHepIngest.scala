@@ -37,6 +37,29 @@ final class HepSpool(dir: Path, rollBytes: Long = 1L << 20) {
       m + 1
     } finally s.close()
   }
+  // Recover the active segment of a crashed predecessor: its .tmp holds
+  // frames that were already durable, so PUBLISH it rather than letting
+  // the next append reopen (and truncate) the same temp name. A torn
+  // trailing frame from a mid-write crash is skipped by the reader's
+  // framer resync; complete frames survive.
+  locally {
+    val s = Files.list(dir)
+    val tmps = try {
+      val b = List.newBuilder[Path]
+      val it = s.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.startsWith(".seg") && n.endsWith(".tmp")) b += p
+      }
+      b.result()
+    } finally s.close()
+    tmps.sortBy(_.getFileName.toString).foreach { p =>
+      Files.move(p, dir.resolve(f"$seq%012d.hepspool"),
+        StandardCopyOption.ATOMIC_MOVE)
+      seq += 1
+    }
+  }
   private var tmp: Path = _
   private var out: BufferedOutputStream = _
   private var written = 0L
@@ -82,7 +105,43 @@ final class StreamingHepIngest(
     spoolDir: String,
     checkpointDir: String,
     appender: BufferedAppender,
-    triggerMs: Long = 10000) {
+    triggerMs: Long = 10000,
+    maxFilesPerTrigger: Int = 64) {
+
+  /** Start under a supervisor that restarts the query after a batch
+    * failure. A foreachBatch exception TERMINATES a StreamingQuery; with
+    * nobody watching, one transient flush error would halt ingestion
+    * forever while the listeners keep spooling (unbounded disk). The
+    * checkpoint makes restart safe: the failed batch replays
+    * (at-least-once). Returns a handle whose close() stops both the
+    * query and the supervisor. */
+  def startSupervised(retryDelayMs: Long = 5000): AutoCloseable = {
+    @volatile var closed = false
+    @volatile var query = start()
+    val t = new Thread(() => {
+      while (!closed) {
+        try query.awaitTermination()
+        catch { case e: Throwable =>
+          System.err.println(s"[hep-stream] terminated: ${e.getMessage}")
+        }
+        if (!closed) {
+          Thread.sleep(retryDelayMs)
+          if (!closed) {
+            try query = start()
+            catch { case e: Throwable =>
+              System.err.println(s"[hep-stream] restart failed: ${e.getMessage}")
+            }
+          }
+        }
+      }
+    }, "graft-hep-stream-supervisor")
+    t.setDaemon(true)
+    t.start()
+    () => {
+      closed = true
+      try query.stop() catch { case _: Throwable => }
+    }
+  }
 
   def start(): StreamingQuery =
     spark.readStream
@@ -99,6 +158,10 @@ final class StreamingHepIngest(
         org.apache.spark.sql.types.StructField("content",
           org.apache.spark.sql.types.BinaryType))))
       .option("pathGlobFilter", "*.hepspool")
+      // Bound the batch: after downtime the whole backlog would otherwise
+      // land in ONE batch whose decoded packets all collect() to the
+      // driver at once.
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .load(spoolDir)
       .select("path", "content")
       .writeStream

@@ -245,8 +245,14 @@ class RegressionSpec extends GraftSuite {
     Manifest.save(mpath,
       m.copy(files = m.files.filterNot(_.id == dropped.id) :+ stale).recomputed)
 
-    val (droppedN, adoptedN) = new Compactor(spark, base).verifyTable("hl")
-    assert(droppedN == 1, "stale entry must be dropped")
+    // A FRESH orphan must not be adopted (it may be a live appender's
+    // pending retry — adopting inside that window double-commits rows)...
+    val compactor = new Compactor(spark, base)
+    val (d0, a0) = compactor.verifyTable("hl")
+    assert(d0 == 1 && a0 == 0, "fresh orphan must wait out the adoption age gate")
+    // ...but once aged past the gate it is adopted ("now" advanced 1 h).
+    val laterNs = System.currentTimeMillis() * TimeUtils.NsPerMs + 3600L * 1000000000L
+    val (_, adoptedN) = compactor.verifyTable("hl", nowNs = laterNs)
     assert(adoptedN == 1, "orphan raw file must be adopted")
     assert(!Files.exists(cOrphan), "uncommitted compacted output must be deleted")
     val healed = Manifest.loadTable(mpath).get

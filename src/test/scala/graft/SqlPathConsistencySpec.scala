@@ -81,6 +81,16 @@ class SqlPathConsistencySpec extends GraftSuite {
         |UNION ALL SELECT * FROM events WHERE ts >= TIMESTAMP '2999-01-01 00:00:00'""".stripMargin)
     assert(u.columns.toSeq == eventsCols)
 
+    // Mixed base + derived join: base side expands to physical columns,
+    // derived side keeps ALL its columns (regression: the derived side's
+    // columns were silently dropped when the base side expanded alone).
+    val bd = qs.execute(
+      """SELECT * FROM events e JOIN (SELECT c_custkey AS k, c_name FROM customer) x
+        |ON e.user_id = x.k
+        |WHERE e.ts >= TIMESTAMP '2000-01-01 00:00:00'
+        |ORDER BY e.event_id LIMIT 3""".stripMargin)
+    assert(bd.columns.toSeq == eventsCols ++ Seq("k", "c_name"))
+
     // Derived-table star still resolves (inner output is physical-only).
     val d = qs.execute(
       """SELECT * FROM (SELECT event_id, event_type FROM events

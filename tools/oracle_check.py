@@ -31,10 +31,13 @@ def canon(v):
 
 def array_cols(rows):
     """Indices of columns holding list/array values — the driver's
-    pandas-based comparator cannot hash these (round-2 e3 lesson)."""
-    for r in rows[:5]:
-        return [i for i, v in enumerate(r) if isinstance(v, (list, tuple))]
-    return []
+    pandas-based comparator cannot hash these (round-2 e3 lesson).
+    Scans many rows, not just the first: a leading NULL in an array
+    column must not hide it."""
+    bad = set()
+    for r in rows[:50]:
+        bad |= {i for i, v in enumerate(r) if isinstance(v, (list, tuple))}
+    return sorted(bad)
 
 def table_hash(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
