@@ -60,6 +60,12 @@ object PlanAudit {
       "band self-join reuses the shingle exchange" ->
         (_.contains("ReusedExchange")))
 
+    audit("d9_embedding_dedup", qs("d9_embedding_dedup")(spark, sfDir),
+      "no cartesian product (pairs form only inside sign-band buckets)" ->
+        (p => !p.contains("CartesianProduct")),
+      "band self-join reuses the signature exchange" ->
+        (_.contains("ReusedExchange")))
+
     audit("e1_cosine_topk", qs("e1_cosine_topk")(spark, sfDir),
       "query side broadcast (corpus scanned once, no N-way shuffle)" ->
         (p => p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange")),
