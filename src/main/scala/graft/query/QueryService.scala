@@ -43,7 +43,8 @@ final class QueryService(
     spark: SparkSession,
     tables: TableProvider,
     nowNs: () => Long = () => System.currentTimeMillis() * TimeUtils.NsPerMs,
-    defaultRangeNs: Long = 600L * 1000000000L) { // last 10 min (query.js:9)
+    defaultRangeNs: Long = 600L * 1000000000L, // last 10 min (query.js:9)
+    maxJsonRows: Int = QueryService.DefaultMaxJsonRows) {
 
   import QueryService._
 
@@ -154,7 +155,7 @@ final class QueryService(
     * server. We collect at most `maxRows` rows (LIMIT pushed into the
     * plan, so the cap prunes work, not just transfer) and flag the
     * truncation in-band as a trailing `{"_truncated":true}` object. */
-  def executeJson(sql: String, maxRows: Int = QueryService.DefaultMaxJsonRows): String = {
+  def executeJson(sql: String, maxRows: Int = maxJsonRows): String = {
     // Clamp so `cap + 1` can't overflow when the cap is configured to
     // Int.MaxValue ("unlimited").
     val cap = math.min(math.max(maxRows, 0), Int.MaxValue - 1)

@@ -70,6 +70,27 @@ class LoopbackSpec extends GraftSuite {
     } finally api.stop()
   }
 
+  test("HTTP /query materialization is bounded: row cap + in-band truncation flag") {
+    val base = Files.createTempDirectory("graft-cap")
+    val appender = new BufferedAppender(spark, base, bufferSize = 1000)
+    // A service configured with a tiny cap — the production default is
+    // 100k (GRAFT_MAX_JSON_ROWS); the flag shape is what's under test.
+    val qs = new QueryService(spark, new Storage(base), maxJsonRows = 5)
+    val api = new HttpApi(qs, appender, port = 0).start()
+    try {
+      val url = s"http://localhost:${api.boundPort}"
+      val t0 = System.currentTimeMillis() - 60000
+      val lines = (0 until 20).map(i => s"capm v=$i.0 ${(t0 + i * 1000) * 1000000}")
+      assert(post(s"$url/write", lines.mkString("\n"))._1 == 201)
+      appender.flushAll()
+      val (code, body) = get(s"$url/query?q=" + java.net.URLEncoder.encode(
+        "SELECT v FROM capm WHERE time >= '2000-01-01' ORDER BY v", "UTF-8"))
+      assert(code == 200, body)
+      assert(body.endsWith("""{"_truncated":true}]"""), body)
+      assert(body.split("\\},\\{").length == 6, s"5 rows + flag: $body")
+    } finally api.stop()
+  }
+
   test("UDP HEP ingest: datagram -> decode -> buffer -> flush -> query") {
     val base = Files.createTempDirectory("graft-udp")
     val appender = new BufferedAppender(spark, base, bufferSize = 1000)
