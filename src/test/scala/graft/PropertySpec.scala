@@ -116,6 +116,42 @@ class PropertySpec extends GraftSuite {
     }, n = 15)
   }
 
+  test("property: TopKByScoreAgg equals global sort-take-k under any partitioning/merge order") {
+    val agg = new graft.functions.TopKByScoreAgg(5)
+    val genItems = Gen.listOf(for {
+      s <- Gen.oneOf(Gen.choose(-1.0, 1.0), Gen.oneOf(0.0, 0.5, -0.5)) // force score ties
+      id <- Gen.choose(0L, 30L)
+    } yield (s, id))
+    val genSeed = Gen.choose(0L, Long.MaxValue)
+    check(Prop.forAll(genItems, Gen.choose(1, 6), genSeed) { (items, nParts, seed) =>
+      val rnd = new scala.util.Random(seed)
+      // Arbitrary partitioning + arbitrary reduce/merge order.
+      val parts = items.groupBy(_ => rnd.nextInt(nParts)).values.toList
+      val partials = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(partials).foldLeft(agg.zero)(agg.merge)
+      val truth = items.sortBy { case (s, id) => (-s, id) }.take(5)
+      agg.finish(merged) == truth || {
+        println(s"got ${agg.finish(merged)} want $truth items $items"); false
+      }
+    })
+  }
+
+  test("property: StableAgg decimal sum is invariant under permutation and grouping") {
+    import org.apache.spark.sql.functions._
+    val genVals = Gen.nonEmptyListOf(Gen.choose(-1000.0, 1000.0))
+    check(Prop.forAll(genVals, Gen.choose(0L, Long.MaxValue)) { (vals, seed) =>
+      import spark.implicits._
+      val rnd = new scala.util.Random(seed)
+      def total(order: Seq[Double], parts: Int): Double =
+        order.toDF("v").repartition(parts)
+          .agg(graft.functions.StableAgg.dsum(col("v")).as("s"))
+          .head().getDouble(0)
+      val a = total(vals, 1)
+      val b = total(rnd.shuffle(vals), 1 + rnd.nextInt(7))
+      a == b // bit-identical, not approximately equal
+    }, n = 20)
+  }
+
   test("property: Dialect.normalize is idempotent and quote-preserving") {
     val genSql = Gen.listOf(Gen.oneOf(
       "SELECT", "count()", "count ( )", "'count()'", "FROM t", "'it''s'", "x"))
