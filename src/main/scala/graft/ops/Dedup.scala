@@ -165,13 +165,33 @@ object Dedup {
     * Scale: (source, shingle) pairs are deduplicated then self-joined ON
     * THE SHINGLE — a key-partitioned equi-join whose width is the number
     * of co-occurring shingles, never |sources|² × docs. Counts and the
-    * intersection aggregate map-side. */
-  def sourceOverlap(docs: DataFrame): DataFrame = {
+    * intersection aggregate map-side.
+    *
+    * `maxSourcesPerShingle` is the 100 TB knob: a shingle present in s
+    * sources contributes s² join rows, so boilerplate shingles shared by
+    * thousands of sources dominate the join ("stop-shingle" skew). The
+    * standard mitigation drops shingles above a document-frequency cap —
+    * they carry ~zero overlap signal — turning the worst key from
+    * |sources|² into cap². Default Int.MaxValue = exact semantics (what
+    * the declared oracle checks). */
+  def sourceOverlap(docs: DataFrame,
+      maxSourcesPerShingle: Int = Int.MaxValue): DataFrame = {
     // Repartition on the join key so both self-join sides and the count
     // aggregate resolve to ReusedExchange over ONE shingling pass.
-    val e = docs.select(col("source"), explode(shingles(col("text"))).as("g"))
+    val e0 = docs.select(col("source"), explode(shingles(col("text"))).as("g"))
       .distinct()
       .repartition(col("g"))
+    val e =
+      if (maxSourcesPerShingle == Int.MaxValue) e0
+      else {
+        // Anti-join against the hot-shingle set; counts below use the
+        // FILTERED frame so Jaccard denominators stay consistent with
+        // the intersection the join can still see.
+        val hot = e0.groupBy("g").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxSourcesPerShingle)
+          .select("g")
+        e0.join(hot, Seq("g"), "left_anti").repartition(col("g"))
+      }
     val counts = e.groupBy("source").agg(count(lit(1)).as("n"))
     val eA = e.select(col("source").as("src_a"), col("g"))
     val eB = e.select(col("source").as("src_b"), col("g"))

@@ -108,40 +108,9 @@ final class StreamingHepIngest(
     triggerMs: Long = 10000,
     maxFilesPerTrigger: Int = 64) {
 
-  /** Start under a supervisor that restarts the query after a batch
-    * failure. A foreachBatch exception TERMINATES a StreamingQuery; with
-    * nobody watching, one transient flush error would halt ingestion
-    * forever while the listeners keep spooling (unbounded disk). The
-    * checkpoint makes restart safe: the failed batch replays
-    * (at-least-once). Returns a handle whose close() stops both the
-    * query and the supervisor. */
-  def startSupervised(retryDelayMs: Long = 5000): AutoCloseable = {
-    @volatile var closed = false
-    @volatile var query = start()
-    val t = new Thread(() => {
-      while (!closed) {
-        try query.awaitTermination()
-        catch { case e: Throwable =>
-          System.err.println(s"[hep-stream] terminated: ${e.getMessage}")
-        }
-        if (!closed) {
-          Thread.sleep(retryDelayMs)
-          if (!closed) {
-            try query = start()
-            catch { case e: Throwable =>
-              System.err.println(s"[hep-stream] restart failed: ${e.getMessage}")
-            }
-          }
-        }
-      }
-    }, "graft-hep-stream-supervisor")
-    t.setDaemon(true)
-    t.start()
-    () => {
-      closed = true
-      try query.stop() catch { case _: Throwable => }
-    }
-  }
+  /** start() under restart supervision (see Supervised). */
+  def startSupervised(retryDelayMs: Long = 5000): AutoCloseable =
+    Supervised("hep-stream", () => start(), retryDelayMs)
 
   def start(): StreamingQuery =
     spark.readStream

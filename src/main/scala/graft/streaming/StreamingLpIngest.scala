@@ -23,6 +23,10 @@ final class StreamingLpIngest(
     appender: BufferedAppender,
     triggerMs: Long = 10000) {
 
+  /** start() under restart supervision (see Supervised). */
+  def startSupervised(retryDelayMs: Long = 5000): AutoCloseable =
+    Supervised("lp-stream", () => start(), retryDelayMs)
+
   def start(): StreamingQuery =
     spark.readStream
       .format("text")

@@ -129,6 +129,20 @@ class OpsSpec extends GraftSuite {
     assert(checked > 0, "estimate and exact must cover common pairs")
   }
 
+  test("source overlap: a generous stop-shingle cap is a no-op; a tight one prunes hot keys") {
+    val exact = Dedup.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    // Cap above the number of sources: no shingle can exceed it, so
+    // results are bit-identical to the exact run.
+    val capped = Dedup.sourceOverlap(docs, maxSourcesPerShingle = 10000).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(capped.toSeq == exact.toSeq)
+    // A tight cap removes the most widely shared shingles; Jaccard is
+    // recomputed over the pruned universe and stays in [0, 1].
+    val tight = Dedup.sourceOverlap(docs, maxSourcesPerShingle = 2).collect()
+    tight.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+  }
+
   test("hll profile approximates exact NDV within the declared error") {
     val approx = TextAnalysis.hllProfile(docs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
