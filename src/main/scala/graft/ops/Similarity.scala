@@ -115,20 +115,32 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** IVF-bucketed ANN: search only the query's own cell.
+  /** IVF-bucketed ANN: search the query's own cell, plus every cell
+    * within `hammingProbes` sign-bit flips (multiprobe — the standard
+    * recall knob; 0 = single-cell, the declared-query setting).
     *
-    * Scale: corpus is (re)partitioned by cell once — each query probes one
-    * cell (an equi-join on the cell id), so compute is |cell| per query
-    * instead of N. Recall is bounded by the quantizer (documented trade;
-    * cells would be k-means centroids in a full IVF, sign-quantization
-    * keeps it deterministic and dependency-free).
+    * Scale: corpus is (re)partitioned by cell once — each query probes
+    * 1 + Σ C(bits, i) cells via an equi-join on the cell id, so compute
+    * is probes × |cell| per query instead of N. Recall is bounded by the
+    * quantizer (documented trade; cells would be k-means centroids in a
+    * full IVF, sign-quantization keeps it deterministic and
+    * dependency-free); raising `hammingProbes` trades compute for recall
+    * without losing determinism.
     */
-  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int = 5, bits: Int = 4): DataFrame = {
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int = 5, bits: Int = 4,
+      hammingProbes: Int = 0): DataFrame = {
     val cells = emb.select(col("vec_id"), col("embedding"),
       signBucket(col("embedding"), bits).as("cell"))
     val q = cells.where(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
-    val scored = cells.join(broadcast(q), "cell")
+    // Expand each query to its probe cells (exact-cover XOR masks up to
+    // the Hamming budget); the probe column replaces the join key. The
+    // query side stays tiny (queries × probes) and broadcast.
+    val masks = (0 until (1 << bits))
+      .filter(m => Integer.bitCount(m) <= hammingProbes)
+    val qProbes = q.withColumn("cell",
+      explode(array(masks.map(m => col("cell").bitwiseXOR(lit(m))): _*)))
+    val scored = cells.join(broadcast(qProbes), "cell")
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("embedding"), col("qv")), 4) + lit(0d))
     rankTopK(scored, "vec_id", k)

@@ -143,6 +143,24 @@ class OpsSpec extends GraftSuite {
     tight.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
   }
 
+  test("IVF multiprobe: recall grows with the Hamming budget, full probe equals brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pred = col("vec_id") < 3
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(graft.ops.Similarity.ivfTopK(emb, pred, k = 5))
+    val probe1 = pairs(graft.ops.Similarity.ivfTopK(emb, pred, k = 5, hammingProbes = 1))
+    val full = pairs(graft.ops.Similarity.ivfTopK(emb, pred, k = 5, hammingProbes = 4))
+    val brute = pairs(graft.ops.Similarity.cosineTopK(emb, pred, k = 5))
+    // Each rank on candidate supersets: scores are identical, so any pair
+    // found at a smaller budget that survives top-k at the larger budget
+    // is ranked identically; the FULL probe set covers all 16 cells and
+    // must equal brute force exactly.
+    assert(full == brute, s"full-probe IVF must equal brute force")
+    assert(probe1.intersect(brute).size >= single.intersect(brute).size,
+      "wider probing must not lose recall")
+  }
+
   test("hll profile approximates exact NDV within the declared error") {
     val approx = TextAnalysis.hllProfile(docs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
