@@ -47,4 +47,60 @@ class StreamingWindowSpec extends GraftSuite {
       assert(byHour("2024-01-01 11:00:00.0") == ((2L, 30.0)))
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState sessionization matches the batch gaps-and-islands operator") {
+    import spark.implicits._
+    import graft.streaming.StreamingSessionize
+    import graft.streaming.StreamingSessionize.SessEvent
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val input = MemoryStream[SessEvent]
+    val q = StreamingSessionize.sessions(input.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // User 1: two sessions (10:00-10:20, then a 40-min gap to 11:00).
+      // User 2: one session.
+      input.addData(
+        SessEvent(1, ts(10, 0), 1.0), SessEvent(1, ts(10, 20), 2.0),
+        SessEvent(1, ts(11, 0), 4.0), SessEvent(2, ts(10, 5), 7.0))
+      q.processAllAvailable()
+      // Advance the watermark far past every open session's close point:
+      // the idle sessions flush via the event-time TIMEOUT, no per-user
+      // event required.
+      input.addData(SessEvent(99, ts(15, 0), 0.0))
+      q.processAllAvailable()
+      input.addData(SessEvent(99, ts(16, 0), 0.0))
+      q.processAllAvailable()
+
+      val got = spark.table("sess")
+        .select("user_id", "start_ms", "n", "sv").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val expect = Set(
+        (1L, ts(10, 0).getTime, 2L, 3.0),  // 10:00 + 10:20 — same session
+        (1L, ts(11, 0).getTime, 1L, 4.0),  // 40-min gap -> new session
+        (2L, ts(10, 5).getTime, 1L, 7.0))
+      assert(expect.subsetOf(got), s"got $got")
+
+      // Cross-check: the batch q20 gaps-and-islands on the same events
+      // yields the same (user, n, sv) sessions.
+      val batch = Seq(
+        (1L, ts(10, 0), 1.0), (1L, ts(10, 20), 2.0), (1L, ts(11, 0), 4.0),
+        (2L, ts(10, 5), 7.0)).toDF("user_id", "ts", "value")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val sessions = batch
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_s", when(col("prev").isNull ||
+          col("ts").cast("long") - col("prev").cast("long") > 1800, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+      assert(sessions == expect.map(e => (e._1, e._3, e._4)),
+        s"batch formulation disagrees: $sessions")
+    } finally q.stop()
+  }
 }
