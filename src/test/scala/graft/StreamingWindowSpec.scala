@@ -48,6 +48,26 @@ class StreamingWindowSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("batch q20 gaps-and-islands agrees with Spark's native session_window") {
+    val events = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val native = events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select("user_id", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val ours = query.DeclaredExt.q20(spark, "/root/testdata/sf0.001")
+      .select("user_id", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // q20 LIMITs to 200 sessions; every session it emits must appear in
+    // the native operator's output with the same multiplicity.
+    ours.foreach { case (k, cnt) =>
+      assert(native.getOrElse(k, 0) >= cnt, s"session $k missing from session_window")
+    }
+    assert(ours.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch gaps-and-islands operator") {
     import spark.implicits._
     import graft.streaming.StreamingSessionize
