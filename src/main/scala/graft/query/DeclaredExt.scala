@@ -118,7 +118,45 @@ object DeclaredExt {
       col("l_quantity"))
       .orderBy("k")
 
+  /** Q23 — set ops: EXCEPT (Spark's `except` = EXCEPT DISTINCT, same as
+    * SQL). Completes the §2.5 set-op family next to q16's INTERSECT. */
+  def q23(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .where(col("o_totalprice") > 200000).select(col("o_custkey").as("k"))
+      .except(
+        Tables.load(spark, dir, "customer")
+          .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k")))
+      .orderBy("k")
+      .limit(50)
+
+  /** Q24 — LEFT OUTER join + null-skipping aggregate: customers keep
+    * their group even with zero matching orders; count(o_orderkey)
+    * counts only real matches. */
+  def q24(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer").as("c")
+      .join(Tables.load(spark, dir, "orders").where(col("o_totalprice") > 400000).as("o"),
+        col("c.c_custkey") === col("o.o_custkey"), "left")
+      .groupBy(col("c.c_mktsegment").as("seg"))
+      .agg(count(col("o.o_orderkey")).as("big_orders"), count(lit(1)).as("rows"))
+      .orderBy("seg")
+
+  /** Q25 — SEMI and ANTI joins as physical operators (the dedup-apply
+    * primitives, §2.3), one count each. */
+  def q25(spark: SparkSession, dir: String): DataFrame = {
+    val hi = Tables.load(spark, dir, "orders").where(col("o_totalprice") > 300000)
+    val cust = Tables.load(spark, dir, "customer")
+    val cond = cust("c_custkey") === hi("o_custkey")
+    cust.join(hi, cond, "left_semi").agg(count(lit(1)).as("n"))
+      .select(lit("semi").as("kind"), col("n"))
+      .union(cust.join(hi, cond, "left_anti").agg(count(lit(1)).as("n"))
+        .select(lit("anti").as("kind"), col("n")))
+      .orderBy("kind")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_except"         -> (q23 _),
+    "q24_outer_join"     -> (q24 _),
+    "q25_semi_anti"      -> (q25 _),
     "q21_tumbling_window" -> (q21 _),
     "q22_salted_agg"      -> (q22 _),
     "q14_join_broadcast" -> (q14 _),
@@ -130,6 +168,23 @@ object DeclaredExt {
     "q20_sessionize"     -> (q20 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q23_except" ->
+      """SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000
+        |EXCEPT
+        |SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY k LIMIT 50""".stripMargin,
+    "q24_outer_join" ->
+      """SELECT c.c_mktsegment AS seg, count(o.o_orderkey) AS big_orders, count(*) AS rows
+        |FROM customer c LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        |ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_mktsegment ORDER BY seg""".stripMargin,
+    "q25_semi_anti" ->
+      """SELECT 'semi' AS kind, count(*) AS n FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |UNION ALL
+        |SELECT 'anti', count(*) FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |ORDER BY kind""".stripMargin,
     "q21_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS ws, count(*) AS cnt,
         |CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv
