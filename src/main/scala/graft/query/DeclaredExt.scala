@@ -153,7 +153,37 @@ object DeclaredExt {
       .orderBy("kind")
   }
 
+  /** Q26 — exact median per group: Spark's `percentile` (exact,
+    * sort-based — order-independent by construction) vs DuckDB's
+    * `quantile_cont`; both use linear interpolation on the same sorted
+    * doubles, so the arithmetic is IEEE-identical. */
+  def q26(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg((round(expr("percentile(value, 0.5D)"), 4) + lit(0d)).as("med"))
+      .orderBy("event_type")
+
+  /** Q27 — variance/stddev spelled from EXACT integer sums (n, Σx, Σx²)
+    * so the hashed value is order-independent: the built-in stddev's
+    * streaming update order varies with partitioning, but identical
+    * exact sums pushed through one identical double formula cannot
+    * diverge across engines or parallelism. */
+  def q27(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n"),
+        ((sum(col("n_chars").cast("long") * col("n_chars").cast("long")).cast("double")
+          - sum(col("n_chars").cast("long")).cast("double")
+            * sum(col("n_chars").cast("long")).cast("double") / count(lit(1)))
+          / (count(lit(1)) - 1))
+          .as("var0"))
+      .select(col("lang"), col("n"), (round(col("var0"), 2) + lit(0d)).as("variance"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_median"         -> (q26 _),
+    "q27_variance"       -> (q27 _),
     "q23_except"         -> (q23 _),
     "q24_outer_join"     -> (q24 _),
     "q25_semi_anti"      -> (q25 _),
@@ -168,6 +198,16 @@ object DeclaredExt {
     "q20_sessionize"     -> (q20 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q26_median" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) + 0 AS med
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q27_variance" ->
+      """SELECT lang, count(*) AS n,
+        |round((CAST(sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS DOUBLE)
+        |  - CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE)
+        |    * CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) / count(*))
+        |  / (count(*) - 1), 2) + 0 AS variance
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q23_except" ->
       """SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000
         |EXCEPT
