@@ -73,6 +73,26 @@ object PlanAudit {
       "top-k is a bounded partial aggregate, scored set never shuffles whole" ->
         (p => p.contains("ObjectHashAggregate") && !p.contains("Window")))
 
+    audit("e4_quantized_topk", qs("e4_quantized_topk")(spark, sfDir),
+      "query side broadcast (corpus scanned once)" ->
+        (p => p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange")),
+      "top-k is a bounded partial aggregate, scored set never shuffles whole" ->
+        (p => p.contains("ObjectHashAggregate") && !p.contains("Window")))
+
+    audit("t7_vocab_topk", qs("t7_vocab_topk")(spark, sfDir),
+      "vocab count is map-side partial before the shuffle" ->
+        (p => p.linesIterator.count(_.contains("HashAggregate")) >= 2),
+      "top-k collapses to TakeOrderedAndProject" ->
+        (_.contains("TakeOrderedAndProject")),
+      "scan reads only the text column" ->
+        (p => !p.contains("n_chars") && !p.contains("source")))
+
+    audit("s1_hash_split", qs("s1_hash_split")(spark, sfDir),
+      "assignment is map-only: one hash exchange (the tiny group-by)" ->
+        (p => p.linesIterator.count(_.contains("hashpartitioning(")) == 1),
+      "scan reads only doc_id and lang" ->
+        (p => !p.contains("n_chars") && !p.contains("text")))
+
     audit("q4_group_by", qs("q4_group_by")(spark, sfDir),
       "partial aggregation before shuffle" ->
         (p => p.linesIterator.count(_.contains("HashAggregate")) >= 2),
@@ -81,7 +101,7 @@ object PlanAudit {
 
     audit("q20_sessionize", qs("q20_sessionize")(spark, sfDir),
       "single shuffle by user_id feeds both window and lag" ->
-        (p => p.linesIterator.count(l => l.contains("Exchange hashpartitioning(user_id")) <= 1))
+        (p => p.linesIterator.count(l => l.contains("hashpartitioning(user_id")) == 1))
 
     println(s"\nplan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()

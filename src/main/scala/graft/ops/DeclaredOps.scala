@@ -41,7 +41,12 @@ object DeclaredOps {
     "t3_token_stats"   -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "t4_fingerprint"   -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
     "t5_profile"       -> ((s, dir) => TextAnalysis.profile(docs(s, dir))),
-    "t6_hll_profile"   -> ((s, dir) => TextAnalysis.hllProfile(docs(s, dir))))
+    "t6_hll_profile"   -> ((s, dir) => TextAnalysis.hllProfile(docs(s, dir))),
+    "t7_vocab_topk"    -> ((s, dir) => TextAnalysis.vocabTopK(docs(s, dir))),
+    "t8_gopher_rules"  -> ((s, dir) => TextAnalysis.gopherRules(docs(s, dir))),
+    "t9_denylist_scrub" -> ((s, dir) => TextAnalysis.denylistScrub(docs(s, dir))),
+    "s1_hash_split"    -> ((s, dir) => Sampling.hashSplit(docs(s, dir))),
+    "e4_quantized_topk" -> ((s, dir) => Similarity.quantizedTopK(emb(s, dir), col("vec_id") < 5)))
 
   // ---- DuckDB oracle SQL ----
 
@@ -226,6 +231,54 @@ object DeclaredOps {
         |min(n_chars) AS min_chars, max(n_chars) AS max_chars,
         |round(CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / count(n_chars), 2) + 0
         |  AS avg_chars FROM documents""".stripMargin,
+
+    "t7_vocab_topk" ->
+      """SELECT token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "t8_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, w, CASE WHEN len(w) < 2 THEN []
+        |  ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END AS bg FROM t),
+        |f AS (SELECT doc_id, len(w) AS n,
+        |  1 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_frac,
+        |  CASE WHEN len(bg) = 0 THEN 0.0
+        |    ELSE CAST(list_max(list_transform(list_distinct(bg),
+        |      x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg) END AS top_bg
+        |FROM b)
+        |SELECT doc_id, round(dup_frac, 4) AS dup_word_frac,
+        |  round(top_bg, 4) AS top_bigram_frac,
+        |  CASE WHEN n >= 5 AND dup_frac <= 0.6 AND top_bg <= 0.2 THEN 1 ELSE 0 END AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "t9_denylist_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '(customer|vector|window)')) AS n_hits,
+        |  regexp_replace(text, '(customer|vector|window)', '<TERM>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "s1_hash_split" ->
+      """SELECT lang, CASE
+        |  WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS UBIGINT) % 1000 < 800 THEN 'train'
+        |  WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS UBIGINT) % 1000 < 900 THEN 'val'
+        |  ELSE 'test' END AS split, count(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    "e4_quantized_topk" ->
+      """WITH c AS (SELECT vec_id,
+        |  list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> greatest(-127, least(127, CAST(round(x * 127) AS INT)))) AS v8
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v8 AS q8 FROM c WHERE vec_id < 5)
+        |SELECT query_id, neighbor_id, dot FROM (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> c.v8[i] * q.q8[i])) AS BIGINT) AS dot,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_sum(list_transform(range(1, 65), i -> c.v8[i] * q.q8[i])) DESC,
+        |               c.vec_id) AS rn
+        |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+        |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
 
     "t4_fingerprint" ->
       s"""SELECT doc_id, CAST(list_reduce(

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Both operators key on a cryptographic hash of a stable id, not on
+  * `rand()`: the assignment is a pure per-row function, so it is
+  * reproducible across runs, engines, partitionings, and retries (a
+  * re-executed task must land every row in the same split), and it
+  * requires no shuffle, no seed plumbing, and no stored assignment table.
+  * This is the standard shape for train/val/test splits at corpus scale.
+  */
+object Sampling {
+
+  /** 0..65535 bucket from the first 4 hex chars of md5(id) — uniform,
+    * deterministic, and portable (the oracle derives the same integer). */
+  def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int")
+
+  /** Train/val/test assignment at 80/10/10 by hash bucket mod 1000. */
+  def splitOf(id: Column): Column = {
+    val b = hashBucket(id) % 1000
+    when(b < 800, "train")
+      .when(b < 900, "val")
+      .otherwise("test")
+  }
+
+  /** Declared query: per-(lang, split) counts — the stratification check
+    * a split must pass before training. Map-only assignment + one
+    * map-side-combined aggregate on a tiny (lang × 3) key space. */
+  def hashSplit(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), splitOf(col("doc_id")).as("split"))
+      .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "split")
+
+  /** Deterministic Bernoulli sample at `permille`/1000 by id hash — the
+    * "give me a reproducible 1% to eyeball" primitive. A pure filter:
+    * pushes down, costs no shuffle, and the same rows appear every run. */
+  def bernoulliSample(docs: DataFrame, id: Column, permille: Int): DataFrame =
+    docs.where(hashBucket(id) % 1000 < permille)
+}

@@ -90,6 +90,85 @@ object TextAnalysis {
         approx_count_distinct(col("source"), 0.02).as("approx_sources"))
       .orderBy("lang")
 
+  /** Corpus vocabulary: top-k tokens by frequency — the token-frequency
+    * table every tokenizer-training / stopword-discovery pass starts from.
+    *
+    * Scale: explode fans out to one row per token, but the groupBy is a
+    * map-side-combined hash aggregate on the token string, so the shuffle
+    * carries one (token, partial-count) pair per distinct token per
+    * partition — vocabulary-sized, not corpus-sized — and the top-k
+    * collapses to TakeOrderedAndProject. */
+  def vocabTopK(docs: DataFrame, k: Int = 20): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
+  /** Repetition-based quality rules (the Gopher-rules family): duplicate
+    * word fraction, most-frequent-bigram fraction, and a keep/reject flag
+    * combining them with a minimum length. Map-only per-row higher-order
+    * functions — no shuffle beyond the declared ORDER BY.
+    *
+    * All fractions are ratios of per-row integers, so the doubles are
+    * exact-input divisions — order-independent by construction (no
+    * cross-row float aggregation anywhere).
+    *
+    * Each derived array is bound to a real projection column before the
+    * next stage references it: an inline `split` expression inlined into a
+    * `transform` lambda is re-evaluated per element (O(n²) splits —
+    * observed as a multi-minute single-task stall at sf0.1), while an
+    * attribute reference is a per-row O(1) array load. The top-bigram
+    * count is one sorted-run-length pass (O(n log n) per row), not a
+    * filter-per-distinct scan (O(n·distinct)). */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val toks = col("toks")
+    val n = size(toks)
+    // Guard n < 2: sequence(1, 0) counts DOWN through index 0, which is
+    // an invalid element_at index once this is materialized for all rows.
+    val bigrams = when(n < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), n - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+    // Longest run in the sorted bigram array == max occurrence count.
+    val topCount = aggregate(
+      array_sort(col("bigrams")),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val dupFrac = lit(1.0) - col("n_distinct").cast("double") / col("n")
+    val topBigram = when(col("n") < 2, 0.0)
+      .otherwise(col("top_cnt").cast("double") / (col("n") - 1))
+    val keep = when(col("n") >= 5 && dupFrac <= lit(0.6) && topBigram <= lit(0.2), 1)
+      .otherwise(0)
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), n.as("n"), size(array_distinct(toks)).as("n_distinct"),
+        bigrams.as("bigrams"))
+      .select(col("doc_id"), col("n"), col("n_distinct"), topCount.as("top_cnt"))
+      .select(
+        col("doc_id"),
+        round(dupFrac, 4).as("dup_word_frac"),
+        round(topBigram, 4).as("top_bigram_frac"),
+        keep.as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Denylist scrub: replace denylisted terms, report the hit count and
+    * the scrubbed text — the regex machinery of PII/boilerplate removal
+    * (the synthetic corpus has no emails/digits, so the declared query's
+    * denylist is vocabulary terms; the operator is pattern-agnostic).
+    * Map-only regexp expressions, fully parallel. */
+  def denylistScrub(docs: DataFrame,
+      pattern: String = "(customer|vector|window)",
+      replacement: String = "<TERM>"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(expr(s"regexp_extract_all(text, '$pattern', 0)")).as("n_hits"),
+      regexp_replace(col("text"), pattern, replacement).as("scrubbed"))
+      .orderBy("doc_id")
+
   /** Rolling-hash fingerprint: fold (acc*31 + h_w mod 1000003) mod 1e9+7
     * over the word sequence, with the portable md5-60-bit word hash. Order
     * sensitive (unlike simhash) — a reordering changes the fingerprint. */

@@ -181,9 +181,32 @@ object DeclaredExt {
       .select(col("lang"), col("n"), (round(col("var0"), 2) + lit(0d)).as("variance"))
       .orderBy("lang")
 
+  /** Q28 — correlated-subquery semantics ("customers with more orders
+    * than their nation's per-customer average"), expressed as the
+    * DECORRELATED plan a scalable engine runs: per-customer counts once,
+    * per-nation totals once, one equi-join — no per-row re-aggregation.
+    * The predicate is pure integer cross-multiplication
+    * (cnt · m > total), so there is no float boundary anywhere.
+    * Oracle: the same query written with correlated scalar subqueries. */
+  def q28(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    val cnts = cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left")
+      .groupBy(cust("c_custkey"), cust("c_nationkey"))
+      .agg(count(col("o_orderkey")).as("cnt"))
+    val nat = cnts.groupBy("c_nationkey")
+      .agg(sum("cnt").as("total"), count(lit(1)).as("m"))
+    cnts.join(nat, "c_nationkey")
+      .where(col("cnt") * col("m") > col("total"))
+      .groupBy("c_nationkey").agg(count(lit(1)).as("busy"))
+      .select(col("c_nationkey").cast("int").as("nation"), col("busy"))
+      .orderBy("nation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_median"         -> (q26 _),
     "q27_variance"       -> (q27 _),
+    "q28_correlated"     -> (q28 _),
     "q23_except"         -> (q23 _),
     "q24_outer_join"     -> (q24 _),
     "q25_semi_anti"      -> (q25 _),
@@ -198,6 +221,16 @@ object DeclaredExt {
     "q20_sessionize"     -> (q20 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q28_correlated" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS cnt
+        |  FROM customer c)
+        |SELECT CAST(c_nationkey AS INT) AS nation, count(*) AS busy
+        |FROM pc p
+        |WHERE cnt * (SELECT count(*) FROM pc x WHERE x.c_nationkey = p.c_nationkey)
+        |      > (SELECT sum(cnt) FROM pc y WHERE y.c_nationkey = p.c_nationkey)
+        |GROUP BY c_nationkey ORDER BY nation""".stripMargin,
     "q26_median" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) + 0 AS med
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

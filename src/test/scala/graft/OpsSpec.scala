@@ -176,4 +176,73 @@ class OpsSpec extends GraftSuite {
   test("declared ops and oracles stay in sync") {
     assert(DeclaredOps.queries.keySet -- DeclaredOps.oracleSql.keySet == Set("t6_hll_profile", "d8_source_sketch"))
   }
+
+  test("hash split is deterministic, exhaustive, and roughly 80/10/10") {
+    val out = graft.ops.Sampling.hashSplit(docs).collect()
+    assert(out.map(_.getLong(2)).sum == docs.count(), "every doc lands in exactly one split")
+    val bySplit = out.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val total = bySplit.values.sum.toDouble
+    assert(bySplit("train") / total > 0.7 && bySplit("train") / total < 0.9)
+    // Same rows, same assignment — the split is a pure function of the id.
+    assert(graft.ops.Sampling.hashSplit(docs).collect().toSeq == out.toSeq)
+  }
+
+  test("bernoulli sample is a deterministic subset at about the asked rate") {
+    val ids = graft.ops.Sampling.bernoulliSample(docs, col("doc_id"), 200)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = graft.ops.Sampling.bernoulliSample(docs, col("doc_id"), 200)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == again, "sample must be reproducible")
+    val rate = ids.size.toDouble / docs.count()
+    assert(rate > 0.1 && rate < 0.3, s"rate=$rate should be near 0.2")
+    // A wider sample strictly contains a narrower one (nested samples).
+    val wider = graft.ops.Sampling.bernoulliSample(docs, col("doc_id"), 500)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(wider))
+  }
+
+  test("gopher rules: fractions bounded, edge cases exact") {
+    import spark.implicits._
+    val edge = Seq(
+      (1L, "one"),                       // single word: no bigrams
+      (2L, "a a a a a a"),               // maximal repetition
+      (3L, "u v w x y z"))               // all distinct
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.gopherRules(edge).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getDouble(1) == 0.0 && rows(1L).getDouble(2) == 0.0)
+    assert(rows(1L).getInt(3) == 0, "below min length must be rejected")
+    assert(rows(2L).getDouble(2) == 1.0, "all-same bigrams -> top fraction 1")
+    assert(rows(2L).getInt(3) == 0, "repetitive doc must be rejected")
+    assert(rows(3L).getDouble(1) == 0.0 && rows(3L).getInt(3) == 1)
+    TextAnalysis.gopherRules(docs).collect().foreach { r =>
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) < 1.0)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("denylist scrub removes every hit and counts them") {
+    val rows = TextAnalysis.denylistScrub(docs).collect()
+    val denied = Set("customer", "vector", "window")
+    var hits = 0L
+    rows.foreach { r =>
+      assert(!r.getString(2).split(" ").exists(denied), s"doc ${r.getLong(0)} kept a denied term")
+      hits += r.getInt(1)
+    }
+    val expected = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w").isin(denied.toSeq: _*)).count()
+    assert(hits == expected, "redaction count must equal the corpus term count")
+  }
+
+  test("quantized top-k ranks by exact integer dot products") {
+    val out = Similarity.quantizedTopK(emb, col("vec_id") < 3, k = 5).collect()
+    assert(out.length == 15)
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val dots = rows.map(_.getLong(2)).toSeq
+      assert(dots == dots.sorted.reverse, "per query, dot scores descend")
+    }
+    // Quantization bound: |dot8 - 127^2*cos*|a||b|| small — instead assert
+    // the cheap invariant that holds exactly: |dot| <= 64 * 127^2.
+    out.foreach(r => assert(math.abs(r.getLong(2)) <= 64L * 127 * 127))
+  }
 }
