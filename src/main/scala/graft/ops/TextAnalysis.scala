@@ -143,7 +143,16 @@ object TextAnalysis {
       .otherwise(col("top_cnt").cast("double") / (col("n") - 1))
     val keep = when(col("n") >= 5 && dupFrac <= lit(0.6) && topBigram <= lit(0.2), 1)
       .otherwise(0)
-    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // This stage is CPU-bound per row (sort + fold over every bigram), so
+    // its parallelism must track cores, not input splits: a small file
+    // count under-splits the scan and serializes the whole pass on a few
+    // tasks. Only widen when the scan is actually narrower than the
+    // cluster — at real scale the input already has >= cores splits and
+    // this is a no-op (no shuffle added).
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < cores) docs.repartition(cores) else docs
+    spread.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), n.as("n"), size(array_distinct(toks)).as("n_distinct"),
         bigrams.as("bigrams"))
       .select(col("doc_id"), col("n"), col("n_distinct"), topCount.as("top_cnt"))
