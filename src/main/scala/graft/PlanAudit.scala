@@ -87,6 +87,19 @@ object PlanAudit {
       "scan reads only the text column" ->
         (p => !p.contains("n_chars") && !p.contains("source")))
 
+    audit("t10_tfidf_topk", qs("t10_tfidf_topk")(spark, sfDir),
+      "vocab-sized df side broadcasts (corpus tf side never reshuffles for the join)" ->
+        (p => p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin")),
+      "per-doc top-k is an aggregate, not a corpus-wide Window rank" ->
+        (p => !p.contains("Window")))
+
+    audit("s2_stratified_sample", qs("s2_stratified_sample")(spark, sfDir),
+      "per-group thresholds broadcast back to the corpus scan" ->
+        (_.contains("BroadcastHashJoin")),
+      "corpus is never repartitioned: only group-sized aggregates shuffle" ->
+        (p => !p.linesIterator.exists(l =>
+          l.contains("Exchange hashpartitioning(doc_id"))))
+
     audit("s1_hash_split", qs("s1_hash_split")(spark, sfDir),
       "assignment is map-only: one hash exchange (the tiny group-by)" ->
         (p => p.linesIterator.count(_.contains("hashpartitioning(")) == 1),

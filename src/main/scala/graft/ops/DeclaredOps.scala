@@ -45,7 +45,9 @@ object DeclaredOps {
     "t7_vocab_topk"    -> ((s, dir) => TextAnalysis.vocabTopK(docs(s, dir))),
     "t8_gopher_rules"  -> ((s, dir) => TextAnalysis.gopherRules(docs(s, dir))),
     "t9_denylist_scrub" -> ((s, dir) => TextAnalysis.denylistScrub(docs(s, dir))),
+    "t10_tfidf_topk"   -> ((s, dir) => TextAnalysis.tfidfTopK(docs(s, dir))),
     "s1_hash_split"    -> ((s, dir) => Sampling.hashSplit(docs(s, dir))),
+    "s2_stratified_sample" -> ((s, dir) => Sampling.stratifiedCounts(docs(s, dir))),
     "e4_quantized_topk" -> ((s, dir) => Similarity.quantizedTopK(emb(s, dir), col("vec_id") < 5)))
 
   // ---- DuckDB oracle SQL ----
@@ -257,6 +259,32 @@ object DeclaredOps {
         |  len(regexp_extract_all(text, '(customer|vector|window)')) AS n_hits,
         |  regexp_replace(text, '(customer|vector|window)', '<TERM>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t10_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.token, t.tf, d.df,
+        |    t.tf * (CAST(n.n AS DOUBLE) / d.df) AS s
+        |  FROM tf t JOIN df d USING (token) CROSS JOIN n)
+        |SELECT doc_id, CAST(rnk AS INT) AS rnk, token, tf, df FROM (
+        |  SELECT doc_id, token, tf, df,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, token) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "s2_stratified_sample" ->
+      """WITH sizes AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY 1),
+        |m AS (SELECT min(n_g) AS m FROM sizes),
+        |th AS (SELECT lang, CAST(floor(1000 * m.m / s.n_g) AS INT) AS permille
+        |       FROM sizes s CROSS JOIN m)
+        |SELECT d.lang, count(*) AS n
+        |FROM documents d JOIN th ON d.lang = th.lang
+        |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS UBIGINT) % 1000
+        |      < th.permille
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "s1_hash_split" ->
       """SELECT lang, CASE

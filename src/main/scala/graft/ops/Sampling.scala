@@ -40,4 +40,34 @@ object Sampling {
     * pushes down, costs no shuffle, and the same rows appear every run. */
   def bernoulliSample(docs: DataFrame, id: Column, permille: Int): DataFrame =
     docs.where(hashBucket(id) % 1000 < permille)
+
+  /** Stratified rebalancing sample: downsample every group toward the
+    * smallest group's size (the language-rebalancing step of corpus
+    * mixing). Per-group rates are integer-derived thresholds
+    * (`floor(1000·min/n_g)` permille) applied to the same deterministic
+    * id-hash bucket, so the selected set is a pure function of
+    * (id, group sizes) — reproducible across runs, engines, and retries.
+    *
+    * Scale: group sizes are a groups-sized aggregate; the thresholds
+    * broadcast back, so the corpus itself is touched by exactly one
+    * map-only filtered pass — no shuffle of the data. Rates are floored
+    * to whole permille, so groups within 0.1% of each other may round to
+    * the same threshold; at corpus scale the resulting ±0.1% group error
+    * is noise. */
+  def stratifiedSample(docs: DataFrame, id: Column, group: Column): DataFrame = {
+    val sizes = docs.groupBy(group.as("g")).agg(count(lit(1)).as("n_g"))
+    val m = sizes.agg(min("n_g").as("m"))
+    val thresholds = sizes.crossJoin(broadcast(m))
+      .select(col("g"), floor(lit(1000) * col("m") / col("n_g")).cast("int").as("permille"))
+    docs.join(broadcast(thresholds), group === col("g"))
+      .where(hashBucket(id) % 1000 < col("permille"))
+      .drop("g", "permille")
+  }
+
+  /** Declared query: per-group sizes after rebalancing — what a mixing
+    * run checks before training. */
+  def stratifiedCounts(docs: DataFrame): DataFrame =
+    stratifiedSample(docs, col("doc_id"), col("lang"))
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang")
 }

@@ -178,6 +178,38 @@ object TextAnalysis {
       regexp_replace(col("text"), pattern, replacement).as("scrubbed"))
       .orderBy("doc_id")
 
+  /** Per-document term salience (TF-IDF family): top-k tokens per doc by
+    * `tf · (N / df)` — the rational idf variant, chosen because it is one
+    * IEEE division of exact integers and therefore bit-identical across
+    * engines (libm `ln` is not guaranteed to round identically, and a
+    * last-ulp flip would reorder near-ties; swap in `log` for the
+    * textbook weight in production, the plan is unchanged). Output is
+    * rank + integer columns only — no float ever reaches the comparator.
+    *
+    * Scale: tf is a map-side-combined aggregate on (doc, token); df
+    * derives from tf (no second corpus pass) and is vocabulary-sized, so
+    * it broadcasts — the corpus-sized tf side never reshuffles for the
+    * join. (A web-scale vocabulary past broadcast size would demote this
+    * to a token-keyed shuffle join; AQE picks that automatically when the
+    * hint is dropped.) The per-doc top-k state is bounded by the
+    * document's own distinct-token count, never by the corpus. */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(broadcast(df), "token").crossJoin(broadcast(n))
+      .withColumn("s", col("tf") * (col("n").cast("double") / col("df")))
+    scored
+      .groupBy("doc_id")
+      .agg(slice(array_sort(collect_list(struct(
+        (-col("s")).as("ns"), col("token"), col("tf"), col("df")))), 1, k).as("top"))
+      .select(col("doc_id"), posexplode(col("top")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.token").as("token"), col("col.tf").as("tf"), col("col.df").as("df"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** Rolling-hash fingerprint: fold (acc*31 + h_w mod 1000003) mod 1e9+7
     * over the word sequence, with the portable md5-60-bit word hash. Order
     * sensitive (unlike simhash) — a reordering changes the fingerprint. */

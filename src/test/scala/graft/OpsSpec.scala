@@ -234,6 +234,40 @@ class OpsSpec extends GraftSuite {
     assert(hits == expected, "redaction count must equal the corpus term count")
   }
 
+  test("tfidf top-k: hand-checked salience on a tiny corpus") {
+    import spark.implicits._
+    val tiny = Seq((1L, "x x y"), (2L, "y z"), (3L, "z z z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(tiny, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // N=3; df: x=1, y=2, z=2. d1: x 2*(3/1)=6 > y 1*(3/2)=1.5.
+    assert(out((1L, 1)) == ("x", 2L, 1L) && out((1L, 2)) == ("y", 1L, 2L))
+    // d2: y and z tie at 1.5 -> token ascending breaks it.
+    assert(out((2L, 1))._1 == "y" && out((2L, 2))._1 == "z")
+    assert(out((3L, 1)) == ("z", 3L, 2L) && !out.contains((3L, 2)))
+  }
+
+  test("stratified sample rebalances every group toward the smallest") {
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = sizes.values.min
+    val out = graft.ops.Sampling.stratifiedCounts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == sizes.keySet, "no group may vanish")
+    // The smallest group is kept whole (permille = 1000).
+    assert(out(sizes.minBy(_._2)._1) == m)
+    // Every group lands within the permille-floor + hash-binomial noise
+    // band of the target m.
+    out.foreach { case (g, n) =>
+      assert(n <= sizes(g), s"$g grew")
+      assert(math.abs(n - m) <= math.max(6, m / 4), s"$g: $n not near target $m")
+    }
+    // Pure function of (id, sizes): second run identical.
+    assert(graft.ops.Sampling.stratifiedCounts(docs).collect().map(_.toString).toSeq ==
+      graft.ops.Sampling.stratifiedCounts(docs).collect().map(_.toString).toSeq)
+  }
+
   test("quantized top-k ranks by exact integer dot products") {
     val out = Similarity.quantizedTopK(emb, col("vec_id") < 3, k = 5).collect()
     assert(out.length == 15)
