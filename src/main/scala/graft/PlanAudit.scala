@@ -112,6 +112,12 @@ object PlanAudit {
       "whole-stage codegen covers the scan+partial-agg" ->
         (_.contains("[codegen id :")))
 
+    audit("q29_asof_join", qs("q29_asof_join")(spark, sfDir),
+      "as-of runs as union + window: no join node, no range probe" ->
+        (p => !p.contains("Join") && p.contains("Window")),
+      "two shuffles only: view-dedup aggregate (user_id, ts) + the window (user_id)" ->
+        (p => p.linesIterator.count(_.contains("hashpartitioning(user_id")) == 2))
+
     audit("q20_sessionize", qs("q20_sessionize")(spark, sfDir),
       "single shuffle by user_id feeds both window and lag" ->
         (p => p.linesIterator.count(l => l.contains("hashpartitioning(user_id")) == 1))

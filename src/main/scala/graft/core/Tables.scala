@@ -31,10 +31,14 @@ object Tables {
       // applies (its TIMESTAMP is µs), so oracle comparisons stay aligned.
       // Mirrors the reference's two-unit time handling (SURVEY §1.2: ns in
       // manifest, ms in data).
+      // `div`, NOT `/`: Spark's `/` on longs is double division, and at
+      // ~1.7e18 ns the double ulp is 256 ns — enough to round some values
+      // UP by 1 µs vs DuckDB's truncating cast (caught by the q29 oracle,
+      // the first query that outputs raw event timestamps).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
       if (name == "events" && df.schema("ts").dataType == LongType)
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else df
     })
 

@@ -203,7 +203,42 @@ object DeclaredExt {
       .orderBy("nation")
   }
 
+  /** Q29 — as-of join (each click matched to the latest view by the same
+    * user at-or-before it), an operator Spark has no native node for.
+    *
+    * Shape: tag both sides, union, ONE shuffle on user_id, and a running
+    * `last(view, ignoreNulls)` window — the distributed sort-merge as-of.
+    * There is no join operator in the plan at all, no per-row probe, and
+    * no range cross-product; cost is one corpus shuffle + per-user sort,
+    * which survives any scale where a user's history fits a sort spill.
+    * Views are pre-deduped to one row per (user, ts) (max value — an
+    * order-independent exact aggregate) so tie-matching is deterministic
+    * in both engines; ordering within the union is totalized by
+    * (ts, side, event_id). Oracle: DuckDB's native ASOF LEFT JOIN. */
+  def q29(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val views = ev.where(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max(col("value")).as("view_value"))
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("ts").as("v_ts"), col("view_value"), lit(null).cast("long").as("event_id"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("timestamp").as("v_ts"), lit(null).cast("double").as("view_value"),
+        col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "side", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(clicks)
+      .withColumn("m",
+        last(when(col("side") === 0, struct(col("v_ts"), col("view_value"))), true).over(w))
+      .where(col("side") === 1)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+        col("m.v_ts").as("view_ts"), col("m.view_value").as("view_value"))
+      .orderBy("click_id")
+      .limit(200)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_asof_join"      -> (q29 _),
     "q26_median"         -> (q26 _),
     "q27_variance"       -> (q27 _),
     "q28_correlated"     -> (q28 _),
@@ -221,6 +256,14 @@ object DeclaredExt {
     "q20_sessionize"     -> (q20 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q29_asof_join" ->
+      """WITH v AS (SELECT user_id, ts, max(value) AS view_value
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id AS click_id, c.user_id, c.ts,
+        |       v.ts AS view_ts, v.view_value
+        |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY click_id LIMIT 200""".stripMargin,
     "q28_correlated" ->
       """WITH pc AS (
         |  SELECT c_custkey, c_nationkey,

@@ -79,4 +79,28 @@ class DeclaredQueriesSpec extends GraftSuite {
   test("entry flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q29 as-of join matches a brute-force non-equi join") {
+    import org.apache.spark.sql.functions._
+    val out = graft.query.DeclaredExt.q29(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ev = graft.core.Tables.load(spark, sf, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.where(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max("value").as("vv"))
+    // O(clicks × views-per-user) ground truth — the naive shape q29 avoids.
+    val brute = clicks.as("c")
+      .join(views.as("v"),
+        col("c.user_id") === col("v.user_id") && col("v.ts") <= col("c.ts"), "left")
+      .groupBy(col("c.event_id"))
+      .agg(max(when(col("v.ts").isNotNull, struct(col("v.ts"), col("vv")))).as("m"))
+      .select(col("event_id"), col("m.ts").as("view_ts"), col("m.vv").as("view_value"))
+      .orderBy("event_id").limit(200)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.get(3), r.get(4))).toSeq ==
+      brute.map(r => (r.getLong(0), r.get(1), r.get(2))).toSeq)
+    // At least one click must actually carry a matched view.
+    assert(out.exists(r => !r.isNullAt(3)))
+  }
 }
