@@ -118,6 +118,10 @@ object PlanAudit {
       "two shuffles only: view-dedup aggregate (user_id, ts) + the window (user_id)" ->
         (p => p.linesIterator.count(_.contains("hashpartitioning(user_id")) == 2))
 
+    audit("q30_range_join", qs("q30_range_join")(spark, sfDir),
+      "range predicate runs as a (user, bucket) equi-join, never a nested-loop probe" ->
+        (p => !p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian")))
+
     audit("q20_sessionize", qs("q20_sessionize")(spark, sfDir),
       "single shuffle by user_id feeds both window and lag" ->
         (p => p.linesIterator.count(l => l.contains("hashpartitioning(user_id")) == 1))

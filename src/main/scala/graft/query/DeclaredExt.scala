@@ -237,7 +237,38 @@ object DeclaredExt {
       .limit(200)
   }
 
+  /** Q30 — range join (each error counts the same user's views inside the
+    * preceding 10 minutes), the interval-predicate join Spark would
+    * otherwise execute as a nested-loop probe.
+    *
+    * Shape: both sides bucket time into window-sized bins (integer `div`,
+    * no float), each probe explodes into its two covering bins, and the
+    * join is a pure (user_id, bucket) EQUI-join with the exact range
+    * re-checked after. The plan therefore contains no
+    * BroadcastNestedLoopJoin and no cartesian anything; fan-out is
+    * bounded by events-per-(user, 10 min), the data's own density, and
+    * probes with zero matches survive through the left join. This is the
+    * standard range-join decomposition at any scale. */
+  def q30(spark: SparkSession, dir: String): DataFrame = {
+    val W = 600L
+    val ev = Tables.load(spark, dir, "events")
+    val probes = ev.where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("sec"))
+      .withColumn("b", expr(s"sec div $W"))
+      .withColumn("bkt", explode(array(col("b") - 1, col("b"))))
+    val vw = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").cast("long").as("vsec"))
+      .withColumn("bkt", expr(s"vsec div $W"))
+    probes.join(vw, Seq("user_id", "bkt"), "left")
+      .groupBy("event_id")
+      .agg(sum(when(col("vsec") >= col("sec") - W && col("vsec") < col("sec"), 1)
+        .otherwise(0)).as("n_prior"))
+      .orderBy("event_id")
+      .limit(200)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_range_join"     -> (q30 _),
     "q29_asof_join"      -> (q29 _),
     "q26_median"         -> (q26 _),
     "q27_variance"       -> (q27 _),
@@ -256,6 +287,15 @@ object DeclaredExt {
     "q20_sessionize"     -> (q20 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q30_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec
+        |           FROM events WHERE event_type = 'error'),
+        |v AS (SELECT user_id, epoch_us(ts) // 1000000 AS vsec
+        |      FROM events WHERE event_type = 'view')
+        |SELECT e.event_id, count(v.vsec) AS n_prior
+        |FROM e LEFT JOIN v
+        |  ON e.user_id = v.user_id AND v.vsec >= e.sec - 600 AND v.vsec < e.sec
+        |GROUP BY e.event_id ORDER BY event_id LIMIT 200""".stripMargin,
     "q29_asof_join" ->
       """WITH v AS (SELECT user_id, ts, max(value) AS view_value
         |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),

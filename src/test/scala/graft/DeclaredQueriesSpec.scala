@@ -103,4 +103,23 @@ class DeclaredQueriesSpec extends GraftSuite {
     // At least one click must actually carry a matched view.
     assert(out.exists(r => !r.isNullAt(3)))
   }
+
+  test("q30 bucketed range join equals the naive non-equi join") {
+    import org.apache.spark.sql.functions._
+    val out = graft.query.DeclaredExt.q30(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ev = graft.core.Tables.load(spark, sf, "events")
+    val e = ev.where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("sec"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts").cast("long").as("vsec"))
+    val naive = e.join(v,
+        col("user_id") === col("vu") &&
+          col("vsec") >= col("sec") - 600 && col("vsec") < col("sec"), "left")
+      .groupBy("event_id").agg(count(col("vsec")).as("n_prior"))
+      .orderBy("event_id").limit(200).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      naive.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(out.exists(_.getLong(1) > 0), "some error must have prior views")
+  }
 }
