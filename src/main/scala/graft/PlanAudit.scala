@@ -126,6 +126,25 @@ object PlanAudit {
       "single shuffle by user_id feeds both window and lag" ->
         (p => p.linesIterator.count(l => l.contains("hashpartitioning(user_id")) == 1))
 
+    audit("d10_jaccard_join", qs("d10_jaccard_join")(spark, sfDir),
+      "candidates come from the prefix inverted index: no cartesian, no nested loop" ->
+        (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")),
+      "prefix self-join reuses one prefix computation (ReusedExchange)" ->
+        (_.contains("ReusedExchange")))
+
+    audit("s3_pergroup_sample", qs("s3_pergroup_sample")(spark, sfDir),
+      "per-group sample is a bounded map-side aggregate, not a corpus-wide Window rank" ->
+        (p => p.contains("ObjectHashAggregate") && !p.contains("Window")),
+      "scan reads only lang and doc_id" ->
+        (p => !p.contains("text") && !p.contains("n_chars")))
+
+    audit("s4_sequence_pack", qs("s4_sequence_pack")(spark, sfDir),
+      "block offsets broadcast back: the corpus never funnels through one global window" ->
+        (_.contains("BroadcastHashJoin")),
+      "intra-block cumsum windows are partitioned by blk (parallel), never unpartitioned over the corpus rows" ->
+        (p => p.linesIterator.count(l =>
+          l.contains("Exchange SinglePartition")) <= 1))
+
     println(s"\nplan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -48,6 +48,10 @@ object DeclaredOps {
     "t10_tfidf_topk"   -> ((s, dir) => TextAnalysis.tfidfTopK(docs(s, dir))),
     "s1_hash_split"    -> ((s, dir) => Sampling.hashSplit(docs(s, dir))),
     "s2_stratified_sample" -> ((s, dir) => Sampling.stratifiedCounts(docs(s, dir))),
+    "s3_pergroup_sample" -> ((s, dir) => Sampling.perGroupSample(docs(s, dir))),
+    "s4_sequence_pack" -> ((s, dir) => Sampling.sequencePack(docs(s, dir))),
+    "d10_jaccard_join" -> ((s, dir) => Dedup.jaccardJoin(docs(s, dir))),
+    "t11_chunk_dedup"  -> ((s, dir) => Dedup.chunkDedup(docs(s, dir))),
     "e4_quantized_topk" -> ((s, dir) => Similarity.quantizedTopK(emb(s, dir), col("vec_id") < 5)))
 
   // ---- DuckDB oracle SQL ----
@@ -307,6 +311,51 @@ object DeclaredOps {
         |               c.vec_id) AS rn
         |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id)
         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+
+    // Exact-Jaccard join at tau = 2/5; the integer cross-multiplication
+    // (inter*5 >= union*2) mirrors the engine's exact threshold test so
+    // no float boundary exists on either side. Empty shingle sets are
+    // excluded as on the Spark side (J is undefined at 0/0).
+    "d10_jaccard_join" ->
+      s"""$ShingleCte
+         |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / uni, 4) AS j FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_intersect(a.s, b.s)) AS inter,
+         |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0)
+         |WHERE inter * 5 >= uni * 2 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "t11_chunk_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, unnest(list_transform(range(0, (len(w) + 19) // 20),
+        |  i -> array_to_string(list_slice(w, i * 20 + 1, i * 20 + 20), ' '))) AS chunk
+        |  FROM w)
+        |SELECT md5(chunk) AS chunk_md5, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_occ, min(doc_id) AS first_doc
+        |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY chunk_md5""".stripMargin,
+
+    "s3_pergroup_sample" ->
+      """WITH b AS (SELECT lang, doc_id,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS UBIGINT) AS b
+        |  FROM documents)
+        |SELECT lang, CAST(rnk AS INT) AS rnk, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY b, doc_id) AS rnk
+        |  FROM b)
+        |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+
+    "s4_sequence_pack" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS ntok FROM documents),
+        |c AS (SELECT doc_id, ntok,
+        |  coalesce(sum(ntok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t)
+        |SELECT CAST(off // 2048 AS BIGINT) AS bin, count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS toks,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "t4_fingerprint" ->
       s"""SELECT doc_id, CAST(list_reduce(

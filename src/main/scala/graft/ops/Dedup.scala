@@ -246,6 +246,71 @@ object Dedup {
       .select(col("doc_id"), graft.functions.Expressions.simhash60(col("hs")).as("simhash"))
       .orderBy("doc_id")
 
+  /** EXACT n-gram Jaccard similarity self-join via prefix filtering — the
+    * AllPairs/PPJoin family (Bayardo et al., WWW'07): unlike the MinHash
+    * path (`minhashLsh`), which is probabilistic, every pair with
+    * J >= num/den is found, at ANY threshold.
+    *
+    * Prefix filter: order each document's shingles by the global
+    * rarest-first total order (df asc, shingle asc) and keep only the
+    * first `|s| - ceil(tau*|s|) + 1` — two sets with J >= tau MUST share
+    * a shingle inside both prefixes, so the candidate join runs on the
+    * prefix inverted index only. Rarest-first is what makes this scale:
+    * boilerplate shingles (huge df, f^2 join fan-out) sort to the END of
+    * every document and fall outside the prefix, so the inverted index
+    * the join sees is dominated by rare shingles with tiny postings.
+    *
+    * The threshold is a rational num/den and both the prefix length and
+    * the final test (`inter * den >= union * num`) are integer-exact: a
+    * float `ceil(tau*n)` at a representation boundary could shrink the
+    * prefix below the safe length and silently drop pairs.
+    */
+  def jaccardJoin(docs: DataFrame, num: Int = 2, den: Int = 5): DataFrame = {
+    val withSh = shingled(docs)
+    val ex = withSh.select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("g"))
+    val df = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    val pref = ex.join(df, "g")
+      .groupBy("doc_id")
+      .agg(max("n").as("n"),
+        sort_array(collect_list(struct(col("df"), col("g")))).as("ord"))
+      .select(col("doc_id"), explode(expr(
+        s"slice(transform(ord, x -> x.g), 1, n - ((n * $num + ${den - 1}) div $den) + 1)")).as("g"))
+    val cands = pref.as("a").join(pref.as("b"), "g")
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val shA = withSh.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+    val shB = withSh.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+    cands.join(shA, "doc_a").join(shB, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("uni", size(col("sa")) + size(col("sb")) - col("inter"))
+      .where(col("inter") * den >= col("uni") * num)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / col("uni"), 4).as("j"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Chunk-level exact dedup: hash aligned `width`-word windows and report
+    * chunks shared by >= 2 documents — the paragraph-dedup primitive for
+    * corpora where duplication is partial (a copied passage inside an
+    * otherwise-novel page), which document-level hashing cannot see.
+    *
+    * Scale: map-only chunking (the word array is bound to a real
+    * projection column so `slice` runs once per CHUNK, not per element),
+    * then one hash aggregate whose shuffle carries the 32-hex md5, never
+    * chunk text. */
+  def chunkDedup(docs: DataFrame, width: Int = 20): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, (size(w) + ${width - 1}) div $width - 1),
+           |  i -> concat_ws(' ', slice(w, i * $width + 1, $width)))""".stripMargin)).as("chunk"))
+      .groupBy(md5(col("chunk")).as("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") >= 2)
+      .orderBy("chunk_md5")
+
   /** Top-k documents by 3-shingle Jaccard similarity to a query string —
     * a map-only scan + TakeOrdered; no pairs, no shuffle beyond top-k. */
   def ngramJaccardTopK(docs: DataFrame, query: String, k: Int = 20): DataFrame = {

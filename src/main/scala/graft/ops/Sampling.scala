@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / splitting for training-data pipelines.
@@ -70,4 +71,57 @@ object Sampling {
     stratifiedSample(docs, col("doc_id"), col("lang"))
       .groupBy("lang").agg(count(lit(1)).as("n"))
       .orderBy("lang")
+
+  /** Deterministic fixed-size sample of k rows PER GROUP: the k smallest
+    * id-hash buckets of each group (ties broken by id). Same reproducible
+    * hash-order as the other samplers, but with an exact per-group count
+    * instead of a rate — the "exactly 10 eyeball docs per language" ask.
+    *
+    * Scale: the bounded top-k aggregate keeps a <= k buffer per
+    * (partition, group) map-side, so the shuffle carries at most
+    * k x partitions rows per group. `row_number() OVER (PARTITION BY
+    * group ORDER BY hash)` — the obvious spelling, and the oracle's —
+    * would shuffle the ENTIRE corpus to rank it and then drop all but k.
+    * Score is the negated bucket because the aggregate ranks descending. */
+  def perGroupSample(docs: DataFrame, k: Int = 10): DataFrame =
+    docs
+      .select(col("lang"), col("doc_id"), hashBucket(col("doc_id")).as("b"))
+      .groupBy("lang")
+      .agg(graft.functions.TopKByScoreAgg.column(k, -col("b").cast("double"), col("doc_id")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("i", "x")))
+      .select(col("lang"), (col("i") + 1).as("rnk"), col("x._2").as("doc_id"))
+      .orderBy("lang", "rnk")
+
+  /** Concat-and-chop sequence packing — the LLM-pretraining step that
+    * lays documents end-to-end in a canonical order and cuts the stream
+    * into fixed `budget`-token bins: each doc's bin is
+    * `floor(exclusive_prefix_tokens / budget)` (the bin its first token
+    * lands in). Output is the per-bin manifest a packing run checks.
+    *
+    * Scale: a global running sum is inherently ordered, and the naive
+    * `Window.orderBy(doc_id)` with no partitioning funnels the whole
+    * corpus through ONE task. This is the classic two-phase parallel
+    * prefix sum instead: (1) cumsum WITHIN doc_id blocks — a partitioned
+    * window, fully parallel; (2) cumsum OVER the tiny per-block totals
+    * frame (|blocks| rows) to get each block's global offset, broadcast
+    * back. The corpus shuffles once, by block. */
+  def sequencePack(docs: DataFrame, budget: Int = 2048, blockSize: Int = 64): DataFrame = {
+    val w = Window.partitionBy("blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val toks = docs.select(col("doc_id"), expr(s"doc_id div $blockSize").as("blk"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .withColumn("intra", coalesce(sum(col("ntok")).over(w), lit(0L)))
+    val wb = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy("blk").agg(sum(col("ntok")).as("btot"))
+      .withColumn("off", coalesce(sum(col("btot")).over(wb), lit(0L)))
+      .select("blk", "off")
+    toks.join(broadcast(offsets), "blk")
+      // `div`, not `/`: Column `/` on longs is double division (ulp error
+      // at large prefix sums would mis-bin a boundary doc).
+      .select(col("doc_id"), col("ntok"), expr(s"(off + intra) div $budget").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("toks"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("bin")
+  }
 }

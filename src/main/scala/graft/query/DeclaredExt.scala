@@ -267,6 +267,30 @@ object DeclaredExt {
       .limit(200)
   }
 
+  /** Q31 — PIVOT: per-user value totals spread across event-type columns.
+    * The pivot value list is explicit, so Spark skips the extra
+    * distinct-scan job and the output schema is static; each cell is a
+    * decimal-exact sum (StableAgg) coalesced to 0 where the user has no
+    * such events, matching the oracle's filtered-CASE aggregates. */
+  def q31(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.load(spark, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(StableAgg.dsum(col("value")))
+    types.foldLeft(p)((d, t) => d.withColumn(t, coalesce(col(t), lit(0d))))
+      .orderBy("user_id")
+  }
+
+  /** Q32 — CUBE: all grouping-set combinations over (status, priority).
+    * Null-safe ordering via coalesce, as in q19's ROLLUP. */
+  def q32(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), StableAgg.dsum(col("o_totalprice")).as("total"))
+      .orderBy(coalesce(col("o_orderstatus"), lit("~")),
+        coalesce(col("o_orderpriority"), lit("~")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_range_join"     -> (q30 _),
     "q29_asof_join"      -> (q29 _),
@@ -284,9 +308,24 @@ object DeclaredExt {
     "q17_json_extract"   -> (q17 _),
     "q18_having"         -> (q18 _),
     "q19_rollup"         -> (q19 _),
-    "q20_sessionize"     -> (q20 _))
+    "q20_sessionize"     -> (q20 _),
+    "q31_pivot"          -> (q31 _),
+    "q32_cube"           -> (q32 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q31_pivot" -> {
+      val cells = Seq("click", "error", "purchase", "signup", "view").map(t =>
+        s"""coalesce(CAST(round(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = '$t'), 2) AS DOUBLE), 0) AS $t""")
+        .mkString(",\n")
+      s"""SELECT user_id,
+         |$cells
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+    "q32_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY coalesce(o_orderstatus, '~'), coalesce(o_orderpriority, '~')""".stripMargin,
     "q30_range_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec
         |           FROM events WHERE event_type = 'error'),

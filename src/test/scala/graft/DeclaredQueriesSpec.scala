@@ -122,4 +122,31 @@ class DeclaredQueriesSpec extends GraftSuite {
       naive.map(r => (r.getLong(0), r.getLong(1))).toSeq)
     assert(out.exists(_.getLong(1) > 0), "some error must have prior views")
   }
+
+  test("q31 pivot: one row per user, cells cover the user's full value total") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.query.DeclaredExt.q31(spark, sf).collect()
+    val ev = graft.core.Tables.load(spark, sf, "events")
+    assert(rows.length == ev.select("user_id").distinct().count())
+    // Cells are non-negative and, per user, sum back to the unpivoted total
+    // (both sides decimal-rounded, so equality is exact to a cent each).
+    val totals = ev.groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val cells = (1 to 5).map(r.getDouble)
+      cells.foreach(c => assert(c >= 0))
+      assert(math.abs(cells.sum - totals(r.getLong(0))) < 0.05)
+    }
+  }
+
+  test("q32 cube: every grouping set present, grand total equals table count") {
+    val out = graft.query.DeclaredExt.q32(spark, sf).collect()
+    val total = graft.core.Tables.load(spark, sf, "orders").count()
+    val grand = out.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1 && grand(0).getLong(2) == total)
+    assert(out.filter(r => !r.isNullAt(0) && r.isNullAt(1)).map(_.getLong(2)).sum == total)
+    assert(out.filter(r => r.isNullAt(0) && !r.isNullAt(1)).map(_.getLong(2)).sum == total)
+    assert(out.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).map(_.getLong(2)).sum == total)
+  }
 }

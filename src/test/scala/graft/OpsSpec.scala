@@ -279,4 +279,75 @@ class OpsSpec extends GraftSuite {
     // the cheap invariant that holds exactly: |dot| <= 64 * 127^2.
     out.foreach(r => assert(math.abs(r.getLong(2)) <= 64L * 127 * 127))
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("exact jaccard join: prefix filtering loses no qualifying pair") {
+    val df = Dedup.jaccardJoin(docs)
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "candidates must come from the prefix inverted index, never all-pairs")
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // Brute-force ground truth from the same shingle definition.
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).filter(_._2.nonEmpty)
+    val brute = (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      inter = (sa & sb).size
+      uni = sa.size + sb.size - inter
+      if inter * 5 >= uni * 2
+    } yield (a, b) -> inter.toDouble / uni).toMap
+    assert(out.keySet == brute.keySet, "exact join must equal ground truth")
+    assert(out.nonEmpty, "planted near-dups must appear at tau=0.4")
+    out.foreach { case (k, j) => assert(math.abs(j - brute(k)) < 5e-5) }
+  }
+
+  test("chunk dedup equals a local recompute and only reports cross-doc chunks") {
+    val out = Dedup.chunkDedup(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val local = docs.select("doc_id", "text").collect()
+      .flatMap { r =>
+        r.getString(1).split(" ", -1).grouped(20).map(c => (r.getLong(0), c.mkString(" ")))
+      }
+      .groupBy(x => md5hex(x._2))
+      .collect { case (h, occ) if occ.map(_._1).distinct.length >= 2 =>
+        h -> ((occ.map(_._1).distinct.length.toLong, occ.length.toLong, occ.map(_._1).min))
+      }
+    assert(out == local)
+    assert(out.nonEmpty, "exact-copy docs must share aligned chunks")
+  }
+
+  test("per-group sample: k smallest hash buckets per group via a bounded aggregate") {
+    val df = graft.ops.Sampling.perGroupSample(docs, 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && !plan.contains("Window"),
+      "sample must rank map-side, not shuffle the corpus through a window")
+    val out = df.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val local = docs.select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1)
+      .flatMap { case (g, rows) =>
+        rows.map { case (_, id) => (Integer.parseInt(md5hex(id.toString).take(4), 16), id) }
+          .sorted.take(10).zipWithIndex
+          .map { case ((_, id), i) => (g, i + 1, id) }.toSeq
+      }.toSet
+    assert(out.toSet == local)
+    out.groupBy(_._1).foreach { case (_, rs) => assert(rs.length <= 10) }
+  }
+
+  test("sequence pack matches the serial concat-and-chop assignment") {
+    val out = graft.ops.Sampling.sequencePack(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+      .sortBy(_._1)
+    var acc = 0L
+    val assign = rows.map { case (id, n) => val bin = acc / 2048; acc += n; (bin, id, n) }
+    val local = assign.groupBy(_._1).map { case (b, xs) =>
+      (b, xs.length.toLong, xs.map(_._3).sum, xs.map(_._2).min, xs.map(_._2).max)
+    }.toSet
+    assert(out.toSet == local)
+    assert(out.map(_._2).sum == rows.length, "every doc lands in exactly one bin")
+  }
 }

@@ -3,7 +3,11 @@
 results (Verify output parquet) against the DuckDB oracle SQL on the same
 scale-factor tables, compare row counts, column names, and value hashes.
 
-Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [name,name,...]
+
+The optional third argument restricts the check to the named queries —
+for spot-checking new operators at sf0.1, where a handful of oracles
+(the recursive-closure d5/d6 ground truths) are far too slow to rerun.
 """
 import json, sys, math
 import duckdb
@@ -48,12 +52,14 @@ def table_hash(rows, cols):
         h.update(ln.encode()); h.update(b"\n")
     return h.hexdigest()
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -97,4 +103,5 @@ def main(sf_dir, out_dir):
     sys.exit(1 if failures else 0)
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2],
+         set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None)
