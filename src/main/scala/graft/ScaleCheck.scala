@@ -41,6 +41,13 @@ object ScaleCheck {
         s"max_bucket=${tot.get(1)} avg=${tot.get(2)} " +
         s"multi_buckets=${multi.get(0)} cand_pairs=${multi.get(1)}")
 
+      // d10's exact-join candidate growth: sub-quadratic growth here is
+      // what makes the prefix-filtered join viable at 100× — if cand_pairs
+      // grew ~N² the prefix filter would be failing on this corpus shape.
+      val d10c = graft.ops.Dedup.jaccardCandidates(
+        graft.ops.Dedup.shingled(docs), 2, 5).count()
+      println(s"D10CANDS $dir cand_pairs=$d10c")
+
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val cells = emb
         .select(graft.ops.Similarity.signBucket(col("embedding"), 4).as("cell"))

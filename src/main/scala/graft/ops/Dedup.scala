@@ -267,18 +267,7 @@ object Dedup {
     */
   def jaccardJoin(docs: DataFrame, num: Int = 2, den: Int = 5): DataFrame = {
     val withSh = shingled(docs)
-    val ex = withSh.select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("g"))
-    val df = ex.groupBy("g").agg(count(lit(1)).as("df"))
-    val pref = ex.join(df, "g")
-      .groupBy("doc_id")
-      .agg(max("n").as("n"),
-        sort_array(collect_list(struct(col("df"), col("g")))).as("ord"))
-      .select(col("doc_id"), explode(expr(
-        s"slice(transform(ord, x -> x.g), 1, n - ((n * $num + ${den - 1}) div $den) + 1)")).as("g"))
-    val cands = pref.as("a").join(pref.as("b"), "g")
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cands = jaccardCandidates(withSh, num, den)
     val shA = withSh.select(col("doc_id").as("doc_a"), col("s").as("sa"))
     val shB = withSh.select(col("doc_id").as("doc_b"), col("s").as("sb"))
     cands.join(shA, "doc_a").join(shB, "doc_b")
@@ -288,6 +277,44 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") / col("uni"), 4).as("j"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Candidate stage of `jaccardJoin` (shared with graft.ScaleCheck so the
+    * measured candidate growth is the pipeline's own, not a re-model). */
+  private[graft] def jaccardCandidates(withSh: DataFrame, num: Int, den: Int): DataFrame = {
+    val ex = withSh.select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("g"))
+    val dfq = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    // Rank each document's shingles in the global rarest-first total order
+    // (df, g); row_number gives the set POSITION for free — the window
+    // replaces a collect_list + per-row array sort, and the position
+    // feeds the filter below. Prefix = the first n - ceil(tau*n) + 1.
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "g")
+    val pos = ex.join(dfq, "g")
+      .withColumn("p", row_number().over(wOrd) - 1)
+      .where(col("p") < col("n") - expr(s"(n * $num + ${den - 1}) div $den") + 1)
+    // Positional filter (PPJoin): both lists are sorted by the SAME global
+    // order, so the globally-smallest shared token attains min(pa) and
+    // min(pb) simultaneously, has no shared token before it in either
+    // list, and bounds the whole intersection by what remains after it:
+    //   inter <= min(na - min_pa, nb - min_pb).
+    // J >= num/den needs inter >= num*(na+nb)/(num+den); integer
+    // cross-multiplication avoids the ceil. Late-position matches — the
+    // frequent shingles two random documents happen to share — die here,
+    // which is what turns 10^5-scale raw candidates into ~the true pairs.
+    // The bound is applied per JOIN ROW: the globally-first shared token
+    // has minimal (pa, pb) in both lists simultaneously (both are sorted
+    // by the same global order), so if a qualifying pair exists its
+    // first-match row passes the bound — filtering rows before the
+    // distinct cannot lose a pair, and shrinks the aggregate's input.
+    pos.select(col("doc_id").as("doc_a"), col("n").as("na"), col("p").as("pa"), col("g"))
+      .join(pos.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("p").as("pb"), col("g")), "g")
+      .where(col("doc_a") < col("doc_b") &&
+        col("na") * den >= col("nb") * num && col("nb") * den >= col("na") * num &&
+        least(col("na") - col("pa"), col("nb") - col("pb")) * (num + den)
+          >= (col("na") + col("nb")) * num)
+      .select("doc_a", "doc_b")
+      .distinct()
   }
 
   /** Chunk-level exact dedup: hash aligned `width`-word windows and report
