@@ -29,6 +29,25 @@ object Dedup {
       .select("doc_id", "copies")
       .orderBy("doc_id")
 
+  /** Digest index of a corpus — the persisted state for cross-run
+    * incremental dedup (one 64-hex row per distinct text). */
+  def digestIndex(docs: DataFrame): DataFrame =
+    docs.select(sha2(col("text"), 256).as("h")).distinct()
+
+  /** Incremental exact dedup against a previously-built digest index:
+    * keeps only documents whose text was never seen in the indexed
+    * corpus — the "dedup tonight's crawl against everything already
+    * ingested" step, without re-reading the historical corpus.
+    *
+    * Scale: a left-anti equi-join on the digest; both sides shuffle
+    * ~70 bytes/row, and the historical side is the INDEX (digests), not
+    * the corpus. Union `digestIndex(kept)` back into the index to advance
+    * it run-over-run. */
+  def dedupAgainstIndex(docs: DataFrame, index: DataFrame): DataFrame =
+    docs.withColumn("h", sha2(col("text"), 256))
+      .join(index, Seq("h"), "left_anti")
+      .drop("h")
+
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     *
     * Pipeline (all shuffles key-partitioned):
@@ -264,6 +283,13 @@ object Dedup {
     * the final test (`inter * den >= union * num`) are integer-exact: a
     * float `ceil(tau*n)` at a representation boundary could shrink the
     * prefix below the safe length and silently drop pairs.
+    *
+    * Scale positioning (measured in SCALECHECK.md): prefix selectivity
+    * comes from heavy-tailed rare shingles. On corpora where the shingle
+    * vocabulary saturates (every shingle common), candidates track the
+    * true co-occurrence structure, which is itself ~quadratic — use
+    * `minhashLsh` (linear candidates) as the full-corpus pass and this
+    * operator for exactness-critical subsets or high-tau passes.
     */
   def jaccardJoin(docs: DataFrame, num: Int = 2, den: Int = 5): DataFrame = {
     val withSh = shingled(docs)

@@ -336,6 +336,24 @@ class OpsSpec extends GraftSuite {
     out.groupBy(_._1).foreach { case (_, rs) => assert(rs.length <= 10) }
   }
 
+  test("incremental dedup against a digest index admits only novel texts") {
+    val half = docs.where(col("doc_id") < 250)
+    val index = Dedup.digestIndex(half)
+    // Docs identical in text to an indexed doc must be dropped; the rest
+    // survive — including exact in-batch copies of NOVEL texts (the index
+    // join is per-row; in-batch dedup is `exact`'s job).
+    val kept = Dedup.dedupAgainstIndex(docs, index)
+    val indexedTexts = half.select("text").distinct().collect().map(_.getString(0)).toSet
+    val keptRows = kept.select("doc_id", "text").collect()
+    assert(keptRows.forall(r => !indexedTexts.contains(r.getString(1))))
+    val expected = docs.select("doc_id", "text").collect()
+      .filter(r => !indexedTexts.contains(r.getString(1))).map(_.getLong(0)).toSet
+    assert(keptRows.map(_.getLong(0)).toSet == expected)
+    // Advancing the index with the kept set closes it over the full corpus.
+    val advanced = index.union(Dedup.digestIndex(kept)).distinct()
+    assert(Dedup.dedupAgainstIndex(docs, advanced).count() == 0)
+  }
+
   test("sequence pack matches the serial concat-and-chop assignment") {
     val out = graft.ops.Sampling.sequencePack(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -123,4 +123,37 @@ class StreamingWindowSpec extends GraftSuite {
         s"batch formulation disagrees: $sessions")
     } finally q.stop()
   }
+
+  test("streaming exact dedup drops in-horizon duplicates and evicts old state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, String)]
+    val out = streaming.StreamingDedup.dedup(
+      input.toDF().toDF("ts", "text"), "10 minutes")
+    val q = out.writeStream
+      .format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      // Same text three times inside the horizon -> first instance only.
+      input.addData((ts(10, 0), "alpha"), (ts(10, 1), "alpha"), (ts(10, 2), "beta"))
+      q.processAllAvailable()
+      input.addData((ts(10, 5), "alpha"))
+      q.processAllAvailable()
+      val first = spark.table("sdedup").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)))
+      assert(first.count(_._2 == "alpha") == 1, s"dup must drop: ${first.toSeq}")
+      assert(first.count(_._2 == "beta") == 1)
+      // Push the watermark far past 10:xx (eviction), then repeat "alpha":
+      // the digest state is gone, so the late duplicate is re-admitted —
+      // the documented bounded-state trade.
+      input.addData((ts(14, 0), "gamma"))
+      q.processAllAvailable()
+      input.addData((ts(14, 30), "alpha"))
+      q.processAllAvailable()
+      val after = spark.table("sdedup").collect().map(_.getString(1))
+      assert(after.count(_ == "alpha") == 2,
+        s"post-eviction duplicate should re-admit: ${after.toSeq}")
+    } finally q.stop()
+  }
 }
