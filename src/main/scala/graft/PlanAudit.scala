@@ -132,6 +132,12 @@ object PlanAudit {
       "prefix self-join reuses one prefix computation (ReusedExchange)" ->
         (_.contains("ReusedExchange")))
 
+    audit("e5_centroid_assign", qs("e5_centroid_assign")(spark, sfDir),
+      "labels-sized centroid frame broadcasts against one corpus scan" ->
+        (_.contains("BroadcastNestedLoopJoin")),
+      "per-vector argmax is an aggregate, not a window rank" ->
+        (p => !p.contains("Window")))
+
     audit("s3_pergroup_sample", qs("s3_pergroup_sample")(spark, sfDir),
       "per-group sample is a bounded map-side aggregate, not a corpus-wide Window rank" ->
         (p => p.contains("ObjectHashAggregate") && !p.contains("Window")),

@@ -52,7 +52,8 @@ object DeclaredOps {
     "s4_sequence_pack" -> ((s, dir) => Sampling.sequencePack(docs(s, dir))),
     "d10_jaccard_join" -> ((s, dir) => Dedup.jaccardJoin(docs(s, dir))),
     "t11_chunk_dedup"  -> ((s, dir) => Dedup.chunkDedup(docs(s, dir))),
-    "e4_quantized_topk" -> ((s, dir) => Similarity.quantizedTopK(emb(s, dir), col("vec_id") < 5)))
+    "e4_quantized_topk" -> ((s, dir) => Similarity.quantizedTopK(emb(s, dir), col("vec_id") < 5)),
+    "e5_centroid_assign" -> ((s, dir) => Similarity.centroidAssign(emb(s, dir))))
 
   // ---- DuckDB oracle SQL ----
 
@@ -194,6 +195,35 @@ object DeclaredOps {
         |        / count(*), 4) + 0 AS m
         |FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
         |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+
+    // Centroids reuse e3's exact-decimal means (identical bits in both
+    // engines); cosines are double left folds in both, so each engine's
+    // per-vector argmax agrees. Ties (never in practice) break to the
+    // larger label on both sides.
+    "e5_centroid_assign" ->
+      """WITH cent AS (
+        |  SELECT label AS clabel, list(m ORDER BY pos) AS c FROM (
+        |    SELECT label, i - 1 AS pos,
+        |      round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+        |            / count(*), 4) + 0 AS m
+        |    FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+        |    GROUP BY label, i)
+        |  GROUP BY label),
+        |v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT vec_id, label, clabel,
+        |    list_sum(list_transform(range(1, 65), i -> v[i] * c[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, 65), i -> c[i] * c[i])))) AS cos
+        |  FROM v CROSS JOIN cent),
+        |best AS (
+        |  SELECT vec_id, label, clabel FROM (
+        |    SELECT vec_id, label, clabel,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel DESC) AS rn
+        |    FROM scored)
+        |  WHERE rn = 1)
+        |SELECT label AS true_label, clabel AS assigned_label, count(*) AS n
+        |FROM best GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "t1_langid" ->
       """SELECT doc_id, CASE

@@ -75,6 +75,42 @@ object Similarity {
         .davg(col("v").cast("double"), 4, "decimal(18,9)").as("m"))
       .orderBy("label", "pos")
 
+  /** Nearest-centroid assignment + confusion counts — the evaluation step
+    * of an embedding pipeline: every vector is assigned the label of its
+    * most cosine-similar centroid, reported as the (true, assigned)
+    * confusion matrix.
+    *
+    * Scale: the centroids are a labels-sized frame built from scalar
+    * partials (the SAME exact-decimal element means as labelCentroids, so
+    * the centroid bits are engine-identical) and broadcast against one
+    * corpus scan; the argmax is `max_by` inside a per-vector aggregate —
+    * map-side partial, no window rank, no corpus×labels shuffle — and the
+    * confusion count aggregates on a labels² key space. Cosines are left
+    * folds in both engines, so the per-engine argmax cannot diverge; an
+    * exact cosine tie (never with real data) breaks to the larger label
+    * on both sides.
+    */
+  def centroidAssign(emb: DataFrame): DataFrame = {
+    val cent = emb
+      .select(col("label").as("clabel"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("clabel", "pos")
+      .agg(graft.functions.StableAgg.davg(col("v").cast("double"), 4, "decimal(18,9)").as("m"))
+      .groupBy("clabel")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)").as("c"))
+    val cosExpr = expr(
+      """aggregate(zip_with(embedding, c, (a, b) -> cast(a AS double) * b), 0D, (acc, x) -> acc + x)
+        | / (sqrt(aggregate(embedding, 0D, (acc, a) -> acc + cast(a AS double) * cast(a AS double)))
+        |    * sqrt(aggregate(c, 0D, (acc, b) -> acc + b * b)))""".stripMargin)
+    emb.select(col("vec_id"), col("label").as("true_label"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cos", cosExpr)
+      .groupBy("vec_id", "true_label")
+      .agg(max_by(col("clabel"), struct(col("cos"), col("clabel"))).as("assigned_label"))
+      .groupBy("true_label", "assigned_label")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "assigned_label")
+  }
+
   /** Embedding-cosine near-duplicate PAIRS — the dedup-family member over
     * vectors (exact/minhash/simhash/ngram cover text; this covers the
     * embedding modality). Random-hyperplane-style LSH with DETERMINISTIC

@@ -336,6 +336,18 @@ class OpsSpec extends GraftSuite {
     out.groupBy(_._1).foreach { case (_, rs) => assert(rs.length <= 10) }
   }
 
+  test("centroid assignment covers every vector once and is deterministic") {
+    val out = Similarity.centroidAssign(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(out.map(_._3).sum == emb.count(), "every vector assigned exactly once")
+    val labels = emb.select("label").distinct().collect().map(_.getInt(0)).toSet
+    out.foreach { case (t, a, _) => assert(labels(t) && labels(a)) }
+    // Pure function of the data: identical across runs/partitionings.
+    val again = Similarity.centroidAssign(emb.repartition(7)).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("incremental dedup against a digest index admits only novel texts") {
     val half = docs.where(col("doc_id") < 250)
     val index = Dedup.digestIndex(half)
