@@ -123,8 +123,44 @@ object Dedup {
     * pair participate; the corpus never joins in.
     */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.5,
-      maxIter: Int = 20): DataFrame = {
-    val pairs = minhashLsh(docs, threshold).select(col("doc_a"), col("doc_b"))
+      maxIter: Int = 20, driverCcMaxEdges: Long = 1000000): DataFrame = {
+    val pairsDf = minhashLsh(docs, threshold).select(col("doc_a"), col("doc_b"))
+
+    // Size-adaptive strategy, same idea as a broadcast-join threshold:
+    // the verified pair set is a few-percent-of-corpus artifact (exact
+    // dups are removed first, candidates were LSH-pruned and
+    // Jaccard-verified), so up to `driverCcMaxEdges` edges (~16 B each)
+    // union-find on the driver replaces diameter-many distributed
+    // join+checkpoint rounds — and the resulting label table is
+    // driver-local, so downstream consumers (dedupApply) broadcast it
+    // instead of re-executing the LSH chain. Above the threshold the
+    // Pregel-style loop below handles arbitrarily large edge sets.
+    val spark = docs.sparkSession
+    val pairsLocal = pairsDf
+      .limit(math.min(driverCcMaxEdges + 1, Int.MaxValue.toLong).toInt).collect()
+    if (pairsLocal.length <= driverCcMaxEdges) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairsLocal.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // Root chosen by min-union above IS the min member (roots only ever
+      // point to smaller ids), matching the distributed labeling.
+      val labels = parent.keys.toSeq.sorted.map(d => (d, find(d)))
+      import spark.implicits._
+      return labels.toDF("doc_id", "cluster").orderBy("doc_id")
+    }
+
+    val pairs = pairsDf
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)

@@ -53,6 +53,11 @@ class OpsSpec extends GraftSuite {
     val losers = clusters.count { case (d, c) => d != c }
     assert(applied.getLong(1) == losers)
     assert(applied.getLong(0) == docs.count() - losers)
+    // Size-adaptive CC: the distributed Pregel loop (forced by a zero
+    // driver threshold) must label identically to the driver union-find.
+    val viaLoop = Dedup.nearDupClusters(docs, driverCcMaxEdges = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLoop == clusters, "driver and distributed CC must agree")
   }
 
   test("simhash of near-dup pairs differs in few bits") {
