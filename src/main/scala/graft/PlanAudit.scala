@@ -132,6 +132,10 @@ object PlanAudit {
       "prefix self-join reuses one prefix computation (ReusedExchange)" ->
         (_.contains("ReusedExchange")))
 
+    audit("q33_star_join", qs("q33_star_join")(spark, sfDir),
+      "both dimension hops broadcast: fact scans once, never shuffles for a join" ->
+        (p => p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2))
+
     audit("e5_centroid_assign", qs("e5_centroid_assign")(spark, sfDir),
       "labels-sized centroid frame broadcasts against one corpus scan" ->
         (_.contains("BroadcastNestedLoopJoin")),

@@ -291,6 +291,37 @@ object DeclaredExt {
       .orderBy(coalesce(col("o_orderstatus"), lit("~")),
         coalesce(col("o_orderpriority"), lit("~")))
 
+  /** Q33 — star join: the fact table against two dimension hops
+    * (orders → customer → nation), both explicitly broadcast so the fact
+    * side streams through two BroadcastHashJoins in one scan stage —
+    * the canonical snowflake shape at any scale. */
+  def q33(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders").as("o")
+      .join(broadcast(Tables.load(spark, dir, "customer").as("c")),
+        col("o.o_custkey") === col("c.c_custkey"))
+      .join(broadcast(Tables.load(spark, dir, "nation").as("n")),
+        col("c.c_nationkey") === col("n.n_nationkey"))
+      .groupBy(col("n.n_name").as("nation"))
+      .agg(count(lit(1)).as("cnt"), StableAgg.dsum(col("o.o_totalprice")).as("rev"))
+      .orderBy("nation")
+
+  /** Q34 — sliding window frame: 3-event moving average of `value` per
+    * user (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW). The frame sum is
+    * decimal-exact (tiny frame, but the hashed output must be
+    * order-independent like every float aggregate here); order within a
+    * user is totalized by (ts, event_id). */
+  def q34(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-2, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .withColumn("mv",
+        round(sum(col("value").cast("decimal(18,6)")).over(w).cast("double")
+          / count(col("value")).over(w), 2) + lit(0d))
+      .select("user_id", "event_id", "mv")
+      .orderBy("user_id", "event_id")
+      .limit(300)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_range_join"     -> (q30 _),
     "q29_asof_join"      -> (q29 _),
@@ -310,7 +341,9 @@ object DeclaredExt {
     "q19_rollup"         -> (q19 _),
     "q20_sessionize"     -> (q20 _),
     "q31_pivot"          -> (q31 _),
-    "q32_cube"           -> (q32 _))
+    "q32_cube"           -> (q32 _),
+    "q33_star_join"      -> (q33 _),
+    "q34_sliding_window" -> (q34 _))
 
   val oracleSql: Map[String, String] = Map(
     "q31_pivot" -> {
@@ -326,6 +359,20 @@ object DeclaredExt {
         |CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY coalesce(o_orderstatus, '~'), coalesce(o_orderpriority, '~')""".stripMargin,
+    "q33_star_join" ->
+      """SELECT n.n_name AS nation, count(*) AS cnt,
+        |CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS rev
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY nation""".stripMargin,
+    "q34_sliding_window" ->
+      """SELECT user_id, event_id,
+        |round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |      / count(value) OVER w, 2) + 0 AS mv
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id LIMIT 300""".stripMargin,
     "q30_range_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec
         |           FROM events WHERE event_type = 'error'),
