@@ -305,6 +305,27 @@ object DeclaredExt {
       .agg(count(lit(1)).as("cnt"), StableAgg.dsum(col("o.o_totalprice")).as("rev"))
       .orderBy("nation")
 
+  /** Q35 — LATERAL explode with ordinality: tokens as rows with their
+    * position (posexplode ≡ DuckDB's lockstep unnest of value+range).
+    * Map-side fan-out; TakeOrdered bounds the output. */
+  def q35(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .where(length(col("token")) >= 6)
+      .orderBy("doc_id", "pos")
+      .limit(200)
+
+  /** Q36 — ordered string aggregation (LISTAGG family): deterministic via
+    * an explicit element sort; both engines use binary string order on
+    * this ASCII data. Bounded by the key filter so cells stay small. */
+  def q36(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .where(col("c_custkey") < 200)
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("cnt"),
+        concat_ws(",", sort_array(collect_list(col("c_name")))).as("names"))
+      .orderBy("seg")
+
   /** Q34 — sliding window frame: 3-event moving average of `value` per
     * user (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW). The frame sum is
     * decimal-exact (tiny frame, but the hashed output must be
@@ -343,7 +364,9 @@ object DeclaredExt {
     "q31_pivot"          -> (q31 _),
     "q32_cube"           -> (q32 _),
     "q33_star_join"      -> (q33 _),
-    "q34_sliding_window" -> (q34 _))
+    "q34_sliding_window" -> (q34 _),
+    "q35_explode_pos"    -> (q35 _),
+    "q36_string_agg"     -> (q36 _))
 
   val oracleSql: Map[String, String] = Map(
     "q31_pivot" -> {
@@ -365,6 +388,18 @@ object DeclaredExt {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n.n_name ORDER BY nation""".stripMargin,
+    "q35_explode_pos" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id, pos, token FROM (
+        |  SELECT doc_id, CAST(unnest(range(0, len(w))) AS INT) AS pos,
+        |         unnest(w) AS token FROM w)
+        |WHERE length(token) >= 6
+        |ORDER BY doc_id, pos LIMIT 200""".stripMargin,
+    "q36_string_agg" ->
+      """SELECT c_mktsegment AS seg, count(*) AS cnt,
+        |string_agg(c_name, ',' ORDER BY c_name) AS names
+        |FROM customer WHERE c_custkey < 200
+        |GROUP BY 1 ORDER BY seg""".stripMargin,
     "q34_sliding_window" ->
       """SELECT user_id, event_id,
         |round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
