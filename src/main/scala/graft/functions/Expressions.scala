@@ -106,12 +106,24 @@ object Expressions {
       copy(child = newChild)
   }
 
-  /** Double-precision cosine of two float arrays, folded sequentially —
-    * bit-identical to aggregate(zip_with(...)) / the DuckDB oracle's
-    * list_sum(list_transform(...)) form. */
+  /** Double-precision cosine of two float- or double-element arrays,
+    * folded sequentially — bit-identical to aggregate(zip_with(...)) /
+    * the DuckDB oracle's list_sum(list_transform(...)) form: the three
+    * accumulators (dot, |a|², |b|²) each sum in element order, so fusing
+    * them into one pass changes nothing about the per-accumulator fold.
+    * Mixed element types are read per side (float inputs widen to double
+    * per element, the same cast the lambda spelling applied), which lets
+    * a float corpus column score against double centroids without an
+    * interpreted higher-order lambda in the hot loop. */
   case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
+    private def isDouble(e: Expression): Boolean = e.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    private lazy val leftDouble = isDouble(left)
+    private lazy val rightDouble = isDouble(right)
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
@@ -119,8 +131,8 @@ object Expressions {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
-        val x = a.getFloat(i).toDouble
-        val y = b.getFloat(i).toDouble
+        val x = if (leftDouble) a.getDouble(i) else a.getFloat(i).toDouble
+        val y = if (rightDouble) b.getDouble(i) else b.getFloat(i).toDouble
         dot += x * y; na += x * x; nb += y * y
         i += 1
       }

@@ -355,28 +355,30 @@ object Dedup {
     val pos = ex.join(dfq, "g")
       .withColumn("p", row_number().over(wOrd) - 1)
       .where(col("p") < col("n") - expr(s"(n * $num + ${den - 1}) div $den") + 1)
-    // Positional filter (PPJoin): both lists are sorted by the SAME global
-    // order, so the globally-smallest shared token attains min(pa) and
-    // min(pb) simultaneously, has no shared token before it in either
-    // list, and bounds the whole intersection by what remains after it:
-    //   inter <= min(na - min_pa, nb - min_pb).
+    // Aggregated positional filter (PPJoin): both lists are sorted by the
+    // SAME global order, so every shared prefix token is counted by the
+    // join (`ov`), and any shared token NOT counted is missing from at
+    // least one prefix — i.e. it lives in a suffix, and suffix tokens
+    // rank AFTER every prefix token of their list. In particular it ranks
+    // after the greatest shared prefix token, so in list a it sits past
+    // position max(pa) and in list b past max(pb):
+    //   inter <= ov + min(na - 1 - max_pa, nb - 1 - max_pb).
     // J >= num/den needs inter >= num*(na+nb)/(num+den); integer
-    // cross-multiplication avoids the ceil. Late-position matches — the
-    // frequent shingles two random documents happen to share — die here,
-    // which is what turns 10^5-scale raw candidates into ~the true pairs.
-    // The bound is applied per JOIN ROW: the globally-first shared token
-    // has minimal (pa, pb) in both lists simultaneously (both are sorted
-    // by the same global order), so if a qualifying pair exists its
-    // first-match row passes the bound — filtering rows before the
-    // distinct cannot lose a pair, and shrinks the aggregate's input.
+    // cross-multiplication avoids the ceil. This per-PAIR bound (one
+    // groupBy where a distinct would sit anyway) is far tighter than the
+    // per-row first-match bound: pairs sharing only late-prefix frequent
+    // shingles — the bulk of raw candidates — die here before the
+    // array-intersect verify ever sees them.
     pos.select(col("doc_id").as("doc_a"), col("n").as("na"), col("p").as("pa"), col("g"))
       .join(pos.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("p").as("pb"), col("g")), "g")
       .where(col("doc_a") < col("doc_b") &&
-        col("na") * den >= col("nb") * num && col("nb") * den >= col("na") * num &&
-        least(col("na") - col("pa"), col("nb") - col("pb")) * (num + den)
-          >= (col("na") + col("nb")) * num)
+        col("na") * den >= col("nb") * num && col("nb") * den >= col("na") * num)
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("ov"), max(col("pa")).as("mpa"), max(col("pb")).as("mpb"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .where((col("ov") + least(col("na") - 1 - col("mpa"), col("nb") - 1 - col("mpb")))
+        * (num + den) >= (col("na") + col("nb")) * num)
       .select("doc_a", "doc_b")
-      .distinct()
   }
 
   /** Chunk-level exact dedup: hash aligned `width`-word windows and report

@@ -97,13 +97,14 @@ object Similarity {
       .agg(graft.functions.StableAgg.davg(col("v").cast("double"), 4, "decimal(18,9)").as("m"))
       .groupBy("clabel")
       .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)").as("c"))
-    val cosExpr = expr(
-      """aggregate(zip_with(embedding, c, (a, b) -> cast(a AS double) * b), 0D, (acc, x) -> acc + x)
-        | / (sqrt(aggregate(embedding, 0D, (acc, a) -> acc + cast(a AS double) * cast(a AS double)))
-        |    * sqrt(aggregate(c, 0D, (acc, b) -> acc + b * b)))""".stripMargin)
+    // Native fused cosine (CosineSim handles the float-corpus ×
+    // double-centroid type mix): same per-accumulator fold order as the
+    // aggregate(zip_with(...)) spelling, so values are bit-identical to
+    // the oracle — but a tight JVM loop instead of ~4 interpreted
+    // higher-order lambdas per (vector, centroid) pair.
     emb.select(col("vec_id"), col("label").as("true_label"), col("embedding"))
       .crossJoin(broadcast(cent))
-      .withColumn("cos", cosExpr)
+      .withColumn("cos", cosine(col("embedding"), col("c")))
       .groupBy("vec_id", "true_label")
       .agg(max_by(col("clabel"), struct(col("cos"), col("clabel"))).as("assigned_label"))
       .groupBy("true_label", "assigned_label")
