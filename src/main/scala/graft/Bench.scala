@@ -33,10 +33,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Dev-time focus filter: SPARK_GRAFT_ONLY=d10_jaccard_join,q3_scalar_agg
+    // restricts the run (warmup still covers everything so the timed pass
+    // sees the same JVM state as a full run). Unset for driver runs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val warmQs = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+    }
 
     // Warmup: run everything once, materialized, untimed.
-    qs.foreach { case (_, fn) =>
+    warmQs.foreach { case (_, fn) =>
       try fn(spark, sfDir).collect() catch { case _: Throwable => }
     }
 
@@ -45,15 +57,25 @@ object Bench {
     // regression (ADVICE r2).
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = qs.map { case (name, fn) =>
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
+      var planSec = 0.0
       val ok =
-        try { fn(spark, sfDir).collect(); true }
+        try {
+          val df = fn(spark, sfDir)
+          df.queryExecution.executedPlan
+          planSec = (System.nanoTime() - t0) / 1e9
+          df.collect(); true
+        }
         catch { case t: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
           errors += name
           false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name ${sec}%.3f s (plan ${planSec}%.3f s, " +
+        f"gc ${(gcMillis - gc0) / 1e3}%.3f s)")
+      name -> (if (ok) sec else -1.0)
     }
 
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }

@@ -352,9 +352,16 @@ object Dedup {
     // feeds the filter below. Prefix = the first n - ceil(tau*n) + 1.
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("df", "g")
+    // The repartition pins an Exchange ABOVE the window + prefix filter:
+    // without it only the exchange BELOW the window is reused and each
+    // self-join side re-sorts, re-ranks, and re-filters the postings.
+    // With it, the whole prefix computation runs once and both join
+    // sides (already keyed by g) resolve to ReusedExchange — and the
+    // exchanged frame is the PREFIX postings (smaller than the input).
     val pos = ex.join(dfq, "g")
       .withColumn("p", row_number().over(wOrd) - 1)
       .where(col("p") < col("n") - expr(s"(n * $num + ${den - 1}) div $den") + 1)
+      .repartition(col("g"))
     // Aggregated positional filter (PPJoin): both lists are sorted by the
     // SAME global order, so every shared prefix token is counted by the
     // join (`ov`), and any shared token NOT counted is missing from at
