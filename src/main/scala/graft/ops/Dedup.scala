@@ -231,21 +231,28 @@ object Dedup {
     * the declared oracle checks). */
   def sourceOverlap(docs: DataFrame,
       maxSourcesPerShingle: Int = Int.MaxValue): DataFrame = {
-    // Repartition on the join key so both self-join sides and the count
-    // aggregate resolve to ReusedExchange over ONE shingling pass.
+    // ONE exchange, keyed by the join key, placed BEFORE the distinct:
+    // HashPartitioning(g) satisfies the (source, g) clustering the
+    // dedup aggregate needs (equal g ⇒ same partition ⇒ equal (source,
+    // g) co-located), so the distinct runs exchange-free on top, and
+    // both self-join sides and the count aggregate resolve to
+    // ReusedExchange over the same shingling pass. The old spelling
+    // (distinct → repartition) shuffled the shingle set twice.
     val e0 = docs.select(col("source"), explode(shingles(col("text"))).as("g"))
-      .distinct()
       .repartition(col("g"))
+      .dropDuplicates("source", "g")
     val e =
       if (maxSourcesPerShingle == Int.MaxValue) e0
       else {
         // Anti-join against the hot-shingle set; counts below use the
         // FILTERED frame so Jaccard denominators stay consistent with
         // the intersection the join can still see.
+        // e0 is already g-partitioned: the df aggregate, the anti-join,
+        // and everything downstream inherit that partitioning.
         val hot = e0.groupBy("g").agg(count(lit(1)).as("df"))
           .where(col("df") > maxSourcesPerShingle)
           .select("g")
-        e0.join(hot, Seq("g"), "left_anti").repartition(col("g"))
+        e0.join(hot, Seq("g"), "left_anti")
       }
     val counts = e.groupBy("source").agg(count(lit(1)).as("n"))
     val eA = e.select(col("source").as("src_a"), col("g"))
