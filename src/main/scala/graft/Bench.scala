@@ -27,6 +27,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", math.min(cpus.toInt, 8).toString))
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      // The default 100-entry generated-class cache cannot hold a 75-query
+      // suite (~5 codegen units each): by the time the timed pass reaches a
+      // query, its classes were evicted during warmup and Janino recompiles
+      // them inside the measurement — which is compile latency, not query
+      // cost, and it penalizes the heaviest plans the most. Static conf, so
+      // it must be set on the builder, not at runtime.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
