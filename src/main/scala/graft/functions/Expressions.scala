@@ -171,6 +171,34 @@ object Expressions {
         newRight: Expression): JaccardSim = copy(left = newLeft, right = newRight)
   }
 
+  /** Intersection cardinality of two SORTED distinct string arrays — a
+    * two-pointer merge walk with zero per-row allocation, for verify
+    * stages that score 10^5+ candidate pairs (d10): size(array_intersect)
+    * builds a hash map per row, this compares in place. Inputs must be
+    * sorted ascending by binary UTF8 order (array_sort) and
+    * duplicate-free (WordShingles emits distinct shingles); the count is
+    * then identical to the hash-set and DuckDB list_intersect forms. */
+  case class SortedIntersectSize(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val na = a.numElements(); val nb = b.numElements()
+      var i = 0; var j = 0; var inter = 0
+      while (i < na && j < nb) {
+        val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (c == 0) { inter += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+      inter
+    }
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): SortedIntersectSize =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Distinct word n-gram shingles of a text column: split on single
     * spaces (trailing empties kept, same token list as split(text, ' ')
     * and DuckDB string_split), join each n consecutive tokens with ' '.
@@ -278,6 +306,8 @@ object Expressions {
   def simhash60(c: Column): Column = column(SimHash60(expression(c)))
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
   def jaccardSim(a: Column, b: Column): Column = column(JaccardSim(expression(a), expression(b)))
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    column(SortedIntersectSize(expression(a), expression(b)))
   def wordShingles(c: Column, n: Int = 3): Column = column(WordShingles(expression(c), n))
   def md5WordHashes(c: Column): Column = column(Md5WordHashes(expression(c)))
   def rollingFp(c: Column): Column = column(RollingFp(expression(c)))

@@ -337,10 +337,14 @@ object Dedup {
   def jaccardJoin(docs: DataFrame, num: Int = 2, den: Int = 5): DataFrame = {
     val withSh = shingled(docs)
     val cands = jaccardCandidates(withSh, num, den)
-    val shA = withSh.select(col("doc_id").as("doc_a"), col("s").as("sa"))
-    val shB = withSh.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+    // Sort each document's shingles ONCE (5e3 rows) so the 10^5-pair
+    // verify is an allocation-free two-pointer walk per pair instead of
+    // a per-pair hash build (same cardinality, see SortedIntersectSize).
+    val shA = withSh.select(col("doc_id").as("doc_a"), array_sort(col("s")).as("sa"))
+    val shB = withSh.select(col("doc_id").as("doc_b"), array_sort(col("s")).as("sb"))
     cands.join(shA, "doc_a").join(shB, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("inter",
+        graft.functions.Expressions.sortedIntersectSize(col("sa"), col("sb")))
       .withColumn("uni", size(col("sa")) + size(col("sb")) - col("inter"))
       .where(col("inter") * den >= col("uni") * num)
       .select(col("doc_a"), col("doc_b"),

@@ -2,7 +2,7 @@ package graft
 
 import org.scalacheck.{Gen, Prop, Test => PropTest}
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{array_sort, col}
 
 import graft.core.Manifest
 import graft.fixtures.FixtureGen
@@ -103,6 +103,17 @@ class PropertySpec extends GraftSuite {
         if (union.isEmpty) 0.0
         else sa.intersect(sb).size.toDouble / union.size
       math.abs(got - expected) < 1e-12
+    }, n = 30)
+  }
+
+  test("property: SortedIntersectSize equals set intersection on sorted distinct arrays") {
+    check(Prop.forAll(genWords, genWords) { (a, b) =>
+      val df = spark.createDataFrame(Seq((a.distinct.toArray, b.distinct.toArray)))
+        .toDF("a", "b")
+      val got = df.select(graft.functions.Expressions.sortedIntersectSize(
+          array_sort(col("a")), array_sort(col("b"))))
+        .collect()(0).getInt(0)
+      got == a.toSet.intersect(b.toSet).size
     }, n = 30)
   }
 
