@@ -61,6 +61,10 @@ object Server {
       .config("spark.sql.shuffle.partitions", math.min(cpus.toInt, 16))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // A long-lived server sees an unbounded stream of ad-hoc query
+      // shapes; the default 100-entry generated-class cache thrashes and
+      // every eviction is a Janino recompile on the query path.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
