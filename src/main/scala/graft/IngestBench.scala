@@ -1,0 +1,136 @@
+package graft
+
+import java.net.Socket
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ingest.{BufferedAppender, HepV3, LineProtocol, Listeners}
+
+/** Ingest-path throughput benchmark — the reference's own domain is HEP
+  * capture, and it publishes no numbers (BASELINE.md: its loopback smoke
+  * script does ~2 rows/s by construction). This main measures the
+  * engine's single-node ingest edge in three tiers so the cost of each
+  * layer is visible:
+  *
+  *   1. `hep_wire_rows_per_s` — TCP loopback socket → length framing →
+  *      HEPv3 chunk decode → buffer append, flushes excluded (a huge
+  *      buffer): the pure receive/decode rate of one listener thread.
+  *   2. `hep_e2e_rows_per_s` — same wire path with the reference's flush
+  *      semantics (1,000-row buffers, hepop.js:12–14): every cost down to
+  *      the parquet WAL files + manifest updates is included.
+  *   3. `lp_rows_per_s` — Line Protocol text → parse → typed append with
+  *      1,000-row flushes (the `/write` path minus HTTP).
+  *
+  * Prints one JSON line on stdout and writes SPARK_GRAFT_INGEST_OUT
+  * (default /root/repo/ingest_out.json).
+  */
+object IngestBench {
+  private def mkPacket(i: Int): HepV3.Packet = {
+    val callId = s"bench-${i % 9973}@graft"
+    HepV3.Packet(
+      HepV3.RcInfo(
+        protocolFamily = Some(2), protocol = Some(17),
+        srcIp = Some(s"10.0.${(i >> 8) & 255}.${i & 255}"),
+        dstIp = Some("10.0.0.1"),
+        srcPort = Some(5060 + (i % 32)), dstPort = Some(5060),
+        timeSeconds = Some(1700000000L + i / 1000),
+        timeUseconds = Some((i % 1000) * 1000L),
+        payloadType = Some(1), captureId = Some(2001L),
+        correlationId = Some(callId)),
+      (s"INVITE sip:user$i@example.org SIP/2.0\r\nCall-ID: $callId\r\n" +
+        "From: <sip:a@example.org>;tag=x\r\nTo: <sip:b@example.org>\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Stream `frames` over a loopback TCP socket to `listener`; returns
+    * (seconds, wireBytes) once the listener's sink has seen them all. */
+  private def pump(port: Int, frames: Array[Array[Byte]], reps: Int,
+      seen: AtomicLong, expect: Long): (Double, Long) = {
+    val sock = new Socket("127.0.0.1", port)
+    sock.setTcpNoDelay(false)
+    val out = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
+    var bytes = 0L
+    val t0 = System.nanoTime()
+    var r = 0
+    while (r < reps) {
+      var i = 0
+      while (i < frames.length) {
+        out.write(frames(i)); bytes += frames(i).length; i += 1
+      }
+      r += 1
+    }
+    out.flush(); sock.close()
+    while (seen.get < expect) Thread.sleep(2)
+    ((System.nanoTime() - t0) / 1e9, bytes)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val frames = (0 until 10000).map(i => HepV3.encode(mkPacket(i))).toArray
+
+    // Tier 1: wire+decode rate, no flushes (buffer far above row count).
+    val wireN = sys.env.getOrElse("SPARK_GRAFT_INGEST_WIRE_N", "500000").toLong
+    val dir1 = Files.createTempDirectory("graft-ingest1")
+    val app1 = new BufferedAppender(spark, dir1, bufferSize = Int.MaxValue)
+    val seen1 = new AtomicLong
+    val sink1 = Listeners.appenderSink(app1)
+    val l1 = new Listeners.TcpHepListener(
+      { f: Array[Byte] => sink1(f); seen1.incrementAndGet(); () }, 0).start()
+    val (wireSec, wireBytes) =
+      pump(l1.boundPort, frames, (wireN / frames.length).toInt, seen1, wireN)
+    l1.stop()
+
+    // Tier 2: end-to-end with the reference's 1,000-row flush semantics.
+    val e2eN = sys.env.getOrElse("SPARK_GRAFT_INGEST_E2E_N", "50000").toLong
+    val dir2 = Files.createTempDirectory("graft-ingest2")
+    val app2 = new BufferedAppender(spark, dir2, bufferSize = 1000)
+    val seen2 = new AtomicLong
+    val sink2 = Listeners.appenderSink(app2)
+    val l2 = new Listeners.TcpHepListener(
+      { f: Array[Byte] => sink2(f); seen2.incrementAndGet(); () }, 0).start()
+    val t2 = System.nanoTime()
+    pump(l2.boundPort, frames, (e2eN / frames.length).toInt, seen2, e2eN)
+    app2.flushAll()
+    val e2eSec = (System.nanoTime() - t2) / 1e9
+    l2.stop()
+    val e2eFiles = Files.walk(dir2).filter(_.toString.endsWith(".parquet")).count()
+
+    // Tier 3: LP parse + typed append, 1,000-row flushes.
+    val lpN = sys.env.getOrElse("SPARK_GRAFT_INGEST_LP_N", "200000").toInt
+    val lpLines = (0 until 10000).map(i =>
+      s"cpu,host=h${i % 64},region=r${i % 8} usage_idle=${90.0 + (i % 10)},load=${i % 100}i ${1700000000000000000L + i.toLong * 1000000}")
+    val dir3 = Files.createTempDirectory("graft-ingest3")
+    val app3 = new BufferedAppender(spark, dir3, bufferSize = 1000)
+    val t3 = System.nanoTime()
+    var done = 0
+    while (done < lpN) {
+      val batch = lpLines.flatMap(l => LineProtocol.parse(l))
+      app3.addLinePoints(batch)
+      done += lpLines.length
+    }
+    app3.flushAll()
+    val lpSec = (System.nanoTime() - t3) / 1e9
+
+    val line = f"""{"hep_wire_rows_per_s":${wireN / wireSec}%.0f,""" +
+      f""""hep_wire_mb_per_s":${wireBytes / wireSec / 1e6}%.1f,""" +
+      f""""hep_e2e_rows_per_s":${e2eN / e2eSec}%.0f,"hep_e2e_files":$e2eFiles,""" +
+      f""""lp_rows_per_s":${lpN / lpSec}%.0f,""" +
+      f""""wire_n":$wireN,"e2e_n":$e2eN,"lp_n":$lpN}"""
+    println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_INGEST_OUT", "/root/repo/ingest_out.json")
+    try Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Exception => System.err.println(s"[ingest] write $out: $e") }
+    spark.stop()
+  }
+}

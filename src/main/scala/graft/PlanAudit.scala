@@ -17,6 +17,7 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // Audit the static physical plan: under AQE the pre-execution plan
       // hides ReusedExchange/codegen annotations behind AdaptiveSparkPlan.
       .config("spark.sql.adaptive.enabled", "false")

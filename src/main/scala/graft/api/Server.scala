@@ -65,6 +65,8 @@ object Server {
       // shapes; the default 100-entry generated-class cache thrashes and
       // every eviction is a Janino recompile on the query path.
       .config("spark.sql.codegen.cache.maxEntries", "4000")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

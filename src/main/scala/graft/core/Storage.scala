@@ -56,6 +56,7 @@ final class Storage(base: Path, pruneInScan: Boolean = false) extends TableProvi
 
   override def load(spark: SparkSession, name: String,
       startNs: Long, endNs: Long): Option[DataFrame] = {
+    TimeUtils.parquetReadConfs(spark) // WAL files store naive micros
     // In-scan mode: one manifest-backed FileIndex relation; the query's
     // OWN resolved timestamp predicates drive pruning at plan time
     // (org.apache.spark.sql.graftshim.ManifestFileIndex), so the provider

@@ -35,7 +35,7 @@ object Tables {
       // ~1.7e18 ns the double ulp is 256 ns — enough to round some values
       // UP by 1 µs vs DuckDB's truncating cast (caught by the q29 oracle,
       // the first query that outputs raw event timestamps).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      TimeUtils.parquetReadConfs(spark)
       val df = spark.read.parquet(s"$dir/$name.parquet")
       if (name == "events" && df.schema("ts").dataType == LongType)
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -48,4 +48,20 @@ object TimeUtils {
   /** ms-truncated ISO literal, the reference's rewritten time filter form
     * (`TIMESTAMP '<iso>'`, query.js:165–166). */
   def isoMs(ns: Long): String = utc(nsToMs(ns)).format(isoMsFmt)
+
+  /** Session confs every parquet-reading entry point needs (idempotent;
+    * both are runtime-settable):
+    *  - nanosAsLong: events.ts is parquet TIMESTAMP(NANOS), not a Spark
+    *    type — read as long, converted in Tables.load.
+    *  - inferTimestampNTZ off: the WAL writer stores naive
+    *    TIMESTAMP(MICROS) (isAdjustedToUTC=false, the reference's
+    *    parquetjs layout; DuckDB reads it as plain TIMESTAMP). With NTZ
+    *    inference on, Spark 4 would surface those columns as
+    *    TimestampNTZType and every downstream timestamp comparison/
+    *    virtual column would type-mismatch; off restores the session-UTC
+    *    instant reading the engine (and the old INT96 files) always had. */
+  def parquetReadConfs(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+  }
 }

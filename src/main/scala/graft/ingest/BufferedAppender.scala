@@ -2,10 +2,8 @@ package graft.ingest
 
 import java.nio.file.{Files, Path, StandardCopyOption}
 import java.sql.Timestamp
-import java.util.{ArrayList => JArrayList}
 
 import scala.collection.mutable
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.types._
@@ -34,7 +32,7 @@ import graft.core.{Manifest, TimeUtils}
   * Structured Streaming `foreachBatch` with the same flush semantics.
   */
 final class BufferedAppender(
-    spark: SparkSession,
+    spark: SparkSession, // kept: call sites bind the session owning this WAL
     base: Path,
     writerId: String = "writer1",
     bufferSize: Int = 1000) {
@@ -167,10 +165,7 @@ final class BufferedAppender(
     Files.createDirectories(dir)
     val target = dir.resolve(f"$seq%010d.parquet")
 
-    val jrows = new JArrayList[Row](buf.rows.size)
-    buf.rows.foreach(jrows.add)
-    val df = spark.createDataFrame(jrows, buf.schema)
-    writeSingleParquet(df, target)
+    writeSingleParquet(buf.rows.toSeq, buf.schema, target)
 
     val (minMs, maxMs) = buf.rows.foldLeft((Long.MaxValue, Long.MinValue)) { (acc, r) =>
       val t = r.getTimestamp(0).getTime
@@ -205,27 +200,83 @@ final class BufferedAppender(
       Manifest.save(path, Manifest.WriterManifest(writerId, 0, 0))
   }
 
-  /** Spark writes a directory; the reference layout wants one named file.
-    * Write to a temp dir, move the single part file into place. */
-  private def writeSingleParquet(df: org.apache.spark.sql.DataFrame, target: Path): Unit = {
-    val tmp = Files.createTempDirectory(target.getParent, ".flush")
-    try {
-      df.coalesce(1).write
-        .option("parquet.bloom.filter.enabled#timestamp", "true")
-        .option("parquet.bloom.filter.expected.ndv#timestamp", "1024")
-        .mode("overwrite")
-        .parquet(tmp.toString)
-      val part = Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.startsWith("part-"))
-        .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
-      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
-    } finally {
-      // best-effort cleanup of _SUCCESS/.crc leftovers
-      val s = Files.walk(tmp)
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
-      finally s.close()
+  /** WAL flush via a DIRECT single-file parquet writer (parquet-hadoop is
+    * on Spark's classpath) — launching a Spark job per 1,000-row flush
+    * made the job scheduler the ingest ceiling (~5k rows/s end-to-end;
+    * graft.IngestBench). The reference writes its WAL files with its own
+    * writer too (parquetjs, hepop.js:159–214); the cluster engine is for
+    * queries and compaction, not 1,000-row edge files. Emits the same
+    * reader-visible layout Spark's writer produced: INT64
+    * TIMESTAMP(MICROS, UTC-adjusted), UTF8 strings, snappy, bloom filter
+    * on `timestamp` with NDV 1024 (hepop.js:27–34), written to a dot-tmp
+    * name and atomically renamed (reference parity: hepop.js:245–276). */
+  private def writeSingleParquet(rows: Seq[Row], schema: StructType, target: Path): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+    val msg: MessageType = {
+      val fields = schema.fields.map { f =>
+        val rep = if (f.nullable) Type.Repetition.OPTIONAL else Type.Repetition.REQUIRED
+        f.dataType match {
+          // isAdjustedToUTC=false: naive micros, the reference's parquetjs
+          // layout — DuckDB reads plain TIMESTAMP, Spark reads
+          // TimestampType under TimeUtils.parquetReadConfs (NTZ inference
+          // off), matching how both engines read the old INT96 files.
+          case TimestampType => Types.primitive(INT64, rep)
+            .as(LogicalTypeAnnotation.timestampType(false,
+              LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
+          case StringType => Types.primitive(BINARY, rep)
+            .as(LogicalTypeAnnotation.stringType()).named(f.name)
+          case DoubleType => Types.primitive(DOUBLE, rep).named(f.name)
+          case BooleanType => Types.primitive(BOOLEAN, rep).named(f.name)
+          case LongType => Types.primitive(INT64, rep).named(f.name)
+          case dt => throw new IllegalArgumentException(s"unsupported WAL type $dt")
+        }
+      }
+      new MessageType("spark_schema", fields: _*)
     }
+
+    val tmp = target.getParent.resolve("." + target.getFileName.toString + ".tmp")
+    Files.deleteIfExists(tmp)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    // Raw local FS: no .crc sidecar files polluting the WAL directories.
+    conf.set("fs.file.impl", classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
+    val writer = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(tmp.toUri), conf))
+      .withType(msg)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withBloomFilterEnabled("timestamp", true)
+      .withBloomFilterNDV("timestamp", 1024)
+      .build()
+    val factory = new SimpleGroupFactory(msg)
+    try rows.foreach { r =>
+      val g = factory.newGroup()
+      var i = 0
+      while (i < schema.length) {
+        if (!r.isNullAt(i)) {
+          val name = schema.fields(i).name
+          schema.fields(i).dataType match {
+            case TimestampType =>
+              val ts = r.getTimestamp(i)
+              g.append(name, ts.getTime * 1000L + (ts.getNanos / 1000) % 1000L)
+            case StringType => g.append(name, r.getString(i))
+            case DoubleType => g.append(name, r.getDouble(i))
+            case BooleanType => g.append(name, r.getBoolean(i))
+            case LongType => g.append(name, r.getLong(i))
+            case dt => throw new IllegalArgumentException(s"unsupported WAL type $dt")
+          }
+        }
+        i += 1
+      }
+      writer.write(g)
+    } finally writer.close()
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
   }
 
   def bufferedRowCount(table: String): Int =
