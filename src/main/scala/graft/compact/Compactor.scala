@@ -79,7 +79,11 @@ final class Compactor(
     *       retains the rows in its buffer and re-flushes within seconds
     *       (overwriting the same seq-numbered path), and adopting its
     *       file in that window would commit the rows twice;
-    *     - unreadable/empty files → delete.
+    *     - unreadable/empty files → delete;
+    *     - stale `.<seq>.parquet.tmp` flush leftovers (appender crashed
+    *       mid-write, before the atomic rename) → delete once older than
+    *       `adoptAgeNs`; their rows were never manifest-committed and the
+    *       appender re-flushes them, so the tmp is pure disk leak.
     * Returns (droppedEntries, adoptedOrphans). */
   def verifyTable(table: String,
       nowNs: Long = System.currentTimeMillis() * TimeUtils.NsPerMs,
@@ -95,15 +99,22 @@ final class Compactor(
       val (kept, gone) = m0.files.partition(f => Files.exists(base.resolve(f.path)))
 
       val tdir = Manifest.tableDir(base, writerId, table)
-      val onDisk: List[Path] =
-        if (!Files.exists(tdir)) Nil
+      val (onDisk: List[Path], staleTmp: List[Path]) =
+        if (!Files.exists(tdir)) (Nil, Nil)
         else {
           val s = Files.walk(tdir)
-          try s.iterator().asScala.filter(p => Files.isRegularFile(p) &&
-              p.getFileName.toString.endsWith(".parquet") &&
-              !p.toString.contains("/.")).toList
-          finally s.close()
+          try {
+            val all = s.iterator().asScala.filter(Files.isRegularFile(_)).toList
+            (all.filter(p => p.getFileName.toString.endsWith(".parquet") &&
+                !p.toString.contains("/.")),
+              all.filter { p =>
+                p.getFileName.toString.endsWith(".parquet.tmp") &&
+                  Files.getLastModifiedTime(p).toMillis * TimeUtils.NsPerMs <=
+                    nowNs - adoptAgeNs
+              })
+          } finally s.close()
         }
+      staleTmp.foreach(Files.deleteIfExists(_))
       val known = kept.map(f => base.resolve(f.path).toAbsolutePath.normalize).toSet
       val orphans = onDisk.filterNot(p => known.contains(p.toAbsolutePath.normalize))
 

@@ -245,16 +245,27 @@ class RegressionSpec extends GraftSuite {
     Manifest.save(mpath,
       m.copy(files = m.files.filterNot(_.id == dropped.id) :+ stale).recomputed)
 
+    // Crash-leftover flush tmp (write happened, atomic rename never ran):
+    // stale ones are deleted, fresh ones (a live appender mid-flush) kept.
+    val staleTmp = anyFile.getParent.resolve(".0000000042.parquet.tmp")
+    val freshTmp = anyFile.getParent.resolve(".0000000043.parquet.tmp")
+    Files.copy(anyFile, staleTmp); Files.copy(anyFile, freshTmp)
+    Files.setLastModifiedTime(staleTmp,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000L))
+
     // A FRESH orphan must not be adopted (it may be a live appender's
     // pending retry — adopting inside that window double-commits rows)...
     val compactor = new Compactor(spark, base)
     val (d0, a0) = compactor.verifyTable("hl")
     assert(d0 == 1 && a0 == 0, "fresh orphan must wait out the adoption age gate")
+    assert(!Files.exists(staleTmp), "stale flush tmp must be deleted")
+    assert(Files.exists(freshTmp), "fresh flush tmp must be left for the live appender")
     // ...but once aged past the gate it is adopted ("now" advanced 1 h).
     val laterNs = System.currentTimeMillis() * TimeUtils.NsPerMs + 3600L * 1000000000L
     val (_, adoptedN) = compactor.verifyTable("hl", nowNs = laterNs)
     assert(adoptedN == 1, "orphan raw file must be adopted")
     assert(!Files.exists(cOrphan), "uncommitted compacted output must be deleted")
+    assert(!Files.exists(freshTmp), "aged-out flush tmp must be deleted")
     val healed = Manifest.loadTable(mpath).get
     assert(healed.files.length == 3 && healed.row_count == 3)
     val qs = new QueryService(spark, new Storage(base))
