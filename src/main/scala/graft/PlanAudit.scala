@@ -67,6 +67,13 @@ object PlanAudit {
       "band self-join reuses the signature exchange" ->
         (_.contains("ReusedExchange")))
 
+    audit("d11_decontaminate", qs("d11_decontaminate")(spark, sfDir),
+      "eval-side shingle postings broadcast (corpus never reshuffles for the join)" ->
+        (_.contains("BroadcastHashJoin")),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")),
+      "corpus side is map-only into the pair count: only the (doc, eval) aggregate shuffles" ->
+        (p => "hashpartitioning\\(".r.findAllIn(p).length == 1))
+
     audit("e1_cosine_topk", qs("e1_cosine_topk")(spark, sfDir),
       "query side broadcast (corpus scanned once, no N-way shuffle)" ->
         (p => p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange")),

@@ -53,7 +53,9 @@ object DeclaredOps {
     "d10_jaccard_join" -> ((s, dir) => Dedup.jaccardJoin(docs(s, dir))),
     "t11_chunk_dedup"  -> ((s, dir) => Dedup.chunkDedup(docs(s, dir))),
     "e4_quantized_topk" -> ((s, dir) => Similarity.quantizedTopK(emb(s, dir), col("vec_id") < 5)),
-    "e5_centroid_assign" -> ((s, dir) => Similarity.centroidAssign(emb(s, dir))))
+    "e5_centroid_assign" -> ((s, dir) => Similarity.centroidAssign(emb(s, dir))),
+    "d11_decontaminate" -> ((s, dir) =>
+      Dedup.decontaminate(docs(s, dir), col("doc_id") % 11 === 0)))
 
   // ---- DuckDB oracle SQL ----
 
@@ -355,6 +357,18 @@ object DeclaredOps {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |  WHERE len(a.s) > 0 AND len(b.s) > 0)
          |WHERE inter * 5 >= uni * 2 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Decontamination: corpus docs sharing >= 5 distinct 3-shingles with
+    // any eval doc (doc_id % 11 = 0). Counts are exact integers — the
+    // shingle sets are distinct per doc on both sides.
+    "d11_decontaminate" ->
+      s"""$ShingleCte,
+         |ev AS (SELECT doc_id AS eval_id, unnest(s) AS g FROM sh WHERE doc_id % 11 = 0),
+         |cp AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 11 <> 0)
+         |SELECT cp.doc_id, ev.eval_id, count(*) AS shared
+         |FROM cp JOIN ev USING (g)
+         |GROUP BY cp.doc_id, ev.eval_id HAVING count(*) >= 5
+         |ORDER BY cp.doc_id, ev.eval_id""".stripMargin,
 
     "t11_chunk_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

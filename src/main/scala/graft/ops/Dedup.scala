@@ -229,6 +229,33 @@ object Dedup {
     * they carry ~zero overlap signal — turning the worst key from
     * |sources|² into cap². Default Int.MaxValue = exact semantics (what
     * the declared oracle checks). */
+  /** Eval-set decontamination — the pretraining-pipeline step that flags
+    * corpus documents overlapping a benchmark/eval set (n-gram
+    * contamination in the Brown/GPT-3 sense): every (corpus doc, eval
+    * doc) pair sharing >= `minShared` distinct word 3-shingles.
+    *
+    * Scale: the EVAL side is small by definition (benchmark suites are
+    * thousands of documents; the corpus is billions), so its exploded
+    * shingle postings broadcast and the corpus streams map-only through
+    * one pruned scan (the eval/corpus predicates push down to the scans;
+    * no repartition, no self-join, no shuffle of corpus shingles) into
+    * one map-side-combined (doc, eval) count. Shingle sets are distinct
+    * per document (WordShingles), so the join-row count per pair IS the
+    * exact intersection size. */
+  def decontaminate(docs: DataFrame, evalPred: Column,
+      minShared: Int = 5): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingles(col("text")).as("s"))
+    val ev = sh.where(evalPred)
+      .select(col("doc_id").as("eval_id"), explode(col("s")).as("g"))
+    val corpus = sh.where(!evalPred)
+      .select(col("doc_id"), explode(col("s")).as("g"))
+    corpus.join(broadcast(ev), "g")
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .orderBy("doc_id", "eval_id")
+  }
+
   def sourceOverlap(docs: DataFrame,
       maxSourcesPerShingle: Int = Int.MaxValue): DataFrame = {
     // ONE exchange, keyed by the join key, placed BEFORE the distinct:
