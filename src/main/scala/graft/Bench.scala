@@ -59,6 +59,12 @@ object Bench {
     warmQs.foreach { case (_, fn) =>
       try fn(spark, sfDir).collect() catch { case _: Throwable => }
     }
+    // Drain deferred cleanup OUTSIDE the measurement: the warmup pass
+    // leaves ~75 queries of unreferenced RDDs/broadcasts whose
+    // GC-triggered ContextCleaner work would otherwise land inside the
+    // first heavy timed queries.
+    System.gc()
+    Thread.sleep(2000)
 
     // A failing query is recorded as -1 and listed in "errors" — silently
     // timing the throw would publish a bogus (small) duration and HIDE the
