@@ -156,4 +156,68 @@ class StreamingWindowSpec extends GraftSuite {
         s"post-eviction duplicate should re-admit: ${after.toSeq}")
     } finally q.stop()
   }
+
+  test("streaming near-dup pairs match batch minhashLsh on the same corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docsB = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    val batchPairs = graft.ops.Dedup.minhashLsh(docsB, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val rows = docsB.collect().map(r => (r.getLong(0), r.getString(1)))
+    val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = streaming.StreamingNearDup.pairs(
+      input.toDF().toDF("doc_id", "ts", "text"))
+    val q = out.writeStream
+      .format("memory").queryName("sneardup").outputMode("append").start()
+    try {
+      // Three micro-batches, all inside the horizon: pairs whose members
+      // arrive in DIFFERENT batches must still be found (bucket state).
+      rows.grouped(200).zipWithIndex.foreach { case (g, i) =>
+        input.addData(g.map(x => (x._1, new Timestamp(base + i * 1000L), x._2)).toSeq)
+        q.processAllAvailable()
+      }
+      // Set-compare: cross-band emissions are the documented
+      // at-least-once duplication, collapsed by the same (a, b) dedup any
+      // at-least-once consumer needs.
+      val got = spark.table("sneardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == batchPairs,
+        s"streaming/batch mismatch: extra=${got -- batchPairs} missing=${batchPairs -- got}")
+      assert(batchPairs.nonEmpty, "corpus must contain near-dups for this test to bite")
+    } finally q.stop()
+  }
+
+  test("streaming near-dup evicts idle buckets at the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = streaming.StreamingNearDup.pairs(
+      input.toDF().toDF("doc_id", "ts", "text"))
+    val q = out.writeStream
+      .format("memory").queryName("sneardup_evict").outputMode("append").start()
+    try {
+      def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      // In-horizon duplicate pair -> found.
+      input.addData((1L, ts(10, 0), text)); q.processAllAvailable()
+      input.addData((2L, ts(10, 1), text)); q.processAllAvailable()
+      val inHorizon = spark.table("sneardup_evict").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(inHorizon == Set((1L, 2L)), s"got $inHorizon")
+      // Advance the watermark far past the horizon (idle buckets evict),
+      // then a third copy arrives: no state left to pair against.
+      input.addData((50L, ts(14, 0), "completely unrelated filler words here"))
+      q.processAllAvailable()
+      input.addData((3L, ts(14, 30), text)); q.processAllAvailable()
+      val after = spark.table("sneardup_evict").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after == Set((1L, 2L)),
+        s"post-eviction arrival must not pair with evicted members: $after")
+    } finally q.stop()
+  }
 }
