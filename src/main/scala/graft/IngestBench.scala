@@ -106,6 +106,20 @@ object IngestBench {
     l2.stop()
     val e2eFiles = Files.walk(dir2).filter(_.toString.endsWith(".parquet")).count()
 
+    // Tier 2b: compact the 50 WAL files tier 2 just wrote — the lifecycle
+    // stage after ingest. "now" is advanced past the 10-min age gate so
+    // every raw file qualifies; count and verify rows via a fresh read.
+    val t2b = System.nanoTime()
+    val futureNs = System.currentTimeMillis() * 1000000L + 24L * 3600 * 1000000000L
+    val merged = new graft.compact.Compactor(spark, dir2)
+      .compactTable("hep_1", nowNs = futureNs)
+    val compactSec = (System.nanoTime() - t2b) / 1e9
+    val compactFiles = Files.walk(dir2)
+      .filter(_.toString.endsWith(".parquet")).count()
+    val compactRows = spark.read.option("mergeSchema", "true")
+      .parquet(Files.walk(dir2).filter(_.toString.endsWith(".parquet"))
+        .map[String](_.toString).toArray(new Array[String](_)): _*).count()
+
     // Tier 3: LP parse + typed append, 1,000-row flushes.
     val lpN = sys.env.getOrElse("SPARK_GRAFT_INGEST_LP_N", "200000").toInt
     val lpLines = (0 until 10000).map(i =>
@@ -125,6 +139,8 @@ object IngestBench {
     val line = f"""{"hep_wire_rows_per_s":${wireN / wireSec}%.0f,""" +
       f""""hep_wire_mb_per_s":${wireBytes / wireSec / 1e6}%.1f,""" +
       f""""hep_e2e_rows_per_s":${e2eN / e2eSec}%.0f,"hep_e2e_files":$e2eFiles,""" +
+      f""""compact_groups":$merged,"compact_sec":$compactSec%.2f,""" +
+      f""""compact_files":$compactFiles,"compact_rows":$compactRows,""" +
       f""""lp_rows_per_s":${lpN / lpSec}%.0f,""" +
       f""""wire_n":$wireN,"e2e_n":$e2eN,"lp_n":$lpN}"""
     println(line)
