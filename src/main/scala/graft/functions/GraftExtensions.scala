@@ -55,7 +55,11 @@ object GraftExtensions {
       two(CosineSim(_, _))),
     ("rolling_fp",
       info("rolling_fp", "rolling_fp(hashes) - order-sensitive rolling fingerprint"),
-      one(RollingFp(_))))
+      one(RollingFp(_))),
+    ("sorted_intersect_size",
+      info("sorted_intersect_size",
+        "sorted_intersect_size(a, b) - |a ∩ b| of two sorted distinct string arrays"),
+      two(SortedIntersectSize(_, _))))
 
   /** Register into an already-built session (idempotent). */
   def registerAll(spark: SparkSession): Unit = {

@@ -128,6 +128,11 @@ class SqlPathConsistencySpec extends GraftSuite {
     val cos = viaSql(
       "SELECT round(cosine_sim(embedding, embedding), 4) AS c FROM embeddings ORDER BY vec_id LIMIT 3")
     assert(cos.forall(_.contains("1.0")), cos)
+    val iss = viaSql(
+      """SELECT sorted_intersect_size(sort_array(word_shingles(text)),
+        |sort_array(word_shingles(text))) = size(word_shingles(text)) AS ok
+        |FROM documents ORDER BY doc_id LIMIT 5""".stripMargin)
+    assert(iss.length == 5 && iss.forall(_.contains("true")), iss)
   }
 
   test("count() dialect + OFFSET work through the SQL path") {
