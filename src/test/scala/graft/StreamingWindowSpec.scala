@@ -220,4 +220,43 @@ class StreamingWindowSpec extends GraftSuite {
         s"post-eviction arrival must not pair with evicted members: $after")
     } finally q.stop()
   }
+
+  test("streaming decontamination (stream-static join) matches batch d11") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val all = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    val evalDocs = all.where(col("doc_id") % 11 === 0)
+    val batch = graft.ops.Dedup
+      .decontaminate(all, col("doc_id") % 11 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val corpus = all.where(col("doc_id") % 11 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val base = Timestamp.valueOf("2024-01-01 10:00:00")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = streaming.StreamingDecontaminate.flagged(
+      input.toDF().toDF("doc_id", "ts", "text"), evalDocs)
+    val q = out.writeStream
+      .format("memory").queryName("sdecon").outputMode("append").start()
+    try {
+      // All docs inside one 10-min window, streamed in two batches, then
+      // a late far-future row advances the watermark and closes it.
+      corpus.grouped(250).foreach { g =>
+        input.addData(g.map(x => (x._1, base, x._2)).toSeq)
+        q.processAllAvailable()
+      }
+      // Needs >= 3 words: the shingle explode sits before the watermark
+      // node, so a shingle-less row would never advance the watermark.
+      input.addData((999999L,
+        Timestamp.valueOf("2024-01-01 12:00:00"), "w x y z late row"))
+      q.processAllAvailable()
+      val got = spark.table("sdecon").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == batch,
+        s"stream/batch mismatch: extra=${got -- batch} missing=${batch -- got}")
+      assert(batch.nonEmpty, "corpus must contain contaminated docs")
+    } finally q.stop()
+  }
 }
