@@ -13,6 +13,26 @@ class DeclaredQueriesSpec extends GraftSuite {
       s"queries without oracle SQL must be documented rows-only: $missing")
   }
 
+  test("representative queries are AQE-invariant (cluster runs re-plan at runtime)") {
+    // The bench runs AQE off (latency choice at toy scale); a 1000-executor
+    // deployment runs it ON, where runtime re-planning (partition
+    // coalescing, skew splits, join demotions) must not change RESULTS.
+    // Cover each plan family: banded self-join + reuse, window+lag chain,
+    // bounded top-k aggregate, two-phase prefix sum, salted two-phase agg,
+    // prefix-filtered join.
+    val names = Seq("d2_minhash_lsh", "d10_jaccard_join", "q20_sessionize",
+      "e1_cosine_topk", "s4_sequence_pack", "q22_salted_agg")
+    def run(): Map[String, Seq[String]] =
+      names.map(n => n ->
+        SparkEntry.queries(n)(spark, sf).collect().map(_.toString).toSeq).toMap
+    val off = run()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val on = run()
+      names.foreach(n => assert(on(n) == off(n), s"$n diverges under AQE"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
+
   test("q1 filter+order+limit: descending totalprice, all status O") {
     val rows = Declared.q1(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
