@@ -70,6 +70,62 @@ class LoopbackSpec extends GraftSuite {
     } finally api.stop()
   }
 
+  test("queries stay exact and monotonic under concurrent ingest churn") {
+    val base = Files.createTempDirectory("graft-churn")
+    // Small buffer -> a flush (file write + manifest swap) every 25 rows,
+    // maximizing manifest-swap/query interleavings.
+    val appender = new BufferedAppender(spark, base, bufferSize = 25)
+    val qs = new QueryService(spark, new Storage(base))
+    val api = new HttpApi(qs, appender, port = 0).start()
+    try {
+      val url = s"http://localhost:${api.boundPort}"
+      val t0 = System.currentTimeMillis() - 60000
+      @volatile var writerErr: Option[Throwable] = None
+      val writer = new Thread(() => try {
+        (0 until 20).foreach { b =>
+          val lines = (0 until 25).map { i =>
+            val n = b * 25 + i
+            s"churn v=$n.0 ${(t0 + n * 10) * 1000000}"
+          }
+          val (wc, _) = post(s"$url/write", lines.mkString("\n"))
+          assert(wc == 201)
+          appender.flushAll()
+        }
+      } catch { case t: Throwable => writerErr = Some(t) }, "churn-writer")
+      val startIso = java.time.Instant.ofEpochMilli(t0).toString
+        .replace("T", " ").dropRight(1)
+      val q = "SELECT count() as c FROM churn WHERE time >= '" + startIso + "'"
+      val enc = java.net.URLEncoder.encode(q, "UTF-8")
+      writer.start()
+      var last = 0L
+      var okQueries = 0
+      while (writer.isAlive) {
+        val (c, body) = get(s"$url/query?q=$enc")
+        if (c == 200) {
+          val n = "\"c\":(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toLong)
+            .getOrElse(fail(s"no count in $body"))
+          // Ingest-only churn is append-only: atomic manifest swaps mean a
+          // reader sees old or new catalog, never less than it saw before.
+          assert(n >= last, s"count went backwards: $last -> $n")
+          last = n
+          okQueries += 1
+        } else {
+          // Only acceptable before the table's first flush exists.
+          assert(last == 0, s"query failed after data appeared: $body")
+        }
+      }
+      writer.join()
+      writerErr.foreach(throw _)
+      assert(okQueries > 0, "no query ever ran during churn")
+      // Compact (files aged past the gate via future 'now'), then the
+      // exact total must survive the swap.
+      val futureNs = (System.currentTimeMillis() + 24 * 3600 * 1000L) * 1000000L
+      new Compactor(spark, base).compactTable("churn", nowNs = futureNs)
+      val (fc, fbody) = get(s"$url/query?q=$enc")
+      assert(fc == 200 && fbody.contains("\"c\":500"), s"$fc $fbody")
+    } finally api.stop()
+  }
+
   test("HTTP /query materialization is bounded: row cap + in-band truncation flag") {
     val base = Files.createTempDirectory("graft-cap")
     val appender = new BufferedAppender(spark, base, bufferSize = 1000)
