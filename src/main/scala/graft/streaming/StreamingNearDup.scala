@@ -101,7 +101,13 @@ object StreamingNearDup {
               maxMs = math.max(maxMs, d.ts.getTime)
             }
             state.update(BucketState(members))
-            state.setTimeoutTimestamp(maxMs + horizonMs)
+            // flatMapGroupsWithState does NOT auto-drop late input: a
+            // batch of only pre-watermark rows would compute a timeout
+            // at-or-before the watermark, which setTimeoutTimestamp
+            // rejects. Clamp to watermark+1 (evict at the next trigger —
+            // the members are already past the horizon anyway).
+            state.setTimeoutTimestamp(
+              math.max(maxMs + horizonMs, state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
       }

@@ -65,7 +65,12 @@ object StreamingSessionize {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
+              // Clamp: a batch of only late (pre-watermark) events would
+              // otherwise compute a timeout at-or-before the watermark,
+              // which setTimeoutTimestamp rejects and the query dies.
+              // The clamped session flushes at the next trigger instead.
+              state.setTimeoutTimestamp(
+                math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
             }
           }
           out.iterator

@@ -221,6 +221,41 @@ class StreamingWindowSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("late (pre-watermark) rows cannot kill stateful streaming queries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // Near-dup: a late doc opens a fresh bucket whose natural timeout is
+    // far behind the watermark — setTimeoutTimestamp would reject it
+    // without the watermark clamp and fail the whole query.
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = streaming.StreamingNearDup.pairs(
+      input.toDF().toDF("doc_id", "ts", "text"))
+    val q = out.writeStream
+      .format("memory").queryName("slate").outputMode("append").start()
+    try {
+      def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      input.addData((1L, ts(14, 0), "completely unrelated filler words here")); q.processAllAvailable()
+      input.addData((2L, ts(10, 5), text)); q.processAllAvailable() // hours late
+      input.addData((3L, ts(14, 1), "still unrelated other filler words")); q.processAllAvailable()
+      assert(q.exception.isEmpty, s"late row killed the query: ${q.exception}")
+    } finally q.stop()
+
+    // Sessionize: same shape — a late event's session timeout lands
+    // behind the watermark.
+    val sin = MemoryStream[streaming.StreamingSessionize.SessEvent]
+    val sq = streaming.StreamingSessionize.sessions(sin.toDS()).writeStream
+      .format("memory").queryName("slate2").outputMode("append").start()
+    try {
+      def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      sin.addData(streaming.StreamingSessionize.SessEvent(1L, ts(14, 0), 1.0)); sq.processAllAvailable()
+      sin.addData(streaming.StreamingSessionize.SessEvent(2L, ts(10, 0), 2.0)); sq.processAllAvailable()
+      sin.addData(streaming.StreamingSessionize.SessEvent(1L, ts(14, 5), 3.0)); sq.processAllAvailable()
+      assert(sq.exception.isEmpty, s"late row killed sessionize: ${sq.exception}")
+    } finally sq.stop()
+  }
+
   test("streaming decontamination (stream-static join) matches batch d11") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
