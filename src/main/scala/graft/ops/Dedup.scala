@@ -413,7 +413,7 @@ object Dedup {
     // groupBy where a distinct would sit anyway) is far tighter than the
     // per-row first-match bound: pairs sharing only late-prefix frequent
     // shingles — the bulk of raw candidates — die here before the
-    // array-intersect verify ever sees them.
+    // sorted-merge intersect verify ever sees them.
     pos.select(col("doc_id").as("doc_a"), col("n").as("na"), col("p").as("pa"), col("g"))
       .join(pos.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("p").as("pb"), col("g")), "g")
       .where(col("doc_a") < col("doc_b") &&
