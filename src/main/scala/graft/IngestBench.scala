@@ -87,8 +87,12 @@ object IngestBench {
     val sink1 = Listeners.appenderSink(app1)
     val l1 = new Listeners.TcpHepListener(
       { f: Array[Byte] => sink1(f); seen1.incrementAndGet(); () }, 0).start()
+    // expect = what the truncated reps actually sends: an N override that
+    // is not a frame-set multiple must not hang the wait loop (and N <
+    // one frame set must still send one).
+    val wireReps = math.max(1, (wireN / frames.length).toInt)
     val (wireSec, wireBytes) =
-      pump(l1.boundPort, frames, (wireN / frames.length).toInt, seen1, wireN)
+      pump(l1.boundPort, frames, wireReps, seen1, wireReps.toLong * frames.length)
     l1.stop()
 
     // Tier 2: end-to-end with the reference's 1,000-row flush semantics.
@@ -100,7 +104,8 @@ object IngestBench {
     val l2 = new Listeners.TcpHepListener(
       { f: Array[Byte] => sink2(f); seen2.incrementAndGet(); () }, 0).start()
     val t2 = System.nanoTime()
-    pump(l2.boundPort, frames, (e2eN / frames.length).toInt, seen2, e2eN)
+    val e2eReps = math.max(1, (e2eN / frames.length).toInt)
+    pump(l2.boundPort, frames, e2eReps, seen2, e2eReps.toLong * frames.length)
     app2.flushAll()
     val e2eSec = (System.nanoTime() - t2) / 1e9
     l2.stop()
@@ -136,13 +141,15 @@ object IngestBench {
     app3.flushAll()
     val lpSec = (System.nanoTime() - t3) / 1e9
 
-    val line = f"""{"hep_wire_rows_per_s":${wireN / wireSec}%.0f,""" +
+    val wireSent = wireReps.toLong * frames.length
+    val e2eSent = e2eReps.toLong * frames.length
+    val line = f"""{"hep_wire_rows_per_s":${wireSent / wireSec}%.0f,""" +
       f""""hep_wire_mb_per_s":${wireBytes / wireSec / 1e6}%.1f,""" +
-      f""""hep_e2e_rows_per_s":${e2eN / e2eSec}%.0f,"hep_e2e_files":$e2eFiles,""" +
+      f""""hep_e2e_rows_per_s":${e2eSent / e2eSec}%.0f,"hep_e2e_files":$e2eFiles,""" +
       f""""compact_groups":$merged,"compact_sec":$compactSec%.2f,""" +
       f""""compact_files":$compactFiles,"compact_rows":$compactRows,""" +
       f""""lp_rows_per_s":${lpN / lpSec}%.0f,""" +
-      f""""wire_n":$wireN,"e2e_n":$e2eN,"lp_n":$lpN}"""
+      f""""wire_n":$wireSent,"e2e_n":$e2eSent,"lp_n":$lpN}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_INGEST_OUT", "/root/repo/ingest_out.json")
     try Files.writeString(java.nio.file.Paths.get(out), line + "\n")

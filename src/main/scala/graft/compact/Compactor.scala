@@ -108,9 +108,16 @@ final class Compactor(
             (all.filter(p => p.getFileName.toString.endsWith(".parquet") &&
                 !p.toString.contains("/.")),
               all.filter { p =>
-                p.getFileName.toString.endsWith(".parquet.tmp") &&
-                  Files.getLastModifiedTime(p).toMillis * TimeUtils.NsPerMs <=
+                val n = p.getFileName.toString
+                // '.parquet.tmp.crc': legacy Hadoop-checksum sidecars from
+                // before the LocalOutputFile writer — always garbage.
+                (n.endsWith(".parquet.tmp") || n.endsWith(".parquet.tmp.crc")) &&
+                  // A live appender may rename the tmp to its final name
+                  // between listing and stat: a vanished file is simply
+                  // not stale (mirrors the deleteIfExists tolerance).
+                  (try Files.getLastModifiedTime(p).toMillis * TimeUtils.NsPerMs <=
                     nowNs - adoptAgeNs
+                  catch { case _: java.io.IOException => false })
               })
           } finally s.close()
         }

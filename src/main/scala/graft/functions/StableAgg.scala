@@ -39,4 +39,43 @@ object StableAgg {
     * every other value. The oracle spelling carries the same `+ 0`. */
   def davg(c: Column, scale: Int = 2, dec: String = "decimal(18,6)"): Column =
     round(sum(c.cast(dec)).cast("double") / count(c), scale) + lit(0d)
+
+  // ---- Scaled-integer output forms (round 4) ----
+  //
+  // dsum/davg are order-independent, yet the SAME two queries (t5/q20)
+  // hash-failed on the driver two rounds running while every local and
+  // judge rerun passed: `round(<double>, n)` must RE-ENCODE the result as
+  // the nearest double to an n-decimal value, and engines (and different
+  // DuckDB builds) legitimately disagree on that re-encoding at
+  // representation boundaries (BigDecimal-based vs scaled-multiply
+  // rounding). The only output type immune under EVERY comparator build
+  // is the integer — so no double is allowed to reach a hashed output
+  // column anymore. Two spellings, by aggregate shape:
+
+  /** Exact scaled-integer SUM: each value is scaled to an integer while
+    * decimal (value·10^6 for decimal(18,6) is integral BY CONSTRUCTION),
+    * then integer-summed. No rounding step exists anywhere — the result
+    * is the unique exact integer, independent of merge order and engine.
+    * Oracle: `sum(CAST(CAST(x AS DECIMAL(18,6)) * 1000000 AS BIGINT))`
+    * (cast the HUGEINT sum back to BIGINT). */
+  def sumMicros(c: Column): Column =
+    sum((c.cast("decimal(18,6)") * lit(1000000)).cast("long"))
+
+  /** Scaled-integer form of a derived double (avg, ratio, interpolated
+    * percentile): `CAST(round(x * scale) AS BIGINT)`. The input double is
+    * bit-identical in both engines (exact sums / one IEEE division); a
+    * round TO INTEGER has no re-encoding step, and both engines round
+    * half away from zero — so the integer can only differ if x·scale is
+    * EXACTLY representable as .5, which rounds identically anyway.
+    * Oracle: `CAST(round(x * scale) AS BIGINT)`. */
+  def scaledLong(x: Column, scale: Long): Column =
+    round(x * lit(scale.toDouble), 0).cast("long")
+
+  /** Order-independent average as a scaled integer: exact decimal sum,
+    * ONE double division, scaled and rounded to BIGINT (the davg shape
+    * with an integer output — the t5 fix the round-3 verdict prescribed).
+    * Oracle: `CAST(round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+    *                     / count(x) * scale) AS BIGINT)`. */
+  def avgScaledLong(c: Column, scale: Long, dec: String = "decimal(18,6)"): Column =
+    scaledLong(sum(c.cast(dec)).cast("double") / count(c), scale)
 }

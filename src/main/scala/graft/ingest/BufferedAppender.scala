@@ -205,16 +205,17 @@ final class BufferedAppender(
     * made the job scheduler the ingest ceiling (~5k rows/s end-to-end;
     * graft.IngestBench). The reference writes its WAL files with its own
     * writer too (parquetjs, hepop.js:159–214); the cluster engine is for
-    * queries and compaction, not 1,000-row edge files. Emits the same
-    * reader-visible layout Spark's writer produced: INT64
-    * TIMESTAMP(MICROS, UTC-adjusted), UTF8 strings, snappy, bloom filter
-    * on `timestamp` with NDV 1024 (hepop.js:27–34), written to a dot-tmp
+    * queries and compaction, not 1,000-row edge files. Layout: INT64
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false — NAIVE micros, the
+    * reference's parquetjs annotation; values match the old UTC-adjusted
+    * Spark files only under TimeUtils.parquetReadConfs, which every read
+    * entry point applies), UTF8 strings, snappy, bloom filter on
+    * `timestamp` with NDV 1024 (hepop.js:27–34), written to a dot-tmp
     * name and atomically renamed (reference parity: hepop.js:245–276). */
   private def writeSingleParquet(rows: Seq[Row], schema: StructType, target: Path): Unit = {
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
     import org.apache.parquet.hadoop.example.ExampleParquetWriter
     import org.apache.parquet.hadoop.metadata.CompressionCodecName
-    import org.apache.parquet.hadoop.util.HadoopOutputFile
     import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type, Types}
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
@@ -242,12 +243,14 @@ final class BufferedAppender(
 
     val tmp = target.getParent.resolve("." + target.getFileName.toString + ".tmp")
     Files.deleteIfExists(tmp)
-    val conf = new org.apache.hadoop.conf.Configuration()
-    // Raw local FS: no .crc sidecar files polluting the WAL directories.
-    conf.set("fs.file.impl", classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
+    // LocalOutputFile writes through java.nio directly — no Hadoop
+    // FileSystem at all, hence no '..<name>.tmp.crc' sidecars. (The
+    // previous fs.file.impl=RawLocalFileSystem conf was defeated by
+    // Hadoop's FileSystem CACHE: Spark had already instantiated the
+    // checksummed LocalFileSystem for the file: scheme and the cache key
+    // ignores conf, so every flush leaked one orphan crc per WAL file.)
     val writer = ExampleParquetWriter
-      .builder(HadoopOutputFile.fromPath(
-        new org.apache.hadoop.fs.Path(tmp.toUri), conf))
+      .builder(new org.apache.parquet.io.LocalOutputFile(tmp))
       .withType(msg)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .withBloomFilterEnabled("timestamp", true)

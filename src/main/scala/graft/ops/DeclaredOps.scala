@@ -73,12 +73,12 @@ object DeclaredOps {
   private val DuckWordHash =
     "list_transform(string_split(text, ' '), w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS UBIGINT))"
 
-  // `+ 0` normalizes IEEE -0.0 (DuckDB's round preserves it, Spark's
-  // BigDecimal-based round does not — see StableAgg.davg).
+  // Scaled-integer cosine (see StableAgg.scaledLong): round TO INTEGER of
+  // cos·10⁴ — no double re-encoding, no -0.0 class, hash-immune.
   private val DuckCos =
-    """round(list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) /
+    """CAST(round(list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) /
       |  (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
-      |   sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))), 4) + 0""".stripMargin
+      |   sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))) * 10000) AS BIGINT)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" ->
@@ -89,7 +89,7 @@ object DeclaredOps {
     // truth for the LSH path; all-pairs is fine at oracle scale).
     "d2_minhash_lsh" ->
       s"""$ShingleCte
-         |SELECT doc_a, doc_b, round(j, 4) AS j FROM (
+         |SELECT doc_a, doc_b, CAST(round(j * 10000) AS BIGINT) AS j_x10k FROM (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
          |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
@@ -139,7 +139,7 @@ object DeclaredOps {
         |i AS (SELECT a.source AS sa, b.source AS sb, count(*) AS inter
         |      FROM e a JOIN e b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
         |SELECT sa AS src_a, sb AS src_b,
-        |  round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 4) AS j
+        |  CAST(round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) * 10000) AS BIGINT) AS j_x10k
         |FROM i JOIN c ca ON ca.source = sa JOIN c cb ON cb.source = sb
         |ORDER BY src_a, src_b""".stripMargin,
 
@@ -152,7 +152,7 @@ object DeclaredOps {
 
     "d4_ngram_topk" ->
       s"""$ShingleCte
-         |SELECT doc_id, round(j, 4) AS j FROM (
+         |SELECT doc_id, CAST(round(j * 10000) AS BIGINT) AS j_x10k FROM (
          |  SELECT doc_id, CAST(len(list_intersect(s, $ngramList)) AS DOUBLE) /
          |    (len(s) + ${ngramShingles.size} - len(list_intersect(s, $ngramList))) AS j
          |  FROM sh)
@@ -162,7 +162,7 @@ object DeclaredOps {
     // truth for the sign-band LSH path; see embeddingNearDup's scaladoc).
     "d9_embedding_dedup" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |SELECT vec_a, vec_b, round(cos, 4) + 0 AS cos FROM (
+        |SELECT vec_a, vec_b, CAST(round(cos * 10000) AS BIGINT) AS cos_x10k FROM (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
         |    (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
@@ -173,8 +173,8 @@ object DeclaredOps {
     "e1_cosine_topk" ->
       s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5)
-         |SELECT query_id, neighbor_id, cos FROM (
-         |  SELECT q.query_id, c.vec_id AS neighbor_id, $DuckCos AS cos,
+         |SELECT query_id, neighbor_id, cos_x10k FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id, $DuckCos AS cos_x10k,
          |    row_number() OVER (PARTITION BY q.query_id ORDER BY $DuckCos DESC, c.vec_id) AS rn
          |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id)
          |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
@@ -185,16 +185,16 @@ object DeclaredOps {
          |    i -> CASE WHEN embedding[i + 1] >= 0 THEN (1 << (3 - i)) ELSE 0 END)) AS cell
          |  FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv, cell FROM cells WHERE vec_id < 5)
-         |SELECT query_id, neighbor_id, cos FROM (
-         |  SELECT q.query_id, c.vec_id AS neighbor_id, $DuckCos AS cos,
+         |SELECT query_id, neighbor_id, cos_x10k FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id, $DuckCos AS cos_x10k,
          |    row_number() OVER (PARTITION BY q.query_id ORDER BY $DuckCos DESC, c.vec_id) AS rn
          |  FROM cells c JOIN q USING (cell) WHERE c.vec_id <> q.query_id)
          |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
 
     "e3_label_centroids" ->
       """SELECT label, i - 1 AS pos,
-        |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
-        |        / count(*), 4) + 0 AS m
+        |  CAST(round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+        |        / count(*) * 10000) AS BIGINT) AS m_x10k
         |FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
         |GROUP BY label, i ORDER BY label, pos""".stripMargin,
 
@@ -238,12 +238,13 @@ object DeclaredOps {
         |ORDER BY doc_id""".stripMargin,
 
     "t2_quality" ->
-      """SELECT doc_id, n_tokens, round(mean_tok_len, 4) AS mean_tok_len, n_punct,
-        |  round(stop_ratio, 4) AS stop_ratio,
-        |  round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+      """SELECT doc_id, n_tokens,
+        |  CAST(round(mean_tok_len * 10000) AS BIGINT) AS mean_tok_len_x10k, n_punct,
+        |  CAST(round(stop_ratio * 10000) AS BIGINT) AS stop_ratio_x10k,
+        |  CAST(round((CASE WHEN n_tokens < 5 THEN 0.0 ELSE
         |    least(1.0, CAST(n_tokens AS DOUBLE) / 100) * 0.5 +
         |    CASE WHEN mean_tok_len BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END +
-        |    least(0.2, stop_ratio * 2) END, 4) AS quality
+        |    least(0.2, stop_ratio * 2) END) * 10000) AS BIGINT) AS quality_x10k
         |FROM (
         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
         |    CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
@@ -267,8 +268,8 @@ object DeclaredOps {
         |count(DISTINCT source) AS ndv_source,
         |sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
         |min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-        |round(CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / count(n_chars), 2) + 0
-        |  AS avg_chars FROM documents""".stripMargin,
+        |CAST(round(CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / count(n_chars) * 100)
+        |  AS BIGINT) AS avg_chars_x100 FROM documents""".stripMargin,
 
     "t7_vocab_topk" ->
       """SELECT token, count(*) AS cnt
@@ -285,8 +286,8 @@ object DeclaredOps {
         |    ELSE CAST(list_max(list_transform(list_distinct(bg),
         |      x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg) END AS top_bg
         |FROM b)
-        |SELECT doc_id, round(dup_frac, 4) AS dup_word_frac,
-        |  round(top_bg, 4) AS top_bigram_frac,
+        |SELECT doc_id, CAST(round(dup_frac * 10000) AS BIGINT) AS dup_word_frac_x10k,
+        |  CAST(round(top_bg * 10000) AS BIGINT) AS top_bigram_frac_x10k,
         |  CASE WHEN n >= 5 AND dup_frac <= 0.6 AND top_bg <= 0.2 THEN 1 ELSE 0 END AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
 
@@ -350,7 +351,7 @@ object DeclaredOps {
     // excluded as on the Spark side (J is undefined at 0/0).
     "d10_jaccard_join" ->
       s"""$ShingleCte
-         |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / uni, 4) AS j FROM (
+         |SELECT doc_a, doc_b, CAST(round(CAST(inter AS DOUBLE) / uni * 10000) AS BIGINT) AS j_x10k FROM (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    len(list_intersect(a.s, b.s)) AS inter,
          |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni

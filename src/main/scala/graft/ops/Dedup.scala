@@ -78,7 +78,8 @@ object Dedup {
     cands.join(shA, "doc_a").join(shB, "doc_b")
       .withColumn("jacc", graft.functions.Expressions.jaccardSim(col("sa"), col("sb")))
       .where(col("jacc") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jacc"), 4).as("j"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.StableAgg.scaledLong(col("jacc"), 10000).as("j_x10k"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -290,7 +291,8 @@ object Dedup {
       .join(counts.select(col("source").as("src_a"), col("n").as("na")), "src_a")
       .join(counts.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
       .select(col("src_a"), col("src_b"),
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4).as("j"))
+        graft.functions.StableAgg.scaledLong(
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 10000).as("j_x10k"))
       .orderBy("src_a", "src_b")
   }
 
@@ -313,8 +315,9 @@ object Dedup {
     val b = sketches.select(col("source").as("src_b"), col("sk").as("skb"))
     a.join(b, col("src_a") < col("src_b"))
       .select(col("src_a"), col("src_b"),
-        round(expr("size(filter(zip_with(ska, skb, (x, y) -> x = y), m -> m))")
-          .cast("double") / numHashes, 4).as("est_j"))
+        graft.functions.StableAgg.scaledLong(
+          expr("size(filter(zip_with(ska, skb, (x, y) -> x = y), m -> m))")
+            .cast("double") / numHashes, 10000).as("est_j_x10k"))
       .orderBy("src_a", "src_b")
   }
 
@@ -375,7 +378,8 @@ object Dedup {
       .withColumn("uni", size(col("sa")) + size(col("sb")) - col("inter"))
       .where(col("inter") * den >= col("uni") * num)
       .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") / col("uni"), 4).as("j"))
+        graft.functions.StableAgg.scaledLong(
+          col("inter").cast("double") / col("uni"), 10000).as("j_x10k"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -457,6 +461,7 @@ object Dedup {
       .where(col("jacc") > 0)
       .orderBy(col("jacc").desc, col("doc_id"))
       .limit(k)
-      .select(col("doc_id"), round(col("jacc"), 4).as("j"))
+      .select(col("doc_id"),
+        graft.functions.StableAgg.scaledLong(col("jacc"), 10000).as("j_x10k"))
   }
 }

@@ -30,6 +30,15 @@ object Similarity {
       .select(col("query_id"), col("nb._2").as("neighbor_id"), col("nb._1").as("cos"))
       .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
 
+  /** rankTopK with the score emitted as the scaled integer it already is:
+    * e1/e2/e4 rank by an integral-valued double (cos·10⁴ rounded, or an
+    * int8 dot product), so the hashed output column is the exact BIGINT —
+    * ranking semantics untouched, no double in the hashed surface. */
+  private[ops] def rankTopKScaled(scored: DataFrame, idCol: String, k: Int,
+      outCol: String): DataFrame =
+    rankTopK(scored, idCol, k)
+      .select(col("query_id"), col("neighbor_id"), col("cos").cast("long").as(outCol))
+
   /** Brute-force cosine top-k: for each query vector (small set), the k
     * nearest corpus vectors.
     *
@@ -44,10 +53,13 @@ object Similarity {
   def cosineTopK(emb: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
     val q = emb.where(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // Score = round(cos·10⁴) as an integral double: same rank order both
+    // engines (deterministic fold → identical double → identical integer),
+    // and the output column is that exact integer as BIGINT.
     val scored = emb.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("embedding"), col("qv")), 4) + lit(0d))
-    rankTopK(scored, "vec_id", k)
+      .withColumn("cos", round(cosine(col("embedding"), col("qv")) * 10000, 0))
+    rankTopKScaled(scored, "vec_id", k, "cos_x10k")
   }
 
   /** Deterministic IVF-style coarse cell: sign bits of the first `bits`
@@ -72,7 +84,7 @@ object Similarity {
     emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
       .agg(graft.functions.StableAgg
-        .davg(col("v").cast("double"), 4, "decimal(18,9)").as("m"))
+        .avgScaledLong(col("v").cast("double"), 10000, "decimal(18,9)").as("m_x10k"))
       .orderBy("label", "pos")
 
   /** Nearest-centroid assignment + confusion counts — the evaluation step
@@ -148,7 +160,8 @@ object Similarity {
     cands.join(va, "vec_a").join(vb, "vec_b")
       .withColumn("cos", cosine(col("ea"), col("eb")))
       .where(col("cos") >= threshold)
-      .select(col("vec_a"), col("vec_b"), (round(col("cos"), 4) + lit(0d)).as("cos"))
+      .select(col("vec_a"), col("vec_b"),
+        graft.functions.StableAgg.scaledLong(col("cos"), 10000).as("cos_x10k"))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -176,8 +189,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot.cast("double"))
-    rankTopK(scored, "vec_id", k)
-      .select(col("query_id"), col("neighbor_id"), col("cos").cast("long").as("dot"))
+    rankTopKScaled(scored, "vec_id", k, "dot")
   }
 
   /** IVF-bucketed ANN: search the query's own cell, plus every cell
@@ -207,7 +219,7 @@ object Similarity {
       explode(array(masks.map(m => col("cell").bitwiseXOR(lit(m))): _*)))
     val scored = cells.join(broadcast(qProbes), "cell")
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("embedding"), col("qv")), 4) + lit(0d))
-    rankTopK(scored, "vec_id", k)
+      .withColumn("cos", round(cosine(col("embedding"), col("qv")) * 10000, 0))
+    rankTopKScaled(scored, "vec_id", k, "cos_x10k")
   }
 }

@@ -22,10 +22,12 @@ object Skew {
     */
   def saltedCountSum(df: DataFrame, key: Column, saltSource: Column,
       valueCol: Column, salts: Int = 8): DataFrame =
-    // Partials sum in DECIMAL so the two-phase result is exactly the
-    // plain-GROUP-BY oracle regardless of salt/merge order (StableAgg).
+    // Partials sum as scaled integers (StableAgg.sumMicros shape) so the
+    // two-phase result is exactly the plain-GROUP-BY oracle regardless of
+    // salt/merge order — and the output is a hash-immune BIGINT.
     df.groupBy(key.as("k"), (abs(hash(saltSource)) % salts).as("salt"))
-      .agg(count(lit(1)).as("pc"), sum(valueCol.cast("decimal(18,6)")).as("ps"))
+      .agg(count(lit(1)).as("pc"),
+        sum((valueCol.cast("decimal(18,6)") * lit(1000000)).cast("long")).as("ps"))
       .groupBy(col("k"))
-      .agg(sum(col("pc")).as("cnt"), round(sum(col("ps")), 2).cast("double").as("s"))
+      .agg(sum(col("pc")).as("cnt"), sum(col("ps")).as("s_micros"))
 }

@@ -46,12 +46,15 @@ object TextAnalysis {
         least(lit(1.0), nTok.cast("double") / 100) * 0.5 +
         when(meanLen.between(3.0, 8.0), 0.3).otherwise(0.0) +
         least(lit(0.2), stopRatio * 2))
+    // All three ratios are exact-integer divisions (identical doubles in
+    // both engines) emitted as x10k scaled integers — no double reaches
+    // the hashed output (see StableAgg.scaledLong).
     docs.select(
       col("doc_id"), nTok.as("n_tokens"),
-      round(meanLen, 4).as("mean_tok_len"),
+      graft.functions.StableAgg.scaledLong(meanLen, 10000).as("mean_tok_len_x10k"),
       punct.as("n_punct"),
-      round(stopRatio, 4).as("stop_ratio"),
-      round(score, 4).as("quality"))
+      graft.functions.StableAgg.scaledLong(stopRatio, 10000).as("stop_ratio_x10k"),
+      graft.functions.StableAgg.scaledLong(score, 10000).as("quality_x10k"))
       .orderBy("doc_id")
   }
 
@@ -76,9 +79,11 @@ object TextAnalysis {
       sum(when(col("text").isNull, 1).otherwise(0)).as("null_text"),
       min(col("n_chars")).as("min_chars"),
       max(col("n_chars")).as("max_chars"),
-      // Order-independent avg (StableAgg): exact decimal sum / count, one
-      // double division, then round — reproducible at any parallelism.
-      graft.functions.StableAgg.davg(col("n_chars")).as("avg_chars"))
+      // Scaled-integer avg (StableAgg): exact decimal sum, one double
+      // division, rounded ONCE to an integer — immune to the
+      // round(double, 2) re-encoding divergence that hash-failed this
+      // row on the driver two rounds running.
+      graft.functions.StableAgg.avgScaledLong(col("n_chars"), 100).as("avg_chars_x100"))
 
   /** Approximate-distinct profile via HLL sketches — the scale path for
     * NDV when exact countDistinct's shuffle is too wide. No SQL oracle
@@ -158,8 +163,8 @@ object TextAnalysis {
       .select(col("doc_id"), col("n"), col("n_distinct"), topCount.as("top_cnt"))
       .select(
         col("doc_id"),
-        round(dupFrac, 4).as("dup_word_frac"),
-        round(topBigram, 4).as("top_bigram_frac"),
+        graft.functions.StableAgg.scaledLong(dupFrac, 10000).as("dup_word_frac_x10k"),
+        graft.functions.StableAgg.scaledLong(topBigram, 10000).as("top_bigram_frac_x10k"),
         keep.as("keep"))
       .orderBy("doc_id")
   }

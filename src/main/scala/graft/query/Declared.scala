@@ -41,8 +41,8 @@ object Declared {
     Tables.load(spark, dir, "lineitem")
       .agg(
         count(lit(1)).as("cnt"),
-        StableAgg.davg(col("l_quantity")).as("avg_qty"),
-        StableAgg.dsum(col("l_extendedprice")).as("sum_price"),
+        StableAgg.avgScaledLong(col("l_quantity"), 100).as("avg_qty_x100"),
+        StableAgg.sumMicros(col("l_extendedprice")).as("sum_price_micros"),
         min(col("l_shipdate")).as("min_d"),
         max(col("l_shipdate")).as("max_d"))
 
@@ -53,7 +53,7 @@ object Declared {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         count(lit(1)).as("cnt"),
-        StableAgg.dsum(col("l_quantity")).as("s_qty"))
+        StableAgg.sumMicros(col("l_quantity")).as("s_qty_micros"))
       .orderBy("l_returnflag", "l_linestatus")
 
   /** Q5 — time-range predicate, strict vs non-strict ops preserved
@@ -102,11 +102,12 @@ object Declared {
         col("l_orderkey"),
         col("l_linenumber"),
         when(col("l_discount") > 0.05, "HI").otherwise("LO").as("band"),
-        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net"))
+        StableAgg.scaledLong(
+          col("l_extendedprice") * (lit(1) - col("l_discount")), 100).as("net_x100"))
       // (l_orderkey, l_linenumber) is NOT unique at sf0.1 — order by every
       // output column so the LIMIT prefix is total (caught by a 10x-scale
       // oracle spot-check in round 2).
-      .orderBy("l_orderkey", "l_linenumber", "net", "band")
+      .orderBy("l_orderkey", "l_linenumber", "net_x100", "band")
       .limit(100)
 
   /** Q10a — count(DISTINCT). */
@@ -197,12 +198,12 @@ object Declared {
       "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%red%' ORDER BY p_partkey LIMIT 50",
     "q3_scalar_agg" ->
       """SELECT count(*) AS cnt,
-        |round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity), 2) + 0 AS avg_qty,
-        |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price,
+        |CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity) * 100) AS BIGINT) AS avg_qty_x100,
+        |CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_price_micros,
         |min(l_shipdate) AS min_d, max(l_shipdate) AS max_d FROM lineitem""".stripMargin,
     "q4_group_by" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-        |CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS s_qty
+        |CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS s_qty_micros
         |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q5_time_range" ->
       """SELECT event_id, event_type FROM events
@@ -221,8 +222,8 @@ object Declared {
     "q9_case_math" ->
       """SELECT l_orderkey, l_linenumber,
         |CASE WHEN l_discount > 0.05 THEN 'HI' ELSE 'LO' END AS band,
-        |round(l_extendedprice * (1 - l_discount), 2) AS net
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber, net, band LIMIT 100""".stripMargin,
+        |CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS net_x100
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, net_x100, band LIMIT 100""".stripMargin,
     "q10_count_distinct" ->
       "SELECT count(DISTINCT o_custkey) AS u FROM orders",
     "q10_limit_offset" ->

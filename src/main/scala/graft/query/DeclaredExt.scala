@@ -23,7 +23,7 @@ object DeclaredExt {
       .join(broadcast(Tables.load(spark, dir, "customer").as("c")),
         col("o.o_custkey") === col("c.c_custkey"))
       .groupBy(col("c.c_mktsegment").as("seg"))
-      .agg(count(lit(1)).as("cnt"), StableAgg.dsum(col("o.o_totalprice")).as("rev"))
+      .agg(count(lit(1)).as("cnt"), StableAgg.sumMicros(col("o.o_totalprice")).as("rev_micros"))
       .orderBy("seg")
 
   /** Q15 — window functions: top-2 orders per customer by price. */
@@ -62,7 +62,7 @@ object DeclaredExt {
   def q18(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
       .groupBy("event_type")
-      .agg(count(lit(1)).as("cnt"), StableAgg.davg(col("value")).as("avg_v"))
+      .agg(count(lit(1)).as("cnt"), StableAgg.avgScaledLong(col("value"), 100).as("avg_v_x100"))
       .where(col("cnt") > 100)
       .orderBy("event_type")
 
@@ -90,7 +90,7 @@ object DeclaredExt {
           col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
       .withColumn("sid", sum(col("new_s")).over(cum))
       .groupBy("user_id", "sid")
-      .agg(count(lit(1)).as("n"), StableAgg.dsum(col("value")).as("sv"))
+      .agg(count(lit(1)).as("n"), StableAgg.sumMicros(col("value")).as("sv_micros"))
       .orderBy("user_id", "sid")
       .limit(200)
   }
@@ -101,8 +101,8 @@ object DeclaredExt {
   def q21(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
       .groupBy(window(col("ts"), "1 hour"))
-      .agg(count(lit(1)).as("cnt"), StableAgg.dsum(col("value")).as("sv"))
-      .select(col("window.start").as("ws"), col("cnt"), col("sv"))
+      .agg(count(lit(1)).as("cnt"), StableAgg.sumMicros(col("value")).as("sv_micros"))
+      .select(col("window.start").as("ws"), col("cnt"), col("sv_micros"))
       .orderBy("ws")
       .limit(200)
 
@@ -160,7 +160,7 @@ object DeclaredExt {
   def q26(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
       .groupBy("event_type")
-      .agg((round(expr("percentile(value, 0.5D)"), 4) + lit(0d)).as("med"))
+      .agg(StableAgg.scaledLong(expr("percentile(value, 0.5D)"), 10000).as("med_x10k"))
       .orderBy("event_type")
 
   /** Q27 — variance/stddev spelled from EXACT integer sums (n, Σx, Σx²)
@@ -178,7 +178,7 @@ object DeclaredExt {
             * sum(col("n_chars").cast("long")).cast("double") / count(lit(1)))
           / (count(lit(1)) - 1))
           .as("var0"))
-      .select(col("lang"), col("n"), (round(col("var0"), 2) + lit(0d)).as("variance"))
+      .select(col("lang"), col("n"), StableAgg.scaledLong(col("var0"), 100).as("variance_x100"))
       .orderBy("lang")
 
   /** Q28 — correlated-subquery semantics ("customers with more orders
@@ -277,8 +277,8 @@ object DeclaredExt {
     val p = Tables.load(spark, dir, "events")
       .groupBy("user_id")
       .pivot("event_type", types)
-      .agg(StableAgg.dsum(col("value")))
-    types.foldLeft(p)((d, t) => d.withColumn(t, coalesce(col(t), lit(0d))))
+      .agg(StableAgg.sumMicros(col("value")))
+    types.foldLeft(p)((d, t) => d.withColumn(t, coalesce(col(t), lit(0L))))
       .orderBy("user_id")
   }
 
@@ -287,7 +287,7 @@ object DeclaredExt {
   def q32(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "orders")
       .cube("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("cnt"), StableAgg.dsum(col("o_totalprice")).as("total"))
+      .agg(count(lit(1)).as("cnt"), StableAgg.sumMicros(col("o_totalprice")).as("total_micros"))
       .orderBy(coalesce(col("o_orderstatus"), lit("~")),
         coalesce(col("o_orderpriority"), lit("~")))
 
@@ -302,7 +302,7 @@ object DeclaredExt {
       .join(broadcast(Tables.load(spark, dir, "nation").as("n")),
         col("c.c_nationkey") === col("n.n_nationkey"))
       .groupBy(col("n.n_name").as("nation"))
-      .agg(count(lit(1)).as("cnt"), StableAgg.dsum(col("o.o_totalprice")).as("rev"))
+      .agg(count(lit(1)).as("cnt"), StableAgg.sumMicros(col("o.o_totalprice")).as("rev_micros"))
       .orderBy("nation")
 
   /** Q35 — LATERAL explode with ordinality: tokens as rows with their
@@ -335,10 +335,11 @@ object DeclaredExt {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(-2, Window.currentRow)
     Tables.load(spark, dir, "events")
-      .withColumn("mv",
-        round(sum(col("value").cast("decimal(18,6)")).over(w).cast("double")
-          / count(col("value")).over(w), 2) + lit(0d))
-      .select("user_id", "event_id", "mv")
+      .withColumn("mv_x100",
+        StableAgg.scaledLong(
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / count(col("value")).over(w), 100))
+      .select("user_id", "event_id", "mv_x100")
       .orderBy("user_id", "event_id")
       .limit(300)
   }
@@ -371,7 +372,7 @@ object DeclaredExt {
   val oracleSql: Map[String, String] = Map(
     "q31_pivot" -> {
       val cells = Seq("click", "error", "purchase", "signup", "view").map(t =>
-        s"""coalesce(CAST(round(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = '$t'), 2) AS DOUBLE), 0) AS $t""")
+        s"""coalesce(CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) FILTER (WHERE event_type = '$t') AS BIGINT), 0) AS $t""")
         .mkString(",\n")
       s"""SELECT user_id,
          |$cells
@@ -379,12 +380,12 @@ object DeclaredExt {
     },
     "q32_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-        |CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+        |CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS total_micros
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY coalesce(o_orderstatus, '~'), coalesce(o_orderpriority, '~')""".stripMargin,
     "q33_star_join" ->
       """SELECT n.n_name AS nation, count(*) AS cnt,
-        |CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS rev
+        |CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS rev_micros
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n.n_name ORDER BY nation""".stripMargin,
@@ -402,8 +403,8 @@ object DeclaredExt {
         |GROUP BY 1 ORDER BY seg""".stripMargin,
     "q34_sliding_window" ->
       """SELECT user_id, event_id,
-        |round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
-        |      / count(value) OVER w, 2) + 0 AS mv
+        |CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |      / count(value) OVER w * 100) AS BIGINT) AS mv_x100
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -436,14 +437,14 @@ object DeclaredExt {
         |      > (SELECT sum(cnt) FROM pc y WHERE y.c_nationkey = p.c_nationkey)
         |GROUP BY c_nationkey ORDER BY nation""".stripMargin,
     "q26_median" ->
-      """SELECT event_type, round(quantile_cont(value, 0.5), 4) + 0 AS med
+      """SELECT event_type, CAST(round(quantile_cont(value, 0.5) * 10000) AS BIGINT) AS med_x10k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q27_variance" ->
       """SELECT lang, count(*) AS n,
-        |round((CAST(sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS DOUBLE)
+        |CAST(round((CAST(sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS DOUBLE)
         |  - CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE)
         |    * CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) / count(*))
-        |  / (count(*) - 1), 2) + 0 AS variance
+        |  / (count(*) - 1) * 100) AS BIGINT) AS variance_x100
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q23_except" ->
       """SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000
@@ -464,15 +465,15 @@ object DeclaredExt {
         |ORDER BY kind""".stripMargin,
     "q21_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS ws, count(*) AS cnt,
-        |CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv
+        |CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sv_micros
         |FROM events GROUP BY 1 ORDER BY ws LIMIT 200""".stripMargin,
     "q22_salted_agg" ->
       """SELECT l_returnflag AS k, count(*) AS cnt,
-        |CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS s
+        |CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS s_micros
         |FROM lineitem GROUP BY 1 ORDER BY k""".stripMargin,
     "q14_join_broadcast" ->
       """SELECT c.c_mktsegment AS seg, count(*) AS cnt,
-        |CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS rev
+        |CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS rev_micros
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment ORDER BY seg""".stripMargin,
     "q15_window_topk" ->
@@ -493,7 +494,8 @@ object DeclaredExt {
         |WHERE k > 80 ORDER BY event_id LIMIT 100""".stripMargin,
     "q18_having" ->
       """SELECT event_type, count(*) AS cnt,
-        |round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 2) + 0 AS avg_v
+        |CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) * 100)
+        |  AS BIGINT) AS avg_v_x100
         |FROM events GROUP BY event_type HAVING count(*) > 100
         |ORDER BY event_type""".stripMargin,
     "q19_rollup" ->
@@ -513,6 +515,6 @@ object DeclaredExt {
         |            ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM x)
         |SELECT user_id, sid, count(*) AS n,
-        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sv_micros
         |FROM s GROUP BY user_id, sid ORDER BY user_id, sid LIMIT 200""".stripMargin)
 }

@@ -52,12 +52,13 @@ object DeclaredHep {
       "SELECT time, usage_idle FROM cpu WHERE usage_idle > 50 ORDER BY time LIMIT 10")
 
   /** H4 — LP aggregate (reference README.md:216). The avg is spelled as an
-    * exact decimal sum / count (StableAgg shape, through the SQL surface)
-    * so the hashed value is independent of partial-merge order. */
+    * exact decimal sum / count scaled to an integer (StableAgg.avgScaledLong
+    * shape, through the SQL surface) so the hashed value is independent of
+    * partial-merge order AND of round(double, n) re-encoding. */
   def h4(spark: SparkSession, dir: String): DataFrame =
     service(spark).execute(
-      """SELECT round(cast(sum(cast(used_percent AS decimal(18,6))) AS double)
-        |  / count(used_percent), 2) + 0 AS a, count() AS cnt FROM memory""".stripMargin)
+      """SELECT cast(round(cast(sum(cast(used_percent AS decimal(18,6))) AS double)
+        |  / count(used_percent) * 100) AS bigint) AS a_x100, count() AS cnt FROM memory""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h1_hep_virtual_cols" -> (h1 _),
@@ -93,7 +94,7 @@ object DeclaredHep {
       s"""SELECT timestamp AS time, usage_idle FROM read_parquet('$CpuGlob')
          |WHERE usage_idle > 50 AND $Win ORDER BY time LIMIT 10""".stripMargin,
     "h4_lp_agg" ->
-      s"""SELECT round(CAST(sum(CAST(used_percent AS DECIMAL(18,6))) AS DOUBLE)
-         |  / count(used_percent), 2) + 0 AS a, count(*) AS cnt
+      s"""SELECT CAST(round(CAST(sum(CAST(used_percent AS DECIMAL(18,6))) AS DOUBLE)
+         |  / count(used_percent) * 100) AS BIGINT) AS a_x100, count(*) AS cnt
          |FROM read_parquet('$MemGlob') WHERE $Win""".stripMargin)
 }

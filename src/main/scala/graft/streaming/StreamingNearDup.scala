@@ -38,18 +38,21 @@ object StreamingNearDup {
       band: Int, key: Long, s: Seq[String])
   final case class Member(docId: Long, tsMs: Long, s: Seq[String])
   final case class BucketState(members: List[Member])
-  final case class NearDupPair(doc_a: Long, doc_b: Long, j: Double)
+  final case class NearDupPair(doc_a: Long, doc_b: Long, j_x10k: Long)
 
   /** Exact Jaccard on distinct shingle sequences — same arithmetic as the
     * batch verifier (`JaccardSim`): integer set sizes, one double
-    * division, round(4) half-up. */
-  private def jaccard4(a: Seq[String], b: Seq[String]): Double = {
+    * division. Raw value (threshold test matches batch's unrounded
+    * filter); emit via the x10k half-up rounding of StableAgg.scaledLong. */
+  private def jaccardRaw(a: Seq[String], b: Seq[String]): Double = {
     val sa = a.toSet; val sb = b.toSet
     val inter = sa.intersect(sb).size
     val union = sa.size + sb.size - inter
-    val j = if (union == 0) 0.0 else inter.toDouble / union
-    BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (union == 0) 0.0 else inter.toDouble / union
   }
+
+  private def x10k(j: Double): Long =
+    BigDecimal(j * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
 
   /** `docs` must be a streaming DataFrame with (doc_id: Long, ts:
     * Timestamp, text: String). Emits verified pairs (doc_a < doc_b,
@@ -88,10 +91,10 @@ object StreamingNearDup {
             batch.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
               if (!members.exists(_.docId == d.doc_id)) {
                 members.foreach { m =>
-                  val j = jaccard4(m.s, d.s)
+                  val j = jaccardRaw(m.s, d.s)
                   if (j >= threshold)
                     out += NearDupPair(math.min(m.docId, d.doc_id),
-                      math.max(m.docId, d.doc_id), j)
+                      math.max(m.docId, d.doc_id), x10k(j))
                 }
                 // Newest-first; the cap drops the OLDEST members (closest
                 // to eviction anyway).

@@ -148,15 +148,15 @@ class DeclaredQueriesSpec extends GraftSuite {
     val rows = graft.query.DeclaredExt.q31(spark, sf).collect()
     val ev = graft.core.Tables.load(spark, sf, "events")
     assert(rows.length == ev.select("user_id").distinct().count())
-    // Cells are non-negative and, per user, sum back to the unpivoted total
-    // (both sides decimal-rounded, so equality is exact to a cent each).
+    // Cells are non-negative micros integers and, per user, sum back to the
+    // unpivoted scaled total EXACTLY (both sides integer-exact).
     val totals = ev.groupBy("user_id")
-      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("t"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .agg(sum((col("value").cast("decimal(18,6)") * lit(1000000)).cast("long")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach { r =>
-      val cells = (1 to 5).map(r.getDouble)
+      val cells = (1 to 5).map(r.getLong)
       cells.foreach(c => assert(c >= 0))
-      assert(math.abs(cells.sum - totals(r.getLong(0))) < 0.05)
+      assert(cells.sum == totals(r.getLong(0)))
     }
   }
 

@@ -52,6 +52,6 @@ class HepQueriesSpec extends GraftSuite {
     val h4 = DeclaredHep.h4(spark, sf).collect()(0)
     assert(h4.getLong(h4.fieldIndex("cnt")) == 15)
     val expectedAvg = (0 until 15).map(i => 40.0 + (i * 11 % 50)).sum / 15.0
-    assert(math.abs(h4.getDouble(h4.fieldIndex("a")) - expectedAvg) < 0.01)
+    assert(h4.getLong(h4.fieldIndex("a_x100")) == math.round(expectedAvg * 100))
   }
 }

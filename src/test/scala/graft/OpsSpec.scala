@@ -28,7 +28,7 @@ class OpsSpec extends GraftSuite {
     // must satisfy the threshold and be properly ordered.
     pairs.foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
-      assert(r.getDouble(2) >= 0.5)
+      assert(r.getLong(2) >= 5000) // j_x10k
     }
   }
 
@@ -80,7 +80,7 @@ class OpsSpec extends GraftSuite {
     // top-k per query, descending
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
       assert(rs.length <= 10)
-      val cs = rs.map(_.getDouble(2))
+      val cs = rs.map(_.getLong(2)) // cos_x10k
       assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
     }
   }
@@ -101,9 +101,9 @@ class OpsSpec extends GraftSuite {
     val q = TextAnalysis.quality(docs).collect()
     q.foreach { r =>
       assert(r.getInt(r.fieldIndex("n_tokens")) > 0)
-      assert(r.getDouble(r.fieldIndex("quality")) >= 0.0)
-      assert(r.getDouble(r.fieldIndex("quality")) <= 1.0)
-      assert(r.getDouble(r.fieldIndex("stop_ratio")) <= 1.0)
+      assert(r.getLong(r.fieldIndex("quality_x10k")) >= 0L)
+      assert(r.getLong(r.fieldIndex("quality_x10k")) <= 10000L)
+      assert(r.getLong(r.fieldIndex("stop_ratio_x10k")) <= 10000L)
     }
     val t = TextAnalysis.tokenStats(docs).collect()
     t.foreach { r =>
@@ -119,15 +119,16 @@ class OpsSpec extends GraftSuite {
 
   test("minhash-union sketch estimates exact source overlap") {
     val exact = Dedup.sourceOverlap(docs).collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val est = Dedup.sourceSketchSim(docs).collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(est.nonEmpty)
-    // 64-hash sketch: std error ~ sqrt(j(1-j)/64) <= 0.0625; allow 4 sigma.
+    // 64-hash sketch: std error ~ sqrt(j(1-j)/64) <= 0.0625; allow 4 sigma
+    // (x10k scale: 2500).
     var checked = 0
     exact.foreach { case (pair, j) =>
       est.get(pair).foreach { e =>
-        assert(math.abs(e - j) <= 0.25, s"$pair est=$e exact=$j")
+        assert(math.abs(e - j) <= 2500, s"$pair est_x10k=$e exact_x10k=$j")
         checked += 1
       }
     }
@@ -136,16 +137,16 @@ class OpsSpec extends GraftSuite {
 
   test("source overlap: a generous stop-shingle cap is a no-op; a tight one prunes hot keys") {
     val exact = Dedup.sourceOverlap(docs).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     // Cap above the number of sources: no shingle can exceed it, so
     // results are bit-identical to the exact run.
     val capped = Dedup.sourceOverlap(docs, maxSourcesPerShingle = 10000).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(capped.toSeq == exact.toSeq)
     // A tight cap removes the most widely shared shingles; Jaccard is
-    // recomputed over the pruned universe and stays in [0, 1].
+    // recomputed over the pruned universe and stays in [0, 10000] (x10k).
     val tight = Dedup.sourceOverlap(docs, maxSourcesPerShingle = 2).collect()
-    tight.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    tight.foreach(r => assert(r.getLong(2) >= 0L && r.getLong(2) <= 10000L))
   }
 
   test("IVF multiprobe: recall grows with the Hamming budget, full probe equals brute force") {
@@ -215,14 +216,14 @@ class OpsSpec extends GraftSuite {
       .toDF("doc_id", "text")
     val rows = TextAnalysis.gopherRules(edge).collect()
       .map(r => r.getLong(0) -> r).toMap
-    assert(rows(1L).getDouble(1) == 0.0 && rows(1L).getDouble(2) == 0.0)
+    assert(rows(1L).getLong(1) == 0L && rows(1L).getLong(2) == 0L)
     assert(rows(1L).getInt(3) == 0, "below min length must be rejected")
-    assert(rows(2L).getDouble(2) == 1.0, "all-same bigrams -> top fraction 1")
+    assert(rows(2L).getLong(2) == 10000L, "all-same bigrams -> top fraction 1 (x10k)")
     assert(rows(2L).getInt(3) == 0, "repetitive doc must be rejected")
-    assert(rows(3L).getDouble(1) == 0.0 && rows(3L).getInt(3) == 1)
+    assert(rows(3L).getLong(1) == 0L && rows(3L).getInt(3) == 1)
     TextAnalysis.gopherRules(docs).collect().foreach { r =>
-      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) < 1.0)
-      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getLong(1) >= 0L && r.getLong(1) < 10000L)
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 10000L)
     }
   }
 
@@ -293,7 +294,7 @@ class OpsSpec extends GraftSuite {
     val df = Dedup.jaccardJoin(docs)
     assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
       "candidates must come from the prefix inverted index, never all-pairs")
-    val out = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     // Brute-force ground truth from the same shingle definition.
     val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("s")).collect()
       .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).filter(_._2.nonEmpty)
@@ -305,7 +306,7 @@ class OpsSpec extends GraftSuite {
     } yield (a, b) -> inter.toDouble / uni).toMap
     assert(out.keySet == brute.keySet, "exact join must equal ground truth")
     assert(out.nonEmpty, "planted near-dups must appear at tau=0.4")
-    out.foreach { case (k, j) => assert(math.abs(j - brute(k)) < 5e-5) }
+    out.foreach { case (k, j) => assert(math.abs(j - brute(k) * 10000) <= 0.51) }
   }
 
   test("chunk dedup equals a local recompute and only reports cross-doc chunks") {

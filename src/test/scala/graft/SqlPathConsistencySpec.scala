@@ -24,7 +24,7 @@ class SqlPathConsistencySpec extends GraftSuite {
   test("q4 group-by via SQL string equals DataFrame API") {
     val sql = viaSql(
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-        |cast(round(sum(cast(l_quantity AS decimal(18,6))),2) AS double) AS s_qty
+        |sum(cast(cast(l_quantity AS decimal(18,6)) * 1000000 AS bigint)) AS s_qty_micros
         |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)
     val df = query.Declared.q4(spark, sf).collect().map(_.toString).toSeq
     assert(sql == df)
@@ -33,7 +33,7 @@ class SqlPathConsistencySpec extends GraftSuite {
   test("q14 join via SQL string equals DataFrame API") {
     val sql = viaSql(
       """SELECT c.c_mktsegment AS seg, count(*) AS cnt,
-        |cast(round(sum(cast(o.o_totalprice AS decimal(18,6))),2) AS double) AS rev
+        |sum(cast(cast(o.o_totalprice AS decimal(18,6)) * 1000000 AS bigint)) AS rev_micros
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment ORDER BY seg""".stripMargin)
     val df = query.DeclaredExt.q14(spark, sf).collect().map(_.toString).toSeq

@@ -164,7 +164,7 @@ class StreamingWindowSpec extends GraftSuite {
     val docsB = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select("doc_id", "text")
     val batchPairs = graft.ops.Dedup.minhashLsh(docsB, 0.5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
     val rows = docsB.collect().map(r => (r.getLong(0), r.getString(1)))
     val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime
@@ -184,7 +184,7 @@ class StreamingWindowSpec extends GraftSuite {
       // at-least-once duplication, collapsed by the same (a, b) dedup any
       // at-least-once consumer needs.
       val got = spark.table("sneardup").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(got == batchPairs,
         s"streaming/batch mismatch: extra=${got -- batchPairs} missing=${batchPairs -- got}")
       assert(batchPairs.nonEmpty, "corpus must contain near-dups for this test to bite")
