@@ -300,6 +300,35 @@ object Expressions {
       copy(child = newChild)
   }
 
+  /** Per-document term frequencies: split on single spaces (empties kept,
+    * exactly like `split(text, ' ')`), sort, run-length encode — one
+    * array<struct<token, tf>> per row. Replaces the explode → corpus-wide
+    * (doc, token) shuffle-aggregate in TF-IDF: tf becomes map-side state
+    * bounded by the row's own distinct-token count, and only the
+    * vocabulary-sized df aggregate still shuffles. Counts are the same
+    * integers a groupBy(doc, token) count produces. */
+  case class WordTfs(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("token", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))), containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+      java.util.Arrays.sort(toks, java.util.Comparator.naturalOrder[String]())
+      val out = new scala.collection.mutable.ArrayBuffer[InternalRow](toks.length)
+      var i = 0
+      while (i < toks.length) {
+        var j = i + 1
+        while (j < toks.length && toks(j) == toks(i)) j += 1
+        out += InternalRow(UTF8String.fromString(toks(i)), (j - i).toLong)
+        i = j
+      }
+      new GenericArrayData(out.toArray[Any])
+    }
+    override protected def withNewChildInternal(newChild: Expression): WordTfs =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftshim.PlanExec.expression
 
   def minhashSig(c: Column, numHashes: Int): Column = column(MinHashSig(expression(c), numHashes))
@@ -313,4 +342,5 @@ object Expressions {
   def rollingFp(c: Column): Column = column(RollingFp(expression(c)))
   def countWordsIn(c: Column, words: Seq[String]): Column =
     column(CountWordsIn(expression(c), words))
+  def wordTfs(c: Column): Column = column(WordTfs(expression(c)))
 }

@@ -57,9 +57,13 @@ object Sampling {
     * is noise. */
   def stratifiedSample(docs: DataFrame, id: Column, group: Column): DataFrame = {
     val sizes = docs.groupBy(group.as("g")).agg(count(lit(1)).as("n_g"))
-    val m = sizes.agg(min("n_g").as("m"))
-    val thresholds = sizes.crossJoin(broadcast(m))
-      .select(col("g"), floor(lit(1000) * col("m") / col("n_g")).cast("int").as("permille"))
+    // min over an unpartitioned window of the GROUPS-sized frame (a few
+    // rows), not a separate scalar-aggregate + crossJoin(broadcast(m)):
+    // one less broadcast-build job per execution, same integers.
+    val m = min(col("n_g")).over(Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing))
+    val thresholds = sizes
+      .select(col("g"), floor(lit(1000) * m / col("n_g")).cast("int").as("permille"))
     docs.join(broadcast(thresholds), group === col("g"))
       .where(hashBucket(id) % 1000 < col("permille"))
       .drop("g", "permille")

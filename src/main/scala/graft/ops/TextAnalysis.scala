@@ -199,8 +199,14 @@ object TextAnalysis {
     * hint is dropped.) The per-doc top-k state is bounded by the
     * document's own distinct-token count, never by the corpus. */
   def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // tf is computed INSIDE the row (native run-length over the doc's own
+    // sorted tokens) — the corpus-sized explode → groupBy(doc, token)
+    // shuffle is gone; only distinct (doc, token) rows ever leave the
+    // scan, already counted.
+    val tf = docs
+      .select(col("doc_id"),
+        explode(graft.functions.Expressions.wordTfs(col("text"))).as("wt"))
+      .select(col("doc_id"), col("wt.token").as("token"), col("wt.tf").as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val scored = tf.join(broadcast(df), "token").crossJoin(broadcast(n))

@@ -194,9 +194,14 @@ object DeclaredExt {
     val cnts = cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left")
       .groupBy(cust("c_custkey"), cust("c_nationkey"))
       .agg(count(col("o_orderkey")).as("cnt"))
-    val nat = cnts.groupBy("c_nationkey")
-      .agg(sum("cnt").as("total"), count(lit(1)).as("m"))
-    cnts.join(nat, "c_nationkey")
+    // Per-nation totals as a window over the per-customer counts: one
+    // nation-keyed exchange feeds both the totals and the final count
+    // (the old aggregate-then-join-back shape built the counts subtree
+    // twice and shuffled a third time for the join).
+    val w = Window.partitionBy("c_nationkey")
+    cnts
+      .withColumn("total", sum(col("cnt")).over(w))
+      .withColumn("m", count(lit(1)).over(w))
       .where(col("cnt") * col("m") > col("total"))
       .groupBy("c_nationkey").agg(count(lit(1)).as("busy"))
       .select(col("c_nationkey").cast("int").as("nation"), col("busy"))
