@@ -22,6 +22,11 @@ import graft.ingest.{BufferedAppender, HepV3, LineProtocol, Listeners}
   *      the parquet WAL files + manifest updates is included.
   *   3. `lp_rows_per_s` — Line Protocol text → parse → typed append with
   *      1,000-row flushes (the `/write` path minus HTTP).
+  *   4. `hep_stream_rows_per_s` — durable spool segments → Structured
+  *      Streaming → decode + per-partition parquet WAL writes ON
+  *      EXECUTORS → driver-side manifest commit (stats only): the
+  *      scale-out ingest path, measured from stream start to the last
+  *      row committed in the manifest.
   *
   * Prints one JSON line on stdout and writes SPARK_GRAFT_INGEST_OUT
   * (default /root/repo/ingest_out.json).
@@ -141,6 +146,37 @@ object IngestBench {
     app3.flushAll()
     val lpSec = (System.nanoTime() - t3) / 1e9
 
+    // Tier 4: executor-side streaming ingest. Frames go into the durable
+    // spool first (not timed: that edge rate is tier 1's number); the
+    // timed section is stream start → manifest shows every row committed.
+    val stN = sys.env.getOrElse("SPARK_GRAFT_INGEST_STREAM_N", "100000").toLong
+    val dir4 = Files.createTempDirectory("graft-ingest4")
+    val spoolDir = Files.createTempDirectory("graft-spool4")
+    val ckpt4 = Files.createTempDirectory("graft-ckpt4")
+    val spool = new graft.streaming.HepSpool(spoolDir)
+    val app4 = new BufferedAppender(spark, dir4)
+    def committedRows: Long =
+      graft.core.Manifest.loadTable(
+        graft.core.Manifest.tableManifestPath(dir4, "writer1", "hep_1"))
+        .map(_.files.map(_.row_count).sum).getOrElse(0L)
+    // Steady-state throughput: start the stream on the EMPTY spool and let
+    // it finish its cold start (source init, first no-data batch) before
+    // the clock starts — cold start is a per-process constant, not a
+    // per-row cost. Timed section: segments published → every row
+    // committed in the manifest.
+    val sq = new graft.streaming.StreamingHepIngest(
+      spark, spoolDir.toString, ckpt4.toString, app4, triggerMs = 200).start()
+    sq.processAllAvailable()
+    var si = 0L
+    while (si < stN) {
+      spool.append(frames((si % stN.toInt % frames.length).toInt)); si += 1
+    }
+    val t4 = System.nanoTime()
+    spool.roll()
+    while (committedRows < stN) Thread.sleep(20)
+    val streamSec = (System.nanoTime() - t4) / 1e9
+    sq.stop()
+
     val wireSent = wireReps.toLong * frames.length
     val e2eSent = e2eReps.toLong * frames.length
     val line = f"""{"hep_wire_rows_per_s":${wireSent / wireSec}%.0f,""" +
@@ -149,7 +185,8 @@ object IngestBench {
       f""""compact_groups":$merged,"compact_sec":$compactSec%.2f,""" +
       f""""compact_files":$compactFiles,"compact_rows":$compactRows,""" +
       f""""lp_rows_per_s":${lpN / lpSec}%.0f,""" +
-      f""""wire_n":$wireSent,"e2e_n":$e2eSent,"lp_n":$lpN}"""
+      f""""hep_stream_rows_per_s":${stN / streamSec}%.0f,""" +
+      f""""wire_n":$wireSent,"e2e_n":$e2eSent,"lp_n":$lpN,"stream_n":$stN}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_INGEST_OUT", "/root/repo/ingest_out.json")
     try Files.writeString(java.nio.file.Paths.get(out), line + "\n")

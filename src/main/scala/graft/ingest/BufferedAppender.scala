@@ -93,27 +93,12 @@ final class BufferedAppender(
       }
     }
 
-  private val lpBaseSchema = StructType(Seq(
-    StructField("timestamp", TimestampType, nullable = false),
-    StructField("tags", StringType, nullable = true)))
+  private val lpBaseSchema = WalFiles.lpBaseSchema
 
-  /** JS-typeof-style type mapping (reference hepop.js:382–394): numbers —
-    * including `i`-suffixed ints — become DOUBLE, booleans BOOLEAN,
-    * everything else UTF8. */
-  private def lpType(v: LineProtocol.FieldValue): DataType = v match {
-    case _: LineProtocol.LpLong | _: LineProtocol.LpDouble => DoubleType
-    case _: LineProtocol.LpBool => BooleanType
-    case _: LineProtocol.LpString => StringType
-  }
-
-  private def lpValue(v: LineProtocol.FieldValue, dt: DataType): Any = (v, dt) match {
-    case (LineProtocol.LpLong(l), DoubleType) => l.toDouble
-    case (LineProtocol.LpDouble(d), DoubleType) => d
-    case (LineProtocol.LpBool(b), BooleanType) => b
-    case (LineProtocol.LpString(s), StringType) => s
-    case (other, StringType) => other.asAny.toString
-    case _ => null // type conflict with frozen column type → null (widening, not crash)
-  }
+  // Shared with the executor-side partition writers (WalFiles): same type
+  // mapping, same row shape, same file layout — one WAL dialect.
+  private def lpType(v: LineProtocol.FieldValue): DataType = WalFiles.lpType(v)
+  private def lpValue(v: LineProtocol.FieldValue, dt: DataType): Any = WalFiles.lpValue(v, dt)
 
   private def widenSchema(buf: TableBuffer, p: LineProtocol.Point): Unit = {
     val known = buf.schema.fieldNames.toSet
@@ -134,16 +119,7 @@ final class BufferedAppender(
     }
   }
 
-  private def tagsJson(tags: Seq[(String, String)]): String = {
-    val sb = new StringBuilder("{")
-    tags.zipWithIndex.foreach { case ((k, v), i) =>
-      if (i > 0) sb.append(",")
-      sb.append("\"").append(esc(k)).append("\":\"").append(esc(v)).append("\"")
-    }
-    sb.append("}").result()
-  }
-  private def esc(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def tagsJson(tags: Seq[(String, String)]): String = WalFiles.tagsJson(tags)
 
   /** Flush every non-empty buffer (timer path / shutdown;
     * reference hepop.js:151–157, 1166–1170). */
@@ -200,87 +176,50 @@ final class BufferedAppender(
       Manifest.save(path, Manifest.WriterManifest(writerId, 0, 0))
   }
 
-  /** WAL flush via a DIRECT single-file parquet writer (parquet-hadoop is
-    * on Spark's classpath) — launching a Spark job per 1,000-row flush
-    * made the job scheduler the ingest ceiling (~5k rows/s end-to-end;
-    * graft.IngestBench). The reference writes its WAL files with its own
-    * writer too (parquetjs, hepop.js:159–214); the cluster engine is for
-    * queries and compaction, not 1,000-row edge files. Layout: INT64
-    * TIMESTAMP(MICROS, isAdjustedToUTC=false — NAIVE micros, the
-    * reference's parquetjs annotation; values match the old UTC-adjusted
-    * Spark files only under TimeUtils.parquetReadConfs, which every read
-    * entry point applies), UTF8 strings, snappy, bloom filter on
-    * `timestamp` with NDV 1024 (hepop.js:27–34), written to a dot-tmp
-    * name and atomically renamed (reference parity: hepop.js:245–276). */
+  /** WAL flush via the DIRECT single-file parquet writer (WalFiles.write —
+    * layout contract documented there; launching a Spark job per 1,000-row
+    * flush made the job scheduler the ingest ceiling). Written to a
+    * dot-tmp name and atomically renamed (reference parity:
+    * hepop.js:245–276). The reference writes its WAL files with its own
+    * writer too (parquetjs, hepop.js:159–214). */
   private def writeSingleParquet(rows: Seq[Row], schema: StructType, target: Path): Unit = {
-    import org.apache.parquet.example.data.simple.SimpleGroupFactory
-    import org.apache.parquet.hadoop.example.ExampleParquetWriter
-    import org.apache.parquet.hadoop.metadata.CompressionCodecName
-    import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type, Types}
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-
-    val msg: MessageType = {
-      val fields = schema.fields.map { f =>
-        val rep = if (f.nullable) Type.Repetition.OPTIONAL else Type.Repetition.REQUIRED
-        f.dataType match {
-          // isAdjustedToUTC=false: naive micros, the reference's parquetjs
-          // layout — DuckDB reads plain TIMESTAMP, Spark reads
-          // TimestampType under TimeUtils.parquetReadConfs (NTZ inference
-          // off), matching how both engines read the old INT96 files.
-          case TimestampType => Types.primitive(INT64, rep)
-            .as(LogicalTypeAnnotation.timestampType(false,
-              LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
-          case StringType => Types.primitive(BINARY, rep)
-            .as(LogicalTypeAnnotation.stringType()).named(f.name)
-          case DoubleType => Types.primitive(DOUBLE, rep).named(f.name)
-          case BooleanType => Types.primitive(BOOLEAN, rep).named(f.name)
-          case LongType => Types.primitive(INT64, rep).named(f.name)
-          case dt => throw new IllegalArgumentException(s"unsupported WAL type $dt")
-        }
-      }
-      new MessageType("spark_schema", fields: _*)
-    }
-
     val tmp = target.getParent.resolve("." + target.getFileName.toString + ".tmp")
-    Files.deleteIfExists(tmp)
-    // LocalOutputFile writes through java.nio directly — no Hadoop
-    // FileSystem at all, hence no '..<name>.tmp.crc' sidecars. (The
-    // previous fs.file.impl=RawLocalFileSystem conf was defeated by
-    // Hadoop's FileSystem CACHE: Spark had already instantiated the
-    // checksummed LocalFileSystem for the file: scheme and the cache key
-    // ignores conf, so every flush leaked one orphan crc per WAL file.)
-    val writer = ExampleParquetWriter
-      .builder(new org.apache.parquet.io.LocalOutputFile(tmp))
-      .withType(msg)
-      .withCompressionCodec(CompressionCodecName.SNAPPY)
-      .withBloomFilterEnabled("timestamp", true)
-      .withBloomFilterNDV("timestamp", 1024)
-      .build()
-    val factory = new SimpleGroupFactory(msg)
-    try rows.foreach { r =>
-      val g = factory.newGroup()
-      var i = 0
-      while (i < schema.length) {
-        if (!r.isNullAt(i)) {
-          val name = schema.fields(i).name
-          schema.fields(i).dataType match {
-            case TimestampType =>
-              val ts = r.getTimestamp(i)
-              g.append(name, ts.getTime * 1000L + (ts.getNanos / 1000) % 1000L)
-            case StringType => g.append(name, r.getString(i))
-            case DoubleType => g.append(name, r.getDouble(i))
-            case BooleanType => g.append(name, r.getBoolean(i))
-            case LongType => g.append(name, r.getLong(i))
-            case dt => throw new IllegalArgumentException(s"unsupported WAL type $dt")
-          }
-        }
-        i += 1
-      }
-      writer.write(g)
-    } finally writer.close()
-    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    WalFiles.write(rows, schema, tmp)
+    WalFiles.publish(tmp, target)
   }
+
+  /** Commit an executor-written WAL temp file (WalFiles.writeHepPartition /
+    * writeLpPartition): assign the manifest sequence under the table lock,
+    * rename the temp into the reference layout's `<seq pad10>.parquet`
+    * name, append the manifest entry, merge the schema. Only stats and a
+    * rename happen here — the row bytes never crossed the driver. */
+  def commitExecutorFile(st: WalFiles.PartFile): Unit = synchronized {
+    Manifest.withTableLock(base, writerId, st.table) {
+      val manifest = freshManifest(st.table)
+      val seq = manifest.wal_sequence
+      val tmp = java.nio.file.Paths.get(st.tmpPath)
+      val target = tmp.getParent.resolve(f"$seq%010d.parquet")
+      WalFiles.publish(tmp, target)
+      val entry = Manifest.FileEntry(
+        id = seq,
+        path = base.relativize(target).toString,
+        size_bytes = Files.size(target),
+        row_count = st.rowCount,
+        chunk_time = TimeUtils.chunkTimeNs(TimeUtils.msToNs(st.firstMs)),
+        min_time = TimeUtils.msToNs(st.minMs),
+        max_time = TimeUtils.msToNs(st.maxMs))
+      val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+      Manifest.save(Manifest.tableManifestPath(base, writerId, st.table),
+        manifest.addFile(entry).withMergedSchema(schema))
+      updateWriterManifest()
+    }
+  }
+
+  /** Base directory / writer id, for executor-side partition writers that
+    * must compute placement paths without holding this (driver-bound)
+    * object. */
+  def basePathString: String = base.toString
+  def writerIdString: String = writerId
 
   def bufferedRowCount(table: String): Int =
     synchronized { buffers.get(table).map(_.rows.size).getOrElse(0) }

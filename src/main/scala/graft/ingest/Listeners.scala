@@ -56,6 +56,34 @@ object Listeners {
     def pendingBytes: Int = buf.length
   }
 
+  /** O(n) frame splitter for a COMPLETE spool segment (a concatenation of
+    * frames): walks an offset instead of HepFramer's compact-after-every-
+    * frame buffer, which is quadratic when fed a megabyte segment at once
+    * (measured: 21 s of pure memcpy for a 60 MB micro-batch). Same resync
+    * rules as the framer; an incomplete trailing frame (torn mid-write by
+    * a crash) is skipped. */
+  def splitFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var pos = 0
+    var continue = true
+    while (continue && pos < bytes.length) {
+      HepV3.frameLength(bytes, pos) match {
+        case Some(total) if total >= 6 && bytes.length - pos >= total =>
+          out += java.util.Arrays.copyOfRange(bytes, pos, pos + total)
+          pos += total
+        case Some(total) if total < 6 =>
+          pos += 4 // poisoned header: skip it to resync
+        case Some(_) => continue = false // torn trailing frame: skip
+        case None =>
+          val n = math.min(bytes.length - pos, HepV3.Magic.length)
+          var i = 0
+          while (i < n && bytes(pos + i) == HepV3.Magic(i)) i += 1
+          if (i < n) pos += 1 else continue = false
+      }
+    }
+    out.toSeq
+  }
+
   abstract class StoppableThread(name: String) {
     protected val running = new AtomicBoolean(true)
     protected def loop(): Unit

@@ -6,15 +6,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.ingest.{BufferedAppender, LineProtocol}
 
 /** Structured-Streaming ingest variant: a file-source stream of
-  * line-protocol text feeding the same WAL appender the HTTP/socket paths
-  * use (SURVEY §2.7: micro-batching maps to Trigger.ProcessingTime; the
+  * line-protocol text feeding the same WAL layout the HTTP/socket paths
+  * write (SURVEY §2.7: micro-batching maps to Trigger.ProcessingTime; the
   * reference's 10 s flush timer becomes the trigger interval, and
   * checkpointing upgrades its lose-on-crash buffers to at-least-once).
   *
-  * Scale note: the per-batch materialization to the driver mirrors the
-  * reference's in-memory buffer and is bounded by the micro-batch; on a
-  * cluster the foreachBatch body would instead partition-write parquet
-  * directly and only the manifest update would touch the driver.
+  * Scale shape (VERDICT r3 item 4): parse AND parquet write run
+  * per-partition on executors (WalFiles.writeLpPartition); only file
+  * stats return to the driver, which assigns manifest sequences under
+  * the table lock. Row bytes never cross the driver.
   */
 final class StreamingLpIngest(
     spark: SparkSession,
@@ -35,13 +35,21 @@ final class StreamingLpIngest(
       .trigger(Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val lines = batch.collect().map(_.getString(0))
-        val points = lines.iterator.map(_.trim).filter(_.nonEmpty)
-          .flatMap(LineProtocol.parse(_)).toSeq
-        if (points.nonEmpty) {
-          appender.addLinePoints(points)
-          appender.flushAll()
-        }
+        val baseDir = appender.basePathString
+        val writer = appender.writerIdString
+        // Same spread as the HEP path: small text files pack into few read
+        // partitions; repartition the bounded micro-batch so parse+write
+        // scale out.
+        val stats = batch
+          .select("value").as(org.apache.spark.sql.Encoders.STRING)
+          .repartition(batch.sparkSession.sparkContext.defaultParallelism)
+          .mapPartitions { lines: Iterator[String] =>
+            val points = lines.map(_.trim).filter(_.nonEmpty)
+              .flatMap(LineProtocol.parse(_))
+            graft.ingest.WalFiles.writeLpPartition(baseDir, writer, points)
+          }(org.apache.spark.sql.Encoders.product[graft.ingest.WalFiles.PartFile])
+          .collect()
+        stats.foreach(appender.commitExecutorFile)
       }
       .start()
 }

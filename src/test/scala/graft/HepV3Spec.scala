@@ -80,4 +80,18 @@ class HepV3Spec extends AnyFunSuite {
     assert(d.isRight)
     assert(d.toOption.get.rcinfo == fixture)
   }
+
+  test("splitFrames equals the TCP framer on segments, including torn tails and noise") {
+    import graft.ingest.Listeners
+    val frames = (0 until 50).map(i =>
+      HepV3.encode(Packet(fixture, s"MSG $i body".getBytes)))
+    val torn = frames.last.take(frames.last.length - 3)
+    val noise = "junkHE".getBytes
+    val segment = noise ++ frames.take(49).flatten.toArray ++ torn
+    val viaSplit = Listeners.splitFrames(segment)
+    val framer = new Listeners.HepFramer
+    val viaFeed = framer.feed(segment, segment.length)
+    assert(viaSplit.map(_.toSeq) == viaFeed.map(_.toSeq))
+    assert(viaSplit.length == 49, "complete frames recovered, torn tail skipped")
+  }
 }
