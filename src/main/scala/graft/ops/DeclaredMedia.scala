@@ -2,10 +2,11 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Declared multimodal queries over the committed binary media fixture.
-  * m1/m3's oracles read the independently-written `meta` struct — they
-  * cross-check the Spark side's actual BYTE-level decode/slicing against
-  * the metadata, so a broken binary path cannot silently pass. m2
+/** Declared multimodal queries over the committed binary media fixture
+  * (real JPEG/PNG/WAV payloads + the synthetic GIMG/GAUD containers).
+  * m1/m3/m4's oracles read the independently-written `meta` struct — they
+  * cross-check the Spark side's actual BYTE-level marker/chunk walks
+  * against the metadata, so a broken binary path cannot silently pass. m2
   * (histogram-feature similarity) has no SQL-expressible oracle and takes
   * the driver's rows-only check. */
 object DeclaredMedia {
@@ -23,18 +24,18 @@ object DeclaredMedia {
 
   val oracleSql: Map[String, String] = Map(
     "m1_media_decode" ->
-      s"""SELECT media_id, kind, meta.width AS w, meta.height AS h,
+      s"""SELECT media_id, meta.format AS format, meta.width AS w, meta.height AS h,
          |octet_length(payload) AS n_bytes
          |FROM read_parquet('$Fixture') WHERE kind = 'image'
          |ORDER BY media_id""".stripMargin,
     "m3_frame_sample" ->
       s"""SELECT media_id, meta.height AS n_frames,
          |CAST(ceil(meta.height / 4.0) AS INTEGER) * meta.width AS out_bytes
-         |FROM read_parquet('$Fixture') WHERE kind = 'image'
+         |FROM read_parquet('$Fixture') WHERE kind = 'image' AND meta.format = 'gimg'
          |ORDER BY media_id""".stripMargin,
     "m4_audio_decode" ->
-      s"""SELECT media_id, meta.sample_rate AS rate,
-         |octet_length(payload) - 8 AS n_samples
+      s"""SELECT media_id, meta.format AS format, meta.sample_rate AS rate,
+         |CAST(meta.n_samples AS BIGINT) AS n_samples
          |FROM read_parquet('$Fixture') WHERE kind = 'audio'
          |ORDER BY media_id""".stripMargin)
 }

@@ -9,13 +9,18 @@ import org.apache.spark.sql.graftshim.PlanExec.{column, expression}
 import org.apache.spark.sql.types._
 
 /** Multimodal (image/audio/"video") columns: opaque `binary` payloads with
-  * typed metadata, processed by real distributed Spark plumbing. The CODEC
-  * is the stub: payloads use a deterministic fake container (`GIMG`/`GAUD`
-  * magic + u16 dims + body — MediaFixture) standing in for JPEG/WAV, and
-  * "decode" parses that header. Everything around it — binary schema,
-  * header slicing, per-row feature loops, frame sampling, top-k by feature
-  * cosine — is the production shape: swap the stub parser for a real codec
-  * (e.g. a JNI decoder in mapPartitions) and nothing else changes.
+  * typed metadata, processed by real distributed Spark plumbing.
+  *
+  * Header CODECS are real (round 4): MediaHeader walks JPEG marker
+  * segments to SOF0 (width/height), reads the PNG IHDR chunk (CRC-valid
+  * fixtures), and chunk-walks RIFF/WAVE to the fmt and data chunks
+  * (sample rate, block-aligned sample count) — plus the synthetic
+  * `GIMG`/`GAUD` container whose BODY layout the frame-sampling and
+  * histogram operators rely on. Full pixel/sample DECODE (DCT, deflate)
+  * remains out of scope — that would be a JNI codec in mapPartitions;
+  * the Spark-side plumbing (binary schema, header parsing, per-row
+  * feature loops, frame sampling, top-k by feature cosine) is the
+  * production shape either way.
   *
   * Scale notes: payloads never shuffle except where semantically required
   * (feature vectors — 16 floats — shuffle, not bytes); header decode and
@@ -75,49 +80,135 @@ object Multimodal {
         c: Expression): FrameSample = copy(first = a, second = b, third = c)
   }
 
+  /** Real-format header parse: format tag + dimensions / sample info from
+    * the payload BYTES alone (never the meta struct — the declared oracles
+    * read meta, cross-validating this parser against independent truth).
+    * One pass, bounded by the header walk; returns nulls for fields the
+    * format doesn't carry and format "unknown" for unparseable bytes. */
+  case class MediaHeader(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_samples", LongType, nullable = true)))
+
+    private def u16be(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    private def u32be(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    private def u16le(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def u32le(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[Array[Byte]]
+      val row = org.apache.spark.sql.catalyst.InternalRow
+      def out(f: String, w: Any = null, h: Any = null, r: Any = null, n: Any = null) =
+        row(org.apache.spark.unsafe.types.UTF8String.fromString(f), w, h, r, n)
+
+      if (b.length >= 4 && tag(b, 0) == "GIMG")
+        out("gimg", u16be(b, 4), u16be(b, 6))
+      else if (b.length >= 8 && tag(b, 0) == "GAUD")
+        out("gaud", r = u16be(b, 4) * 100, n = (b.length - 8).toLong)
+      else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+        // JPEG: walk marker segments from SOI to the first SOF0..SOF15
+        // frame header (skipping DHT/DAC/RST classes that aren't frames).
+        var p = 2
+        var res: Any = out("jpeg")
+        var done = false
+        while (!done && p + 4 <= b.length && (b(p) & 0xff) == 0xff) {
+          val marker = b(p + 1) & 0xff
+          if (marker >= 0xc0 && marker <= 0xcf &&
+              marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+            if (p + 9 <= b.length)
+              res = out("jpeg", u16be(b, p + 7), u16be(b, p + 5))
+            done = true
+          } else p += 2 + u16be(b, p + 2)
+        }
+        res
+      } else if (b.length >= 33 && u32be(b, 0) == 0x89504e47 &&
+          tag(b, 12) == "IHDR")
+        out("png", u32be(b, 16), u32be(b, 20))
+      else if (b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE") {
+        // RIFF chunk walk (word-aligned) to fmt (rate, block align) and
+        // data (byte length → sample count).
+        var p = 12
+        var rate: Any = null
+        var blockAlign = 0
+        var dataLen = -1L
+        while (p + 8 <= b.length) {
+          val id = tag(b, p)
+          val sz = u32le(b, p + 4)
+          if (id == "fmt " && p + 22 <= b.length) {
+            rate = u32le(b, p + 12).toInt
+            blockAlign = u16le(b, p + 20)
+          } else if (id == "data") dataLen = sz
+          p += 8 + sz.toInt + (sz.toInt & 1)
+        }
+        val n: Any = if (dataLen >= 0 && blockAlign > 0) dataLen / blockAlign else null
+        out("wav", r = rate, n = n)
+      } else out("unknown")
+    }
+    override protected def withNewChildInternal(c: Expression): MediaHeader =
+      copy(child = c)
+  }
+
+  def mediaHeader(c: Column): Column = column(MediaHeader(expression(c)))
+
   def byteHistogram(c: Column, bins: Int = 16): Column =
     column(ByteHistogram(expression(c), bins))
   def frameSample(data: Column, frameLen: Column, stride: Column): Column =
     column(FrameSample(expression(data), expression(frameLen), expression(stride)))
 
-  /** Header decode of the fixture container — THE STUB POINT. A real
-    * pipeline would replace these header reads with an actual image/audio
-    * codec; the u16 big-endian fields are sliced with builtin binary
-    * functions so the decode itself stays codegen-friendly. */
+  /** GIMG container dims via builtin binary slicing (the body-layout
+    * contract m3's frame sampler depends on). */
   def decodeWidth(payload: Column): Column =
     conv(hex(substring(payload, 5, 2)), 16, 10).cast("int")
   def decodeHeight(payload: Column): Column =
     conv(hex(substring(payload, 7, 2)), 16, 10).cast("int")
 
-  /** m1 — decode plumbing: parse header dims from the BYTES and emit them
-    * with payload sizes. The oracle reads the independently-written meta
-    * struct, cross-validating the binary encode/decode round trip. */
+  /** m1 — image header decode across JPEG SOF0, PNG IHDR, and the GIMG
+    * container, from the BYTES alone. The oracle reads the independently-
+    * written meta struct (including format), cross-validating the real
+    * marker/chunk walks against ground truth for every format. */
   def decodeDims(media: DataFrame): DataFrame =
     media.where(col("kind") === "image")
+      .select(col("media_id"), mediaHeader(col("payload")).as("hd"),
+        length(col("payload")).as("n_bytes"))
       .select(
         col("media_id"),
-        col("kind"),
-        decodeWidth(col("payload")).as("w"),
-        decodeHeight(col("payload")).as("h"),
-        length(col("payload")).as("n_bytes"))
+        col("hd.format").as("format"),
+        col("hd.width").as("w"),
+        col("hd.height").as("h"),
+        col("n_bytes"))
       .orderBy("media_id")
 
-  /** m1b — audio header decode: sample rate from the GAUD container's
-    * rate/100 u16 field, sample count from the body size. Same
-    * cross-validation contract as m1 (oracle reads the meta struct). */
+  /** m4 — audio header decode across WAV (RIFF fmt/data chunk walk) and
+    * the GAUD container. Same cross-validation contract as m1. */
   def decodeAudio(media: DataFrame): DataFrame =
     media.where(col("kind") === "audio")
+      .select(col("media_id"), mediaHeader(col("payload")).as("hd"))
       .select(
         col("media_id"),
-        (conv(hex(substring(col("payload"), 5, 2)), 16, 10).cast("int") * 100).as("rate"),
-        (length(col("payload")) - 8).as("n_samples"))
+        col("hd.format").as("format"),
+        col("hd.sample_rate").as("rate"),
+        col("hd.n_samples").as("n_samples"))
       .orderBy("media_id")
 
   /** m2 — feature extraction + similarity: histogram features over body
     * bytes, then top-k most-similar images to each of the first 2 by
     * cosine (features shuffle/broadcast — 16 floats — never payloads). */
   def similarByHistogram(media: DataFrame, k: Int = 3): DataFrame = {
-    val feats = media.where(col("kind") === "image")
+    val feats = media
+      .where(col("kind") === "image" &&
+        mediaHeader(col("payload")).getField("format") === "gimg")
       .select(col("media_id"),
         byteHistogram(expr("substring(payload, 9, 2147483647)")).as("f"))
     val q = feats.where(col("media_id") < 2)
@@ -135,7 +226,8 @@ object Multimodal {
     * the same counts from meta arithmetic — byte-level slicing must agree
     * with the header math. */
   def frameSampleStats(media: DataFrame, stride: Int = 4): DataFrame =
-    media.where(col("kind") === "image")
+    media.where(col("kind") === "image" &&
+        mediaHeader(col("payload")).getField("format") === "gimg")
       .select(col("media_id"),
         decodeWidth(col("payload")).as("w"),
         decodeHeight(col("payload")).as("h"),
@@ -146,9 +238,12 @@ object Multimodal {
       .orderBy("media_id")
 }
 
-/** Deterministic media fixture: images (`GIMG` w h, w*h body bytes) and
-  * audio (`GAUD` rate/100 0, body) with an independent `meta` struct —
-  * written through ordinary Spark parquet so the binary column plumbing
+/** Deterministic media fixture across REAL formats (JPEG with APP0+SOF0
+  * segments, CRC-valid PNG IHDR chunks, RIFF/WAVE with a LIST chunk
+  * before fmt to force a real chunk walk) plus the synthetic `GIMG`
+  * (w*h body bytes — the frame-sampling layout) and `GAUD` containers,
+  * each with an independent `meta` struct (incl. format) — written
+  * through ordinary Spark parquet so the binary column plumbing
   * (schema, stats, scan) is the real thing. */
 object MediaFixture {
 
@@ -161,6 +256,58 @@ object MediaFixture {
     x ^ (x >>> 31)
   }
 
+  private def u16be(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+  private def u32be(v: Int): Array[Byte] =
+    Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def u16le(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+  private def u32le(v: Long): Array[Byte] =
+    Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+  private def body(id: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => (splitmix(id * 1000L + i) & 0xff).toByte)
+
+  /** Minimal spec-valid JPEG: SOI, APP0/JFIF, SOF0 (1 component), fake
+    * entropy bytes, EOI. The APP0 before SOF0 forces the decoder to
+    * actually WALK segments, not read a fixed offset. */
+  private def jpeg(id: Long, w: Int, h: Int): Array[Byte] = {
+    val app0 = Array[Byte](0xff.toByte, 0xe0.toByte) ++ u16be(16) ++
+      "JFIF ".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 0) ++ u16be(1) ++ u16be(1) ++ Array[Byte](0, 0)
+    val sof0 = Array[Byte](0xff.toByte, 0xc0.toByte) ++ u16be(11) ++
+      Array[Byte](8) ++ u16be(h) ++ u16be(w) ++
+      Array[Byte](1, 0x11, 0)
+    Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ sof0 ++
+      body(id, w * h / 2) ++ Array[Byte](0xff.toByte, 0xd9.toByte)
+  }
+
+  /** Minimal spec-valid PNG: signature, IHDR (real CRC32), one junk IDAT,
+    * IEND. */
+  private def png(id: Long, w: Int, h: Int): Array[Byte] = {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32
+      val t = typ.getBytes("US-ASCII")
+      crc.update(t); crc.update(data)
+      u32be(data.length) ++ t ++ data ++ u32be(crc.getValue.toInt)
+    }
+    val ihdr = u32be(w) ++ u32be(h) ++ Array[Byte](8, 0, 0, 0, 0)
+    Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", body(id, w * h / 3)) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Minimal spec-valid WAV (PCM16 mono) with a LIST chunk BEFORE fmt so
+    * the decoder must chunk-walk, and word-aligned chunk sizes. */
+  private def wav(id: Long, rate: Int, nSamples: Int): Array[Byte] = {
+    val list = "LIST".getBytes("US-ASCII") ++ u32le(4) ++ "INFO".getBytes("US-ASCII")
+    val fmt = "fmt ".getBytes("US-ASCII") ++ u32le(16) ++
+      u16le(1) ++ u16le(1) ++ u32le(rate.toLong) ++ u32le(rate * 2L) ++
+      u16le(2) ++ u16le(16)
+    val data = "data".getBytes("US-ASCII") ++ u32le(nSamples * 2L) ++
+      body(id, nSamples * 2)
+    val content = "WAVE".getBytes("US-ASCII") ++ list ++ fmt ++ data
+    "RIFF".getBytes("US-ASCII") ++ u32le(content.length.toLong) ++ content
+  }
+
   def ensure(spark: SparkSession, path: String = DefaultPath): String = synchronized {
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) return path
     import org.apache.spark.sql.Row
@@ -169,24 +316,37 @@ object MediaFixture {
       StructField("kind", StringType, nullable = false),
       StructField("payload", BinaryType, nullable = false),
       StructField("meta", StructType(Seq(
+        StructField("format", StringType, nullable = false),
         StructField("width", IntegerType, nullable = true),
         StructField("height", IntegerType, nullable = true),
-        StructField("sample_rate", IntegerType, nullable = true))), nullable = false)))
+        StructField("sample_rate", IntegerType, nullable = true),
+        StructField("n_samples", IntegerType, nullable = true))), nullable = false)))
     val rows: Seq[Row] = (0 until 30).map { id =>
-      if (id % 5 == 4) { // audio rows
+      if (id % 5 == 4) { // audio rows: GAUD / WAV alternating
         val rate = 8000 + (id % 3) * 4000
         val n = 64 + (id * 7) % 64
-        val body = Array.tabulate(n)(i => (splitmix(id * 1000L + i) & 0xff).toByte)
-        val payload = "GAUD".getBytes ++
-          Array(((rate / 100) >> 8).toByte, (rate / 100).toByte, 0.toByte, 0.toByte) ++ body
-        Row(id.toLong, "audio", payload, Row(null, null, rate))
+        if (id % 10 == 4) {
+          val payload = "GAUD".getBytes ++
+            Array(((rate / 100) >> 8).toByte, (rate / 100).toByte, 0.toByte, 0.toByte) ++
+            body(id.toLong, n)
+          Row(id.toLong, "audio", payload, Row("gaud", null, null, rate, n))
+        } else
+          Row(id.toLong, "audio", wav(id.toLong, rate, n),
+            Row("wav", null, null, rate, n))
       } else {
         val w = 8 + id % 9
         val h = 6 + id % 7
-        val body = Array.tabulate(w * h)(i => (splitmix(id * 1000L + i) & 0xff).toByte)
-        val payload = "GIMG".getBytes ++
-          Array((w >> 8).toByte, w.toByte, (h >> 8).toByte, h.toByte) ++ body
-        Row(id.toLong, "image", payload, Row(w, h, null))
+        id % 5 match {
+          case 1 =>
+            Row(id.toLong, "image", jpeg(id.toLong, w, h), Row("jpeg", w, h, null, null))
+          case 2 =>
+            Row(id.toLong, "image", png(id.toLong, w, h), Row("png", w, h, null, null))
+          case _ =>
+            val payload = "GIMG".getBytes ++
+              Array((w >> 8).toByte, w.toByte, (h >> 8).toByte, h.toByte) ++
+              body(id.toLong, w * h)
+            Row(id.toLong, "image", payload, Row("gimg", w, h, null, null))
+        }
       }
     }
     val jrows = new java.util.ArrayList[Row](rows.size)

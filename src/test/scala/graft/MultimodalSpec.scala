@@ -15,15 +15,35 @@ class MultimodalSpec extends GraftSuite {
   test("binary header decode agrees with the independent meta struct") {
     val decoded = Multimodal.decodeDims(media).collect()
     val meta = media.where("kind = 'image'")
-      .selectExpr("media_id", "meta.width", "meta.height", "length(payload)")
-      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+      .selectExpr("media_id", "meta.format", "meta.width", "meta.height", "length(payload)")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))))
+      .toMap
     assert(decoded.nonEmpty)
+    // All three image formats present, each byte-parsed to the meta truth.
+    assert(decoded.map(_.getString(1)).toSet == Set("gimg", "jpeg", "png"))
     decoded.foreach { r =>
-      val (w, h, len) = meta(r.getLong(0))
+      val (fmt, w, h, len) = meta(r.getLong(0))
+      assert(r.getString(r.fieldIndex("format")) == fmt)
       assert(r.getInt(r.fieldIndex("w")) == w)
       assert(r.getInt(r.fieldIndex("h")) == h)
       assert(r.getInt(r.fieldIndex("n_bytes")) == len)
-      assert(len == 8 + w * h, "payload = 8-byte header + w*h body")
+      if (fmt == "gimg") assert(len == 8 + w * h, "GIMG payload = 8-byte header + w*h body")
+    }
+  }
+
+  test("audio header decode walks RIFF chunks and the GAUD container") {
+    val decoded = Multimodal.decodeAudio(media).collect()
+    val meta = media.where("kind = 'audio'")
+      .selectExpr("media_id", "meta.format", "meta.sample_rate", "meta.n_samples")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(decoded.map(_.getString(1)).toSet == Set("gaud", "wav"))
+    decoded.foreach { r =>
+      val (fmt, rate, n) = meta(r.getLong(0))
+      assert(r.getString(r.fieldIndex("format")) == fmt)
+      assert(r.getInt(r.fieldIndex("rate")) == rate)
+      assert(r.getLong(r.fieldIndex("n_samples")) == n.toLong)
     }
   }
 
@@ -36,6 +56,8 @@ class MultimodalSpec extends GraftSuite {
       assert(cs.forall(c => c >= -1.0001 && c <= 1.0001))
     }
     val feats = media.where("kind = 'image'")
+      .where(Multimodal.mediaHeader(org.apache.spark.sql.functions.col("payload"))
+        .getField("format") === "gimg")
       .select(Multimodal.byteHistogram(
         org.apache.spark.sql.functions.expr("substring(payload, 9, 2147483647)")))
       .collect()
@@ -48,7 +70,7 @@ class MultimodalSpec extends GraftSuite {
   test("frame sampling slices real bytes consistent with meta arithmetic") {
     val rows = Multimodal.frameSampleStats(media).collect()
     assert(rows.nonEmpty)
-    val meta = media.where("kind = 'image'")
+    val meta = media.where("kind = 'image' AND meta.format = 'gimg'")
       .selectExpr("media_id", "meta.width", "meta.height")
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
     rows.foreach { r =>
