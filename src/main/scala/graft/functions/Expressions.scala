@@ -260,6 +260,52 @@ object Expressions {
       copy(child = newChild)
   }
 
+  /** Per-k xor "permutation" constants for the PORTABLE MinHash variant:
+    * 60-bit masks derived from splitmix64(k+1) — xor by a constant is a
+    * bijection of the 60-bit hash space, so min-over-xor is a valid
+    * MinHash family, and unlike the affine family it needs no wrapping
+    * multiply, which a DuckDB oracle cannot express (its integer ops trap
+    * on overflow). Exposed so the oracle SQL interpolates the SAME
+    * constants as literals. */
+  def xorMinHashConstants(numHashes: Int): IndexedSeq[Long] =
+    (0 until numHashes).map(k => splitmix64((k + 1).toLong) & ((1L << 60) - 1))
+
+  /** Portable MinHash signature over a string array: element hash = the
+    * md5-60-bit word hash (same integer DuckDB derives from
+    * `substr(md5(g), 1, 15)`), sig_k = min over elements of (h xor c_k).
+    * One md5 per element, tight loop over k. */
+  case class XorMinHashSig(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    private val consts = xorMinHashConstants(numHashes).toArray
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var v = 0L
+        var j = 0
+        while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+        val h = v >>> 4
+        var k = 0
+        while (k < numHashes) {
+          val hk = h ^ consts(k)
+          if (hk < sig(k)) sig(k) = hk
+          k += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(newChild: Expression): XorMinHashSig =
+      copy(child = newChild)
+  }
+
   /** Rolling fingerprint fold: acc = (acc*31 + h%1000003) % 1000000007 —
     * identical to the aggregate/list_reduce forms. */
   case class RollingFp(child: Expression)
@@ -343,4 +389,6 @@ object Expressions {
   def countWordsIn(c: Column, words: Seq[String]): Column =
     column(CountWordsIn(expression(c), words))
   def wordTfs(c: Column): Column = column(WordTfs(expression(c)))
+  def xorMinHashSig(c: Column, numHashes: Int): Column =
+    column(XorMinHashSig(expression(c), numHashes))
 }

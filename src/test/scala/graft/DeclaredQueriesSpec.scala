@@ -4,13 +4,11 @@ import graft.query.Declared
 
 class DeclaredQueriesSpec extends GraftSuite {
 
-  test("every declared query has an oracle or is documented rows-only") {
+  test("every declared query has an oracle") {
+    // Round 4 closed the last three rows-only gaps (d8: portable
+    // xor-MinHash, t6: sketch-audit shape, m2: hex-derived histograms).
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // rows-only ops (non-SQL-expressible) are allowed but tracked explicitly
-    // histogram-feature cosine and HLL sketches: engine-specific, no SQL oracle
-    val documentedRowsOnly = Set("m2_media_sim", "t6_hll_profile", "d8_source_sketch")
-    assert(missing == documentedRowsOnly,
-      s"queries without oracle SQL must be documented rows-only: $missing")
+    assert(missing == Set.empty, s"queries without oracle SQL: $missing")
   }
 
   test("representative queries are AQE-invariant (cluster runs re-plan at runtime)") {

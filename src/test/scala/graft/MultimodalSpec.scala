@@ -51,9 +51,9 @@ class MultimodalSpec extends GraftSuite {
     val rows = Multimodal.similarByHistogram(media).collect()
     assert(rows.nonEmpty)
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
-      val cs = rs.map(_.getDouble(2))
+      val cs = rs.map(_.getLong(2)) // cos_x10k
       assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
-      assert(cs.forall(c => c >= -1.0001 && c <= 1.0001))
+      assert(cs.forall(c => c >= -10001 && c <= 10001))
     }
     val feats = media.where("kind = 'image'")
       .where(Multimodal.mediaHeader(org.apache.spark.sql.functions.col("payload"))
@@ -80,8 +80,8 @@ class MultimodalSpec extends GraftSuite {
     }
   }
 
-  test("media queries and oracles stay in sync (m2 is rows-only)") {
-    assert(DeclaredMedia.queries.keySet -- DeclaredMedia.oracleSql.keySet == Set("m2_media_sim"))
+  test("media queries and oracles stay in sync") {
+    assert(DeclaredMedia.queries.keySet -- DeclaredMedia.oracleSql.keySet == Set.empty)
   }
 
   test("streaming LP ingest: files -> micro-batch -> WAL -> query") {

@@ -180,7 +180,7 @@ class OpsSpec extends GraftSuite {
   }
 
   test("declared ops and oracles stay in sync") {
-    assert(DeclaredOps.queries.keySet -- DeclaredOps.oracleSql.keySet == Set("t6_hll_profile", "d8_source_sketch"))
+    assert(DeclaredOps.queries.keySet -- DeclaredOps.oracleSql.keySet == Set.empty)
   }
 
   test("hash split is deterministic, exhaustive, and roughly 80/10/10") {
