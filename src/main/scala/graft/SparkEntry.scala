@@ -17,11 +17,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     query.Declared.queries ++ query.DeclaredExt.queries ++ query.DeclaredHep.queries ++
+      query.DeclaredLlmSql.queries ++
       ops.DeclaredOps.queries ++ ops.DeclaredMedia.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     query.Declared.oracleSql ++ query.DeclaredExt.oracleSql ++ query.DeclaredHep.oracleSql ++
+      query.DeclaredLlmSql.oracleSql ++
       ops.DeclaredOps.oracleSql ++ ops.DeclaredMedia.oracleSql
 }

@@ -59,7 +59,21 @@ object GraftExtensions {
     ("sorted_intersect_size",
       info("sorted_intersect_size",
         "sorted_intersect_size(a, b) - |a ∩ b| of two sorted distinct string arrays"),
-      two(SortedIntersectSize(_, _))))
+      two(SortedIntersectSize(_, _))),
+    ("word_tfs",
+      info("word_tfs", "word_tfs(text) - array<struct<token,tf>> per-row term frequencies"),
+      one(WordTfs(_))),
+    ("xor_minhash_sig",
+      info("xor_minhash_sig",
+        "xor_minhash_sig(shingles) - portable 64-hash xor-MinHash signature"),
+      one(XorMinHashSig(_, 64))),
+    ("media_header",
+      info("media_header",
+        "media_header(payload) - parsed JPEG/PNG/WAV/GIMG/GAUD header struct"),
+      one(graft.ops.Multimodal.MediaHeader(_))),
+    ("byte_histogram",
+      info("byte_histogram", "byte_histogram(bytes) - 16-bin L1-normalized byte histogram"),
+      one(graft.ops.Multimodal.ByteHistogram(_, 16))))
 
   /** Register into an already-built session (idempotent). */
   def registerAll(spark: SparkSession): Unit = {

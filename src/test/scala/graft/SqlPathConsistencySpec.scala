@@ -40,6 +40,32 @@ class SqlPathConsistencySpec extends GraftSuite {
     assert(sql == df)
   }
 
+  test("LLM operator views: SQL path equals the Scala API (dedup)") {
+    query.LlmViews.register(spark, sf)
+    val sql = viaSql("SELECT doc_id, copies FROM llm_exact_dedup ORDER BY doc_id")
+    val api = graft.ops.Dedup.exact(graft.core.Tables.load(spark, sf, "documents"))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(sql == api)
+    assert(sql.nonEmpty)
+  }
+
+  test("LLM operator views: SQL path equals the Scala API (near-dup pairs + cosine)") {
+    query.LlmViews.register(spark, sf)
+    val sqlPairs = viaSql("SELECT doc_a, doc_b, j_x10k FROM llm_near_dup_pairs ORDER BY doc_a, doc_b")
+    val apiPairs = graft.ops.Dedup.minhashLsh(graft.core.Tables.load(spark, sf, "documents"))
+      .collect().map(_.toString).toSeq
+    assert(sqlPairs == apiPairs)
+    val sqlCos = viaSql(
+      "SELECT query_id, neighbor_id, cos_x10k FROM llm_cosine_topk WHERE query_id = 1 ORDER BY cos_x10k DESC, neighbor_id")
+    val apiCos = graft.ops.Similarity
+      .cosineTopK(graft.core.Tables.load(spark, sf, "embeddings"),
+        org.apache.spark.sql.functions.col("vec_id") < 5)
+      .where(org.apache.spark.sql.functions.col("query_id") === 1)
+      .collect().map(_.toString).toSeq
+    assert(sqlCos == apiCos)
+    assert(sqlCos.nonEmpty)
+  }
+
   test("SELECT * stays physical across joins, aliases, and qualified stars") {
     // events is time-series: the view carries a virtual `time` column that
     // must NOT leak into any star expansion (reference README.md:141-143).
