@@ -15,6 +15,58 @@ import org.apache.spark.sql.functions._
   * Run: sbt "runMain graft.ScaleCheck [sfDirA] [sfDirB]"
   */
 object ScaleCheck {
+
+  private def splitmix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+  private def rand01(seed: Long): Double =
+    (splitmix(seed) >>> 11).toDouble / (1L << 53).toDouble
+
+  /** Synthetic sf1-equivalent corpus (50k docs) for the THIRD decade of
+    * the scale trend: the driver provides sf up to 0.1, so this decade is
+    * an extrapolation corpus built with the same observable process shape
+    * as the real data — vocabulary, length distribution, source/lang
+    * cardinalities, and near-dup plant rate all measured FROM sf0.1 —
+    * honestly labeled synthetic (the trends it extends are the measured
+    * ones, the corpus is not driver data). Deterministic (seeded ids). */
+  private def synth50k(spark: SparkSession, from: String): String = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft-sf1-synth"
+    val marker = java.nio.file.Paths.get(out, "_SUCCESS")
+    if (java.nio.file.Files.exists(marker)) return out
+    val real = spark.read.parquet(s"$from/documents.parquet")
+    val vocab = real.select(explode(split(col("text"), " ")).as("w"))
+      .distinct().orderBy("w").collect().map(_.getString(0))
+    val lens = real.select(size(split(col("text"), " "))).collect().map(_.getInt(0)).sorted
+    val nDocs = 50000
+    val dupEvery = 20 // ~5% of docs are planted near-dups, as measured at sf0.1
+    import spark.implicits._
+    val docs = (0 until nDocs).map { id =>
+      val isDup = id % dupEvery == (dupEvery - 1) && id > 0
+      val words: Array[String] =
+        if (isDup) {
+          // near-dup of the previous doc: ~12% token substitution
+          val prevLen = lens(((id - 1) * 7919) % lens.length)
+          Array.tabulate(prevLen) { i =>
+            if (rand01(id * 131071L + i) < 0.12)
+              vocab(((splitmix(id * 31L + i) & Long.MaxValue) % vocab.length).toInt)
+            else vocab(((splitmix((id - 1) * 100003L + i) & Long.MaxValue) % vocab.length).toInt)
+          }
+        } else {
+          val len = lens((id * 7919) % lens.length)
+          Array.tabulate(len)(i =>
+            vocab(((splitmix(id * 100003L + i) & Long.MaxValue) % vocab.length).toInt))
+        }
+      (id.toLong, s"src${(splitmix(id.toLong) & Long.MaxValue) % 20}",
+        words.mkString(" "))
+    }
+    docs.toDF("doc_id", "source", "text")
+      .repartition(16).write.mode("overwrite").parquet(out)
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val dirs =
       if (args.length >= 2) Seq(args(0), args(1))
@@ -45,9 +97,23 @@ object ScaleCheck {
       // d10's exact-join candidate growth: sub-quadratic growth here is
       // what makes the prefix-filtered join viable at 100× — if cand_pairs
       // grew ~N² the prefix filter would be failing on this corpus shape.
+      // tau=2/5 is the declared query's setting; tau=4/5 is the operator's
+      // INTENDED regime (short prefixes -> far fewer candidates).
       val d10c = graft.ops.Dedup.jaccardCandidates(
         graft.ops.Dedup.shingled(docs), 2, 5).count()
-      println(s"D10CANDS $dir cand_pairs=$d10c")
+      val d10hi = graft.ops.Dedup.jaccardCandidates(
+        graft.ops.Dedup.shingled(docs), 4, 5).count()
+      println(s"D10CANDS $dir tau0.4_cand_pairs=$d10c tau0.8_cand_pairs=$d10hi")
+
+      // d7's join width: postings per (source, shingle) and the shingle-df
+      // fan-out Sum(df^2) that the self-join actually produces.
+      val post = docs.select(col("source"),
+          explode(graft.ops.Dedup.shingles(col("text"))).as("g"))
+        .dropDuplicates("source", "g")
+      val d7 = post.groupBy("g").agg(count(lit(1)).as("df"))
+        .agg(count(lit(1)), max("df"), sum(expr("df*df"))).head()
+      println(s"D7POSTINGS $dir shingles=${d7.get(0)} max_df=${d7.get(1)} " +
+        s"join_rows=${d7.get(2)}")
 
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val cells = emb
@@ -61,6 +127,33 @@ object ScaleCheck {
         val n = try fn(spark, dir).count() catch { case _: Throwable => -1L }
         println(s"ROWS $dir $name $n")
       }
+    }
+
+    // Third decade (synthetic 50k-doc corpus): text internals only — the
+    // declared queries and the embeddings-based internals have no
+    // synthetic counterpart worth faking.
+    if (args.contains("--sf1")) {
+      val dir = synth50k(spark, dirs.last)
+      val docs = spark.read.parquet(dir)
+      val withSh = graft.ops.Dedup.shingled(docs)
+      val banded = graft.ops.Dedup.bandedSignatures(withSh)
+      val buckets = banded.groupBy("band", "key").count()
+      val tot = buckets.agg(count(lit(1)), max("count"), round(avg("count"), 3)).head()
+      val multi = buckets.where(col("count") > 1)
+        .agg(count(lit(1)), sum(expr("count*(count-1)/2"))).head()
+      println(s"D2BUCKETS $dir docs=${docs.count()} buckets=${tot.get(0)} " +
+        s"max_bucket=${tot.get(1)} avg=${tot.get(2)} " +
+        s"multi_buckets=${multi.get(0)} cand_pairs=${multi.get(1)}")
+      val d10c = graft.ops.Dedup.jaccardCandidates(withSh, 2, 5).count()
+      val d10hi = graft.ops.Dedup.jaccardCandidates(withSh, 4, 5).count()
+      println(s"D10CANDS $dir tau0.4_cand_pairs=$d10c tau0.8_cand_pairs=$d10hi")
+      val post = docs.select(col("source"),
+          explode(graft.ops.Dedup.shingles(col("text"))).as("g"))
+        .dropDuplicates("source", "g")
+      val d7 = post.groupBy("g").agg(count(lit(1)).as("df"))
+        .agg(count(lit(1)), max("df"), sum(expr("df*df"))).head()
+      println(s"D7POSTINGS $dir shingles=${d7.get(0)} max_df=${d7.get(1)} " +
+        s"join_rows=${d7.get(2)}")
     }
     spark.stop()
   }
