@@ -306,6 +306,51 @@ object Expressions {
       copy(child = newChild)
   }
 
+  /** Symmetric int8 quantization of a float array: round(x·127) clamped
+    * to [-127, 127]. Rounding is BigDecimal HALF_UP — the exact same
+    * half-away-from-zero result as Spark's `round(double, 0)` and
+    * DuckDB's `round(double)`, with none of the `floor(v + 0.5)`
+    * double-carry pitfalls. Replaces an interpreted per-element
+    * `transform` lambda in the e4 hot loop. */
+  case class Quantize8(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val v = java.math.BigDecimal.valueOf(arr.getFloat(i).toDouble * 127)
+          .setScale(0, java.math.RoundingMode.HALF_UP).intValue()
+        out(i) = math.max(-127, math.min(127, v))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Quantize8 =
+      copy(child = newChild)
+  }
+
+  /** Integer dot product of two int arrays (the int8-quantized ANN score):
+    * one tight loop, exact long accumulation — replaces the interpreted
+    * zip_with/aggregate lambda pair. */
+  case class DotI8(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc += a.getInt(i).toLong * b.getInt(i); i += 1 }
+      acc
+    }
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): DotI8 = copy(left = newLeft, right = newRight)
+  }
+
   /** Rolling fingerprint fold: acc = (acc*31 + h%1000003) % 1000000007 —
     * identical to the aggregate/list_reduce forms. */
   case class RollingFp(child: Expression)
@@ -391,4 +436,6 @@ object Expressions {
   def wordTfs(c: Column): Column = column(WordTfs(expression(c)))
   def xorMinHashSig(c: Column, numHashes: Int): Column =
     column(XorMinHashSig(expression(c), numHashes))
+  def quantize8(c: Column): Column = column(Quantize8(expression(c)))
+  def dotI8(a: Column, b: Column): Column = column(DotI8(expression(a), expression(b)))
 }

@@ -166,12 +166,11 @@ object Similarity {
   }
 
   /** Symmetric int8 quantization of a float-vector column: round(x·127)
-    * clamped to [-127, 127]. Deterministic (half-up rounding in both
+    * clamped to [-127, 127]. Deterministic (half-away-from-zero in both
     * engines), so quantized scores are exact integers — no float-order
-    * sensitivity anywhere downstream. */
-  def quantize8(v: Column): Column =
-    transform(v, x =>
-      greatest(lit(-127), least(lit(127), round(x.cast("double") * 127, 0).cast("int"))))
+    * sensitivity anywhere downstream. Native expression (the transform
+    * lambda evaluated interpreted per element). */
+  def quantize8(v: Column): Column = graft.functions.Expressions.quantize8(v)
 
   /** Int8-quantized dot-product top-k — the memory/bandwidth tier of ANN:
     * at 100 TB the quantized corpus is 4× smaller than float32 (64 B vs
@@ -184,8 +183,7 @@ object Similarity {
     val c = emb.select(col("vec_id"), quantize8(col("embedding")).as("v8"))
     val q = c.where(queryPred)
       .select(col("vec_id").as("query_id"), col("v8").as("q8"))
-    val dot = aggregate(
-      zip_with(col("v8"), col("q8"), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    val dot = graft.functions.Expressions.dotI8(col("v8"), col("q8"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot.cast("double"))
