@@ -94,6 +94,25 @@ class DeclaredQueriesSpec extends GraftSuite {
     assert(all.sameElements(first20.drop(10)))
   }
 
+  test("scan re-layout preserves rows exactly and actually splits the scan") {
+    import org.apache.spark.sql.functions._
+    // sf0.01 lineitem (~1 MB) crosses the re-layout threshold; the raw
+    // driver file is ONE row group (one scan task).
+    val dir = "/root/testdata/sf0.01"
+    val relayed = graft.core.Tables.load(spark, dir, "lineitem")
+    val raw = spark.read.parquet(s"$dir/lineitem.parquet")
+    assert(relayed.rdd.getNumPartitions > 1, "re-layout must split the scan")
+    assert(raw.rdd.getNumPartitions == 1, "driver file is a single row group")
+    assert(relayed.schema == raw.schema, "schema must be unchanged")
+    // Row MULTISET equality via an order-free aggregate of full-row hashes
+    // (summed as decimal — a long sum of 60k raw xxhash64 values overflows).
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.select(xxhash64(df.columns.map(col): _*).as("h"))
+        .agg(count(lit(1)), sum(col("h").cast("decimal(38,0)")), countDistinct("h"))
+        .collect()(0).toSeq
+    assert(sig(relayed) == sig(raw), "re-layout must preserve the exact row multiset")
+  }
+
   test("entry flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

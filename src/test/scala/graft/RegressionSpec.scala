@@ -252,6 +252,12 @@ class RegressionSpec extends GraftSuite {
     Files.copy(anyFile, staleTmp); Files.copy(anyFile, freshTmp)
     Files.setLastModifiedTime(staleTmp,
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000L))
+    // Legacy Hadoop checksum sidecar (from before the LocalOutputFile
+    // writer) — always garbage once stale, and never a scan candidate.
+    val staleCrc = anyFile.getParent.resolve("..0000000042.parquet.tmp.crc")
+    Files.copy(anyFile, staleCrc)
+    Files.setLastModifiedTime(staleCrc,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000L))
 
     // A FRESH orphan must not be adopted (it may be a live appender's
     // pending retry — adopting inside that window double-commits rows)...
@@ -259,6 +265,7 @@ class RegressionSpec extends GraftSuite {
     val (d0, a0) = compactor.verifyTable("hl")
     assert(d0 == 1 && a0 == 0, "fresh orphan must wait out the adoption age gate")
     assert(!Files.exists(staleTmp), "stale flush tmp must be deleted")
+    assert(!Files.exists(staleCrc), "legacy stale crc sidecar must be swept")
     assert(Files.exists(freshTmp), "fresh flush tmp must be left for the live appender")
     // ...but once aged past the gate it is adopted ("now" advanced 1 h).
     val laterNs = System.currentTimeMillis() * TimeUtils.NsPerMs + 3600L * 1000000000L
