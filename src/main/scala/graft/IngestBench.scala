@@ -27,6 +27,8 @@ import graft.ingest.{BufferedAppender, HepV3, LineProtocol, Listeners}
   *      EXECUTORS → driver-side manifest commit (stats only): the
   *      scale-out ingest path, measured from stream start to the last
   *      row committed in the manifest.
+  *   5. `lp_stream_rows_per_s` — same executor-side shape for the Line
+  *      Protocol file stream (parse + WAL write per partition).
   *
   * Prints one JSON line on stdout and writes SPARK_GRAFT_INGEST_OUT
   * (default /root/repo/ingest_out.json).
@@ -177,6 +179,39 @@ object IngestBench {
     val streamSec = (System.nanoTime() - t4) / 1e9
     sq.stop()
 
+    // Tier 5: executor-side LP streaming (file stream -> parse+write on
+    // executors -> manifest commit), steady-state like tier 4.
+    val lpsN = sys.env.getOrElse("SPARK_GRAFT_INGEST_LPSTREAM_N", "200000").toInt
+    val dir5 = Files.createTempDirectory("graft-ingest5")
+    val in5 = Files.createTempDirectory("graft-lpstream-in")
+    val ckpt5 = Files.createTempDirectory("graft-ckpt5")
+    val app5 = new BufferedAppender(spark, dir5)
+    def lpCommitted: Long =
+      graft.core.Manifest.loadTable(
+        graft.core.Manifest.tableManifestPath(dir5, "writer1", "cpu"))
+        .map(_.files.map(_.row_count).sum).getOrElse(0L)
+    val sq5 = new graft.streaming.StreamingLpIngest(
+      spark, in5.toString, ckpt5.toString, app5, triggerMs = 200).start()
+    sq5.processAllAvailable()
+    val perFile = 20000
+    var written5 = 0
+    var fileNo = 0
+    val t5s = System.nanoTime()
+    while (written5 < lpsN) {
+      val n = math.min(perFile, lpsN - written5)
+      val sb = new StringBuilder(n * 96)
+      var i = 0
+      while (i < n) {
+        sb.append(lpLines((written5 + i) % lpLines.length)).append('\n')
+        i += 1
+      }
+      Files.writeString(in5.resolve(f"seg$fileNo%06d.txt"), sb.result())
+      written5 += n; fileNo += 1
+    }
+    while (lpCommitted < lpsN) Thread.sleep(20)
+    val lpStreamSec = (System.nanoTime() - t5s) / 1e9
+    sq5.stop()
+
     val wireSent = wireReps.toLong * frames.length
     val e2eSent = e2eReps.toLong * frames.length
     val line = f"""{"hep_wire_rows_per_s":${wireSent / wireSec}%.0f,""" +
@@ -186,7 +221,8 @@ object IngestBench {
       f""""compact_files":$compactFiles,"compact_rows":$compactRows,""" +
       f""""lp_rows_per_s":${lpN / lpSec}%.0f,""" +
       f""""hep_stream_rows_per_s":${stN / streamSec}%.0f,""" +
-      f""""wire_n":$wireSent,"e2e_n":$e2eSent,"lp_n":$lpN,"stream_n":$stN}"""
+      f""""lp_stream_rows_per_s":${lpsN / lpStreamSec}%.0f,""" +
+      f""""wire_n":$wireSent,"e2e_n":$e2eSent,"lp_n":$lpN,"stream_n":$stN,"lpstream_n":$lpsN}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_INGEST_OUT", "/root/repo/ingest_out.json")
     try Files.writeString(java.nio.file.Paths.get(out), line + "\n")
