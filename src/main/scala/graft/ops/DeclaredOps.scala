@@ -54,6 +54,7 @@ object DeclaredOps {
     "t11_chunk_dedup"  -> ((s, dir) => Dedup.chunkDedup(docs(s, dir))),
     "e4_quantized_topk" -> ((s, dir) => Similarity.quantizedTopK(emb(s, dir), col("vec_id") < 5)),
     "e5_centroid_assign" -> ((s, dir) => Similarity.centroidAssign(emb(s, dir))),
+    "e6_ivf_centroid"  -> ((s, dir) => Similarity.ivfCentroidTopK(emb(s, dir), col("vec_id") < 5)),
     "d11_decontaminate" -> ((s, dir) =>
       Dedup.decontaminate(docs(s, dir), col("doc_id") % 11 === 0)))
 
@@ -226,6 +227,39 @@ object DeclaredOps {
         |  WHERE rn = 1)
         |SELECT label AS true_label, clabel AS assigned_label, count(*) AS n
         |FROM best GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // e6: the learned-codebook IVF — assignment CTEs are e5's (exact
+    // decimal centroids, double-fold cosines, (cos, clabel) argmax), the
+    // in-cell rank is e2's.
+    "e6_ivf_centroid" ->
+      s"""WITH cent AS (
+         |  SELECT label AS clabel, list(m ORDER BY pos) AS c FROM (
+         |    SELECT label, i - 1 AS pos,
+         |      round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+         |            / count(*), 4) + 0 AS m
+         |    FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+         |    GROUP BY label, i)
+         |  GROUP BY label),
+         |vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ascored AS (
+         |  SELECT vec_id, clabel,
+         |    list_sum(list_transform(range(1, 65), i -> v[i] * c[i])) /
+         |    (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
+         |     sqrt(list_sum(list_transform(range(1, 65), i -> c[i] * c[i])))) AS acos
+         |  FROM vv CROSS JOIN cent),
+         |best AS (
+         |  SELECT vec_id, clabel AS cell FROM (
+         |    SELECT vec_id, clabel,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY acos DESC, clabel DESC) AS rn
+         |    FROM ascored)
+         |  WHERE rn = 1),
+         |cells AS (SELECT vv.vec_id, vv.v, b.cell FROM vv JOIN best b USING (vec_id)),
+         |q AS (SELECT vec_id AS query_id, v AS qv, cell FROM cells WHERE vec_id < 5)
+         |SELECT query_id, neighbor_id, cos_x10k FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id, $DuckCos AS cos_x10k,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY $DuckCos DESC, c.vec_id) AS rn
+         |  FROM cells c JOIN q USING (cell) WHERE c.vec_id <> q.query_id)
+         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
 
     "t1_langid" ->
       """SELECT doc_id, CASE

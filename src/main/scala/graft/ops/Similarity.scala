@@ -102,13 +102,20 @@ object Similarity {
     * exact cosine tie (never with real data) breaks to the larger label
     * on both sides.
     */
-  def centroidAssign(emb: DataFrame): DataFrame = {
-    val cent = emb
+  /** Labels-sized centroid frame (clabel, c): the exact-decimal element
+    * means of e3, gathered back into vectors — the learned codebook shared
+    * by nearest-centroid assignment (e5) and the trained-IVF index (e6).
+    * Bit-identical across engines (see labelCentroids). */
+  def centroidFrame(emb: DataFrame): DataFrame =
+    emb
       .select(col("label").as("clabel"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("clabel", "pos")
       .agg(graft.functions.StableAgg.davg(col("v").cast("double"), 4, "decimal(18,9)").as("m"))
       .groupBy("clabel")
       .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)").as("c"))
+
+  def centroidAssign(emb: DataFrame): DataFrame = {
+    val cent = centroidFrame(emb)
     // Native fused cosine (CosineSim handles the float-corpus ×
     // double-centroid type mix): same per-accumulator fold order as the
     // aggregate(zip_with(...)) spelling, so values are bit-identical to
@@ -122,6 +129,37 @@ object Similarity {
       .groupBy("true_label", "assigned_label")
       .agg(count(lit(1)).as("n"))
       .orderBy("true_label", "assigned_label")
+  }
+
+  /** IVF with a LEARNED coarse quantizer: the codebook is the exact-
+    * decimal label-centroid frame (the k-means-style training step e3/e5
+    * already provide — one Lloyd iteration seeded by labels), every
+    * vector is assigned its nearest centroid by cosine, and each query
+    * probes its own cell — a real trained IVF next to e2's deterministic
+    * sign-quantizer.
+    *
+    * Scale: the codebook is labels-sized and broadcast TWICE (assignment
+    * and probe); candidates form only inside (cell) via an equi-join;
+    * ranking is the bounded top-k aggregate. Per-query compute is
+    * |cell| ≈ N/k, never N. Determinism: centroid bits are engine-
+    * identical (exact decimal means), cosines are the same double fold
+    * in both engines, so each vector's argmax cell — and therefore the
+    * candidate set — cannot diverge (the e5 argument, reused).
+    */
+  def ivfCentroidTopK(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    val cent = centroidFrame(emb)
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cos", cosine(col("embedding"), col("c")))
+      .groupBy("vec_id")
+      .agg(max_by(col("clabel"), struct(col("cos"), col("clabel"))).as("cell"),
+        first(col("embedding")).as("embedding"))
+    val q = assigned.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
+    val scored = assigned.join(broadcast(q), "cell")
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("embedding"), col("qv")) * 10000, 0))
+    rankTopKScaled(scored, "vec_id", k, "cos_x10k")
   }
 
   /** Embedding-cosine near-duplicate PAIRS — the dedup-family member over

@@ -167,6 +167,40 @@ class OpsSpec extends GraftSuite {
       "wider probing must not lose recall")
   }
 
+  test("learned-centroid IVF: neighbors share the query's cell; in-cell ranking is exact") {
+    val out = Similarity.ivfCentroidTopK(emb, col("vec_id") < 3, k = 5).collect()
+    assert(out.nonEmpty)
+    // Recompute each vector's assigned cell independently and check every
+    // (query, neighbor) pair is co-celled — the IVF pruning invariant.
+    val cent = Similarity.centroidFrame(emb).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Float], c: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * c(i); na += a(i).toDouble * a(i); nb += c(i) * c(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cells = emb.select("vec_id", "embedding").collect().map { r =>
+      val v = r.getSeq[Float](1).toArray
+      r.getLong(0) -> cent.maxBy { case (l, c) => (cos(v, c), l) }._1
+    }.toMap
+    out.foreach(r => assert(cells(r.getLong(0)) == cells(r.getLong(1)),
+      s"neighbor ${r.getLong(1)} not in query ${r.getLong(0)}'s cell"))
+    // In-cell exactness: the top-k equals brute force restricted to the cell.
+    val byScore = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    out.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val inCell = byScore.keys.filter(v => v != qid && cells(v) == cells(qid))
+      val brute = inCell.map(v =>
+          (math.round(cos(byScore(v), byScore(qid).map(_.toDouble)) * 10000), v))
+        .toSeq.sortBy { case (c, v) => (-c, v) }.take(5)
+      assert(rows.map(r => (r.getLong(2), r.getLong(1))).toSeq == brute.map {
+        case (c, v) => (c, v) })
+    }
+  }
+
   test("hll profile approximates exact NDV within the declared error") {
     val approx = TextAnalysis.hllProfile(docs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
