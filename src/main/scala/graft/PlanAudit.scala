@@ -150,6 +150,12 @@ object PlanAudit {
       "per-vector argmax is an aggregate, not a window rank" ->
         (p => !p.contains("Window")))
 
+    audit("e6_ivf_centroid", qs("e6_ivf_centroid")(spark, sfDir),
+      "codebook + probe sides broadcast; candidates form only in the cell equi-join" ->
+        (p => p.contains("BroadcastExchange") && !p.contains("CartesianProduct")),
+      "assignment and ranking are aggregates, not window ranks" ->
+        (p => !p.contains("Window") && p.contains("ObjectHashAggregate")))
+
     audit("s3_pergroup_sample", qs("s3_pergroup_sample")(spark, sfDir),
       "per-group sample is a bounded map-side aggregate, not a corpus-wide Window rank" ->
         (p => p.contains("ObjectHashAggregate") && !p.contains("Window")),
