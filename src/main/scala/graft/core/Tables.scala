@@ -43,15 +43,19 @@ object Tables {
 
   private def relayout(spark: SparkSession, dir: String, name: String): String =
     Tables.synchronized {
-      // Split count scales with bytes (64 KB compressed per split, the
-      // point where per-task launch overhead ≈ per-split work at this
-      // data shape), capped by the session's cores: a 600 KB documents
-      // table gets ~9 parallel shingle/hash tasks, a 10 MB lineitem the
-      // full core count, while a tiny dimension stays at 2 and cheap
-      // multi-job queries don't pay 32 task launches per stage.
+      // Split count scales with bytes, capped by the session's cores.
+      // Two regimes (measured): numeric scan-bound tables want ~256 KB
+      // compressed per split — finer splits just multiply per-task
+      // dispatch cost (a 2.7 MB orders at 64 KB splits made a trivial
+      // group-by 2× SLOWER than the single-task original); the text /
+      // vector corpus tables (documents, embeddings) carry ~10× the
+      // per-byte CPU (shingling, hashing, per-row folds) and want
+      // ~64 KB splits so those loops actually parallelize.
       val bytes = java.nio.file.Files.size(java.nio.file.Paths.get(s"$dir/$name.parquet"))
+      val perSplitShift = if (name == "documents" || name == "embeddings") 16 else 18
       val n = math.max(2, math.min(
-        math.min(spark.sparkContext.defaultParallelism, 32), (bytes >> 16).toInt))
+        math.min(spark.sparkContext.defaultParallelism, 32),
+        (bytes >> perSplitShift).toInt))
       val dst = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft-relayout",
         s"${Integer.toHexString(dir.hashCode)}-$name-$n")
