@@ -300,7 +300,7 @@ object DeclaredOps {
     "t5_profile" ->
       """SELECT count(*) AS n, count(DISTINCT lang) AS ndv_lang,
         |count(DISTINCT source) AS ndv_source,
-        |sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+        |CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
         |min(n_chars) AS min_chars, max(n_chars) AS max_chars,
         |CAST(round(CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / count(n_chars) * 100)
         |  AS BIGINT) AS avg_chars_x100 FROM documents""".stripMargin,

@@ -519,7 +519,7 @@ object DeclaredExt {
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
         |            ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM x)
-        |SELECT user_id, sid, count(*) AS n,
+        |SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n,
         |  CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sv_micros
         |FROM s GROUP BY user_id, sid ORDER BY user_id, sid LIMIT 200""".stripMargin)
 }
