@@ -34,6 +34,26 @@ import graft.ingest.{BufferedAppender, HepV3, LineProtocol, Listeners}
   * (default /root/repo/ingest_out.json).
   */
 object IngestBench {
+  /** Wait for the manifest to show `target` committed rows, failing fast
+    * if the stream dies (a foreachBatch exception would otherwise leave
+    * the bench spinning forever — ADVICE r4) and bounding the wait with a
+    * generous deadline as a backstop against silent stalls. */
+  private def awaitCommitted(sq: org.apache.spark.sql.streaming.StreamingQuery,
+      committed: () => Long, target: Long, label: String,
+      deadlineMs: Long = 10 * 60 * 1000L): Unit = {
+    val t0 = System.nanoTime()
+    while (committed() < target) {
+      sq.exception.foreach(e => throw new IllegalStateException(
+        s"$label query failed at ${committed()}/$target rows", e))
+      if (!sq.isActive) throw new IllegalStateException(
+        s"$label query stopped at ${committed()}/$target rows")
+      if ((System.nanoTime() - t0) / 1e6 > deadlineMs)
+        throw new IllegalStateException(
+          s"$label stalled: ${committed()}/$target rows after ${deadlineMs / 1000} s")
+      Thread.sleep(20)
+    }
+  }
+
   private def mkPacket(i: Int): HepV3.Packet = {
     val callId = s"bench-${i % 9973}@graft"
     HepV3.Packet(
@@ -175,7 +195,7 @@ object IngestBench {
     }
     val t4 = System.nanoTime()
     spool.roll()
-    while (committedRows < stN) Thread.sleep(20)
+    awaitCommitted(sq, () => committedRows, stN, "hep stream")
     val streamSec = (System.nanoTime() - t4) / 1e9
     sq.stop()
 
@@ -208,7 +228,7 @@ object IngestBench {
       Files.writeString(in5.resolve(f"seg$fileNo%06d.txt"), sb.result())
       written5 += n; fileNo += 1
     }
-    while (lpCommitted < lpsN) Thread.sleep(20)
+    awaitCommitted(sq5, () => lpCommitted, lpsN, "lp stream")
     val lpStreamSec = (System.nanoTime() - t5s) / 1e9
     sq5.stop()
 

@@ -51,14 +51,20 @@ object Tables {
       // vector corpus tables (documents, embeddings) carry ~10× the
       // per-byte CPU (shingling, hashing, per-row folds) and want
       // ~64 KB splits so those loops actually parallelize.
-      val bytes = java.nio.file.Files.size(java.nio.file.Paths.get(s"$dir/$name.parquet"))
+      val srcPath = java.nio.file.Paths.get(s"$dir/$name.parquet")
+      val bytes = java.nio.file.Files.size(srcPath)
       val perSplitShift = if (name == "documents" || name == "embeddings") 16 else 18
       val n = math.max(2, math.min(
         math.min(spark.sparkContext.defaultParallelism, 32),
         (bytes >> perSplitShift).toInt))
+      // Cache key includes the source's exact byte size AND mtime: a
+      // regenerated source file (even of identical size) must not silently
+      // serve stale relayout rows, and dir.hashCode alone can alias
+      // different data dirs (ADVICE r4).
+      val mtime = java.nio.file.Files.getLastModifiedTime(srcPath).toMillis
       val dst = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft-relayout",
-        s"${Integer.toHexString(dir.hashCode)}-$name-$n")
+        s"${Integer.toHexString(dir.hashCode)}-$name-$n-$bytes-${java.lang.Long.toHexString(mtime)}")
       if (!java.nio.file.Files.exists(dst.resolve("_SUCCESS")))
         spark.read.parquet(s"$dir/$name.parquet")
           .repartition(n)

@@ -221,6 +221,30 @@ final class BufferedAppender(
   def basePathString: String = base.toString
   def writerIdString: String = writerId
 
+  /** Snapshot of manifest-tracked schemas (table → StructType JSON) for
+    * this writer, shipped into executor-side LP partition writers so
+    * previously frozen column types win across partitions (ADVICE r4:
+    * partition-local first-occurrence-wins typing can write the same
+    * field as DOUBLE and UTF8 within one micro-batch, breaking reads). */
+  def manifestSchemaSnapshot(): Map[String, String] = {
+    val dbs = base.resolve(writerId).resolve("dbs")
+    if (!Files.exists(dbs)) return Map.empty
+    import scala.jdk.CollectionConverters._
+    val dbStream = Files.list(dbs)
+    val tables =
+      try dbStream.iterator().asScala.flatMap { db =>
+        val ts = Files.list(db)
+        try ts.iterator().asScala
+          .map(_.getFileName.toString.replaceAll("-\\d+$", "")).toList
+        finally ts.close()
+      }.toList
+      finally dbStream.close()
+    tables.distinct.flatMap { t =>
+      Manifest.loadTable(Manifest.tableManifestPath(base, writerId, t))
+        .flatMap(_.schema_json).map(t -> _)
+    }.toMap
+  }
+
   def bufferedRowCount(table: String): Int =
     synchronized { buffers.get(table).map(_.rows.size).getOrElse(0) }
 

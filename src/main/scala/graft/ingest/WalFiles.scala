@@ -97,16 +97,26 @@ object WalFiles {
 
   /** One partition's LP points → one temp WAL file per measurement, with
     * the partition-local widened schema (manifest merge + mergeSchema
-    * reads reconcile across partitions, as across flushes). */
+    * reads reconcile across partitions, as across flushes).
+    *
+    * `seedSchemas` (table → StructType JSON, from the driver's manifest
+    * snapshot) pins previously-frozen column TYPES across partitions:
+    * without it, two partitions of one micro-batch can freeze the same
+    * field as DOUBLE and UTF8 respectively (first-occurrence-wins is
+    * partition-local), and the table then fails to read under
+    * mergeSchema. Genuinely new fields still infer partition-locally. */
   def writeLpPartition(baseDir: String, writerId: String,
       points: Iterator[LineProtocol.Point],
-      nowNs: => Long = System.currentTimeMillis() * TimeUtils.NsPerMs): Iterator[PartFile] = {
+      nowNs: => Long = System.currentTimeMillis() * TimeUtils.NsPerMs,
+      seedSchemas: Map[String, String] = Map.empty): Iterator[PartFile] = {
     val byMeasurement = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[LineProtocol.Point]]
     points.foreach(p => byMeasurement.getOrElseUpdate(p.measurement,
       scala.collection.mutable.ArrayBuffer.empty[LineProtocol.Point]) += p)
     byMeasurement.iterator.map { case (m, pts) =>
-      var schema = lpBaseSchema
+      var schema = seedSchemas.get(m).map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
+        .getOrElse(lpBaseSchema)
       pts.foreach { p =>
         val known = schema.fieldNames.toSet
         val added = p.fields.collect {

@@ -113,7 +113,7 @@ object Multimodal {
       def out(f: String, w: Any = null, h: Any = null, r: Any = null, n: Any = null) =
         row(org.apache.spark.unsafe.types.UTF8String.fromString(f), w, h, r, n)
 
-      if (b.length >= 4 && tag(b, 0) == "GIMG")
+      if (b.length >= 8 && tag(b, 0) == "GIMG")
         out("gimg", u16be(b, 4), u16be(b, 6))
       else if (b.length >= 8 && tag(b, 0) == "GAUD")
         out("gaud", r = u16be(b, 4) * 100, n = (b.length - 8).toLong)
@@ -138,19 +138,24 @@ object Multimodal {
         out("png", u32be(b, 16), u32be(b, 20))
       else if (b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE") {
         // RIFF chunk walk (word-aligned) to fmt (rate, block align) and
-        // data (byte length → sample count).
-        var p = 12
+        // data (byte length → sample count). Offsets stay in Long: a
+        // declared u32 size near 2^32 truncated to Int makes the advance
+        // zero/negative — an infinite loop or negative-offset throw on
+        // adversarial bytes (this function is SQL-exposed over arbitrary
+        // binary). With Long math the advance is always >= 8 and an
+        // overshooting size simply exits the loop.
+        var p = 12L
         var rate: Any = null
         var blockAlign = 0
         var dataLen = -1L
         while (p + 8 <= b.length) {
-          val id = tag(b, p)
-          val sz = u32le(b, p + 4)
+          val id = tag(b, p.toInt)
+          val sz = u32le(b, p.toInt + 4)
           if (id == "fmt " && p + 22 <= b.length) {
-            rate = u32le(b, p + 12).toInt
-            blockAlign = u16le(b, p + 20)
+            rate = u32le(b, p.toInt + 12).toInt
+            blockAlign = u16le(b, p.toInt + 20)
           } else if (id == "data") dataLen = sz
-          p += 8 + sz.toInt + (sz.toInt & 1)
+          p += 8L + sz + (sz & 1L)
         }
         val n: Any = if (dataLen >= 0 && blockAlign > 0) dataLen / blockAlign else null
         out("wav", r = rate, n = n)

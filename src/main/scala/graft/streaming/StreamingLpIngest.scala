@@ -37,6 +37,9 @@ final class StreamingLpIngest(
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val baseDir = appender.basePathString
         val writer = appender.writerIdString
+        // Driver-side manifest snapshot pins frozen field types across the
+        // batch's partitions (see WalFiles.writeLpPartition scaladoc).
+        val seed = appender.manifestSchemaSnapshot()
         // Same spread as the HEP path: small text files pack into few read
         // partitions; repartition the bounded micro-batch so parse+write
         // scale out.
@@ -46,7 +49,8 @@ final class StreamingLpIngest(
           .mapPartitions { lines: Iterator[String] =>
             val points = lines.map(_.trim).filter(_.nonEmpty)
               .flatMap(LineProtocol.parse(_))
-            graft.ingest.WalFiles.writeLpPartition(baseDir, writer, points)
+            graft.ingest.WalFiles.writeLpPartition(baseDir, writer, points,
+              seedSchemas = seed)
           }(org.apache.spark.sql.Encoders.product[graft.ingest.WalFiles.PartFile])
           .collect()
         stats.foreach(appender.commitExecutorFile)

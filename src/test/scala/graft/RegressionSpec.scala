@@ -364,4 +364,63 @@ class RegressionSpec extends GraftSuite {
     assert(sch.fieldNames.contains("timestamp"))
     assert(st.schemaOf(spark, "nope").isEmpty)
   }
+
+  // --- ADVICE r4: MediaHeader must survive adversarial bytes (it is
+  // SQL-exposed over arbitrary binary) ---
+
+  test("RIFF walk terminates on a near-2^32 declared chunk size") {
+    import org.apache.spark.sql.functions.col
+    // "JUNK" chunk declaring size 0xFFFFFFF8: Int truncation made the
+    // per-iteration advance 0 (infinite loop); Long math exits the walk.
+    val bb = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(24)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("JUNK".getBytes("US-ASCII")).putInt(0xFFFFFFF8)
+      .put(Array.fill[Byte](8)(0))
+    val evil = bb.array()
+    import spark.implicits._
+    val out = Seq(evil).toDF("b")
+      .select(graft.ops.Multimodal.mediaHeader(col("b")).getField("format"))
+      .collect()
+    assert(out.head.getString(0) == "wav")
+  }
+
+  test("short GIMG / truncated payloads parse as their container or unknown") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cases: Seq[Array[Byte]] = Seq(
+      "GIMG".getBytes("US-ASCII"),                    // 4 bytes: header short
+      "GIMG?".getBytes("US-ASCII"),                   // 5 bytes: used to throw AIOOBE
+      "GAUD123".getBytes("US-ASCII"),                 // 7 bytes
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)) // truncated JPEG
+    val fmts = cases.toDF("b")
+      .select(graft.ops.Multimodal.mediaHeader(col("b")).getField("format"))
+      .collect().map(_.getString(0)).toSeq
+    assert(fmts == Seq("unknown", "unknown", "unknown", "jpeg"))
+  }
+
+  // --- ADVICE r4: executor-side LP WAL typing must not diverge across
+  // partitions of one micro-batch ---
+
+  test("seeded LP partition writer pins frozen field types across partitions") {
+    val base = Files.createTempDirectory("graft-lpseed")
+    val app = new BufferedAppender(spark, base, bufferSize = 1000)
+    // Freeze v as DOUBLE via a first flush (the manifest tracks it).
+    app.addLinePoints(Seq(LineProtocol.parse("sm v=1.5 1704067200000000000").get))
+    app.flushAll()
+    val seed = app.manifestSchemaSnapshot()
+    assert(seed.contains("sm"), "snapshot must expose the tracked schema")
+    // A second "partition" sees v first as a STRING: unseeded it would
+    // freeze v as UTF8 and the table becomes unreadable under mergeSchema.
+    val pts = Iterator(LineProtocol.parse("sm v=\"oops\" 1704067201000000000").get)
+    val stats = graft.ingest.WalFiles.writeLpPartition(
+      base.toString, app.writerIdString, pts, seedSchemas = seed).toList
+    stats.foreach(app.commitExecutorFile)
+    val df = new Storage(base).load(spark, "sm", Long.MinValue, Long.MaxValue).get
+    assert(df.schema("v").dataType == org.apache.spark.sql.types.DoubleType)
+    // Conflicting value nulled (widening, not crash), both rows readable.
+    assert(df.count() == 2)
+    assert(df.where("v IS NULL").count() == 1)
+  }
 }
