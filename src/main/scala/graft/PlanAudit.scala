@@ -144,17 +144,36 @@ object PlanAudit {
       "both dimension hops broadcast: fact scans once, never shuffles for a join" ->
         (p => p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2))
 
-    audit("e5_centroid_assign", qs("e5_centroid_assign")(spark, sfDir),
-      "labels-sized centroid frame broadcasts against one corpus scan" ->
-        (_.contains("BroadcastNestedLoopJoin")),
-      "per-vector argmax is an aggregate, not a window rank" ->
+    // VERDICT r4 #3: centroid assignment must be map-only — the embedding
+    // column (the corpus's widest) must never cross a shuffle Exchange.
+    def shuffleCarries(df: org.apache.spark.sql.DataFrame, colName: String): Boolean =
+      df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.exists(_.output.exists(_.name.contains(colName)))
+
+    val e5 = qs("e5_centroid_assign")(spark, sfDir)
+    audit("e5_centroid_assign", e5,
+      "assignment is map-only: inlined codebook, no join in the plan" ->
+        (p => !p.contains("Join")),
+      "no shuffle Exchange carries the embedding column" ->
+        (_ => !shuffleCarries(e5, "embedding")),
+      "per-vector argmax is per-row, not a window rank" ->
         (p => !p.contains("Window")))
 
-    audit("e6_ivf_centroid", qs("e6_ivf_centroid")(spark, sfDir),
-      "codebook + probe sides broadcast; candidates form only in the cell equi-join" ->
+    val e6 = qs("e6_ivf_centroid")(spark, sfDir)
+    audit("e6_ivf_centroid", e6,
+      "probe side broadcast; candidates form only in the cell equi-join" ->
         (p => p.contains("BroadcastExchange") && !p.contains("CartesianProduct")),
-      "assignment and ranking are aggregates, not window ranks" ->
+      "no shuffle Exchange carries the embedding column (map-only assignment)" ->
+        (_ => !shuffleCarries(e6, "embedding")),
+      "assignment is per-row and ranking a bounded aggregate, not window ranks" ->
         (p => !p.contains("Window") && p.contains("ObjectHashAggregate")))
+
+    audit("t6_hll_profile", qs("t6_hll_profile")(spark, sfDir),
+      "no Expand: one distinct column per pass, HLL over deduplicated pairs" ->
+        (p => !p.contains("Expand")),
+      "distinct pre-aggregation is map-side partial before its shuffle" ->
+        (p => p.linesIterator.count(_.contains("HashAggregate")) >= 2))
 
     audit("s3_pergroup_sample", qs("s3_pergroup_sample")(spark, sfDir),
       "per-group sample is a bounded map-side aggregate, not a corpus-wide Window rank" ->

