@@ -1,0 +1,31 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Final-result ordering for SMALL outputs (declared queries end in a
+  * deterministic ORDER BY over at most a few thousand rows).
+  *
+  * `df.orderBy(...)` plans a global sort via RangePartitioning, which
+  * (a) runs a separate range-boundary SAMPLING job that RE-EXECUTES the
+  * final stage's pipeline — for a map-only CPU-heavy query that is
+  * nearly 2× the compute — and (b) adds a range exchange plus an
+  * N-partition collect. For a result that is already small, a
+  * round-robin exchange to ONE partition followed by an in-partition
+  * sort produces the identical global order with one job, one exchange,
+  * and a single-task collect/write.
+  *
+  * Upstream parallelism is untouched: `repartition(1)` is an exchange,
+  * so everything before it still runs wide; only the final sort of the
+  * (small) result is single-task. Do NOT use this on large outputs —
+  * it is the moral equivalent of the reference's single-writer result
+  * sink (query.js:173–179), correct exactly because query results are
+  * bounded.
+  */
+object Out {
+  implicit final class SmallOrderOps(private val df: DataFrame) extends AnyVal {
+    def orderSmall(c0: String, cs: String*): DataFrame =
+      df.repartition(1).sortWithinPartitions(c0, cs: _*)
+    def orderSmall(cols: Column*): DataFrame =
+      df.repartition(1).sortWithinPartitions(cols: _*)
+  }
+}

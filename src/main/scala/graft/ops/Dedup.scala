@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Out.SmallOrderOps
+
 /** Deduplication operators for training-data pipelines, designed for the
   * 100 TB path: every stage is key-partitioned (hash groupBy / band-key
   * join) — never an all-pairs crossJoin. Declared queries + DuckDB oracles
@@ -27,7 +29,7 @@ object Dedup {
     docs.groupBy(sha2(col("text"), 256).as("h"))
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("copies"))
       .select("doc_id", "copies")
-      .orderBy("doc_id")
+      .orderSmall("doc_id")
 
   /** Digest index of a corpus — the persisted state for cross-run
     * incremental dedup (one 64-hex row per distinct text). */
@@ -80,7 +82,7 @@ object Dedup {
       .where(col("jacc") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         graft.functions.StableAgg.scaledLong(col("jacc"), 10000).as("j_x10k"))
-      .orderBy("doc_a", "doc_b")
+      .orderSmall("doc_a", "doc_b")
   }
 
   /** Shingled (doc_id, s) corpus — stage 1 of the LSH pipeline. The
@@ -158,7 +160,7 @@ object Dedup {
       // point to smaller ids), matching the distributed labeling.
       val labels = parent.keys.toSeq.sorted.map(d => (d, find(d)))
       import spark.implicits._
-      return labels.toDF("doc_id", "cluster").orderBy("doc_id")
+      return labels.toDF("doc_id", "cluster").orderSmall("doc_id")
     }
 
     val pairs = pairsDf
@@ -189,7 +191,7 @@ object Dedup {
       labels = merged.select(col("doc"), col("lab2").as("lab"))
     }
     labels.select(col("doc").as("doc_id"), col("lab").as("cluster"))
-      .orderBy("doc_id")
+      .orderSmall("doc_id")
   }
 
   /** Apply dedup: drop every cluster member except the canonical (min id)
@@ -254,7 +256,7 @@ object Dedup {
       .groupBy("doc_id", "eval_id")
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
-      .orderBy("doc_id", "eval_id")
+      .orderSmall("doc_id", "eval_id")
   }
 
   def sourceOverlap(docs: DataFrame,
@@ -293,7 +295,7 @@ object Dedup {
       .select(col("src_a"), col("src_b"),
         graft.functions.StableAgg.scaledLong(
           col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 10000).as("j_x10k"))
-      .orderBy("src_a", "src_b")
+      .orderSmall("src_a", "src_b")
   }
 
   /** Constant-size MinHash sketch per source (custom typed Aggregator:
@@ -323,7 +325,7 @@ object Dedup {
         graft.functions.StableAgg.scaledLong(
           expr("size(filter(zip_with(ska, skb, (x, y) -> x = y), m -> m))")
             .cast("double") / numHashes, 10000).as("est_j_x10k"))
-      .orderBy("src_a", "src_b")
+      .orderSmall("src_a", "src_b")
   }
 
   /** 60-bit SimHash fingerprint per document.
@@ -341,7 +343,7 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.Expressions.md5WordHashes(col("text")).as("hs"))
       .select(col("doc_id"), graft.functions.Expressions.simhash60(col("hs")).as("simhash"))
-      .orderBy("doc_id")
+      .orderSmall("doc_id")
 
   /** EXACT n-gram Jaccard similarity self-join via prefix filtering — the
     * AllPairs/PPJoin family (Bayardo et al., WWW'07): unlike the MinHash
@@ -385,7 +387,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         graft.functions.StableAgg.scaledLong(
           col("inter").cast("double") / col("uni"), 10000).as("j_x10k"))
-      .orderBy("doc_a", "doc_b")
+      .orderSmall("doc_a", "doc_b")
   }
 
   /** Candidate stage of `jaccardJoin` (shared with graft.ScaleCheck so the
@@ -454,7 +456,7 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"),
         min(col("doc_id")).as("first_doc"))
       .where(col("n_docs") >= 2)
-      .orderBy("chunk_md5")
+      .orderSmall("chunk_md5")
 
   /** Top-k documents by 3-shingle Jaccard similarity to a query string —
     * a map-only scan + TakeOrdered; no pairs, no shuffle beyond top-k. */

@@ -5,6 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression => CatalystBi
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
+
+import graft.core.Out.SmallOrderOps
 import org.apache.spark.sql.graftshim.PlanExec.{column, expression}
 import org.apache.spark.sql.types._
 
@@ -193,7 +195,7 @@ object Multimodal {
         col("hd.width").as("w"),
         col("hd.height").as("h"),
         col("n_bytes"))
-      .orderBy("media_id")
+      .orderSmall("media_id")
 
   /** m4 — audio header decode across WAV (RIFF fmt/data chunk walk) and
     * the GAUD container. Same cross-validation contract as m1. */
@@ -205,7 +207,7 @@ object Multimodal {
         col("hd.format").as("format"),
         col("hd.sample_rate").as("rate"),
         col("hd.n_samples").as("n_samples"))
-      .orderBy("media_id")
+      .orderSmall("media_id")
 
   /** m2 — feature extraction + similarity: histogram features over body
     * bytes, then top-k most-similar images to each of the first 2 by
@@ -246,7 +248,7 @@ object Multimodal {
       .select(col("media_id"),
         col("h").as("n_frames"),
         length(frameSample(col("body"), col("w"), lit(stride))).as("out_bytes"))
-      .orderBy("media_id")
+      .orderSmall("media_id")
 }
 
 /** Deterministic media fixture across REAL formats (JPEG with APP0+SOF0

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.core.Out.SmallOrderOps
+
 /** Similarity search over an embedding column (`Array[Float]`).
   *
   * Two tiers: brute-force cosine top-k (the correctness baseline — a
@@ -28,7 +30,7 @@ object Similarity {
       .agg(graft.functions.TopKByScoreAgg.column(k, col("cos"), col(idCol)).as("top"))
       .select(col("query_id"), explode(col("top")).as("nb"))
       .select(col("query_id"), col("nb._2").as("neighbor_id"), col("nb._1").as("cos"))
-      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      .orderSmall(col("query_id"), col("cos").desc, col("neighbor_id"))
 
   /** rankTopK with the score emitted as the scaled integer it already is:
     * e1/e2/e4 rank by an integral-valued double (cos·10⁴ rounded, or an
@@ -85,7 +87,7 @@ object Similarity {
       .groupBy(col("label"), col("pos"))
       .agg(graft.functions.StableAgg
         .avgScaledLong(col("v").cast("double"), 10000, "decimal(18,9)").as("m_x10k"))
-      .orderBy("label", "pos")
+      .orderSmall("label", "pos")
 
   /** Nearest-centroid assignment + confusion counts — the evaluation step
     * of an embedding pipeline: every vector is assigned the label of its
@@ -144,7 +146,7 @@ object Similarity {
         nearestCell(codebook, col("embedding")).as("assigned_label"))
       .groupBy("true_label", "assigned_label")
       .agg(count(lit(1)).as("n"))
-      .orderBy("true_label", "assigned_label")
+      .orderSmall("true_label", "assigned_label")
   }
 
   /** IVF with a LEARNED coarse quantizer: the codebook is the exact-
@@ -216,7 +218,7 @@ object Similarity {
       .where(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"),
         graft.functions.StableAgg.scaledLong(col("cos"), 10000).as("cos_x10k"))
-      .orderBy("vec_a", "vec_b")
+      .orderSmall("vec_a", "vec_b")
   }
 
   /** Symmetric int8 quantization of a float-vector column: round(x·127)

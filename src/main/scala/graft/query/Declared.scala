@@ -3,6 +3,8 @@ package graft.query
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.Out.SmallOrderOps
+
 import graft.core.Tables
 import graft.functions.StableAgg
 
@@ -54,7 +56,7 @@ object Declared {
       .agg(
         count(lit(1)).as("cnt"),
         StableAgg.sumMicros(col("l_quantity")).as("s_qty_micros"))
-      .orderBy("l_returnflag", "l_linestatus")
+      .orderSmall("l_returnflag", "l_linestatus")
 
   /** Q5 — time-range predicate, strict vs non-strict ops preserved
     * (reference query.js:88–108 conflates them; we keep them distinct). */
@@ -93,7 +95,7 @@ object Declared {
     Tables.load(spark, dir, "orders")
       .groupBy(trunc(col("o_orderdate"), "month").as("m"))
       .agg(count(lit(1)).as("cnt"))
-      .orderBy("m")
+      .orderSmall("m")
 
   /** Q9 — CASE / math (declared scalar surface). */
   def q9(spark: SparkSession, dir: String): DataFrame =
