@@ -27,5 +27,17 @@ object Out {
       df.repartition(1).sortWithinPartitions(c0, cs: _*)
     def orderSmall(cols: Column*): DataFrame =
       df.repartition(1).sortWithinPartitions(cols: _*)
+
+    /** orderSmall for a result whose plan already ends in a SHUFFLE
+      * (aggregate/repartition/non-broadcast join): `coalesce(1)` merges
+      * the post-shuffle partitions into one task with NO new exchange —
+      * one stage fewer than repartition(1) — while the map side keeps
+      * its full width. NEVER use on a map-only pipeline: coalesce
+      * propagates down to the last wide dependency, and with none it
+      * would serialize the scan itself. */
+    def orderAgg(c0: String, cs: String*): DataFrame =
+      df.coalesce(1).sortWithinPartitions(c0, cs: _*)
+    def orderAgg(cols: Column*): DataFrame =
+      df.coalesce(1).sortWithinPartitions(cols: _*)
   }
 }

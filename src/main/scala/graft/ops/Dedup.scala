@@ -29,7 +29,7 @@ object Dedup {
     docs.groupBy(sha2(col("text"), 256).as("h"))
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("copies"))
       .select("doc_id", "copies")
-      .orderSmall("doc_id")
+      .orderAgg("doc_id")
 
   /** Digest index of a corpus — the persisted state for cross-run
     * incremental dedup (one 64-hex row per distinct text). */
@@ -256,7 +256,7 @@ object Dedup {
       .groupBy("doc_id", "eval_id")
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
-      .orderSmall("doc_id", "eval_id")
+      .orderAgg("doc_id", "eval_id")
   }
 
   def sourceOverlap(docs: DataFrame,
@@ -295,7 +295,7 @@ object Dedup {
       .select(col("src_a"), col("src_b"),
         graft.functions.StableAgg.scaledLong(
           col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 10000).as("j_x10k"))
-      .orderSmall("src_a", "src_b")
+      .orderAgg("src_a", "src_b")
   }
 
   /** Constant-size MinHash sketch per source (custom typed Aggregator:
@@ -325,7 +325,7 @@ object Dedup {
         graft.functions.StableAgg.scaledLong(
           expr("size(filter(zip_with(ska, skb, (x, y) -> x = y), m -> m))")
             .cast("double") / numHashes, 10000).as("est_j_x10k"))
-      .orderSmall("src_a", "src_b")
+      .orderAgg("src_a", "src_b")
   }
 
   /** 60-bit SimHash fingerprint per document.
@@ -456,7 +456,7 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"),
         min(col("doc_id")).as("first_doc"))
       .where(col("n_docs") >= 2)
-      .orderSmall("chunk_md5")
+      .orderAgg("chunk_md5")
 
   /** Top-k documents by 3-shingle Jaccard similarity to a query string —
     * a map-only scan + TakeOrdered; no pairs, no shuffle beyond top-k. */

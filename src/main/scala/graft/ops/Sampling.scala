@@ -36,7 +36,7 @@ object Sampling {
   def hashSplit(docs: DataFrame): DataFrame =
     docs.select(col("lang"), splitOf(col("doc_id")).as("split"))
       .groupBy("lang", "split").agg(count(lit(1)).as("n"))
-      .orderSmall("lang", "split")
+      .orderAgg("lang", "split")
 
   /** Deterministic Bernoulli sample at `permille`/1000 by id hash — the
     * "give me a reproducible 1% to eyeball" primitive. A pure filter:
@@ -76,7 +76,7 @@ object Sampling {
   def stratifiedCounts(docs: DataFrame): DataFrame =
     stratifiedSample(docs, col("doc_id"), col("lang"))
       .groupBy("lang").agg(count(lit(1)).as("n"))
-      .orderSmall("lang")
+      .orderAgg("lang")
 
   /** Deterministic fixed-size sample of k rows PER GROUP: the k smallest
     * id-hash buckets of each group (ties broken by id). Same reproducible
@@ -96,7 +96,7 @@ object Sampling {
       .agg(graft.functions.TopKByScoreAgg.column(k, -col("b").cast("double"), col("doc_id")).as("top"))
       .select(col("lang"), posexplode(col("top")).as(Seq("i", "x")))
       .select(col("lang"), (col("i") + 1).as("rnk"), col("x._2").as("doc_id"))
-      .orderSmall("lang", "rnk")
+      .orderAgg("lang", "rnk")
 
   /** Concat-and-chop sequence packing — the LLM-pretraining step that
     * lays documents end-to-end in a canonical order and cuts the stream
@@ -128,6 +128,6 @@ object Sampling {
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("toks"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-      .orderSmall("bin")
+      .orderAgg("bin")
   }
 }

@@ -30,7 +30,7 @@ object Similarity {
       .agg(graft.functions.TopKByScoreAgg.column(k, col("cos"), col(idCol)).as("top"))
       .select(col("query_id"), explode(col("top")).as("nb"))
       .select(col("query_id"), col("nb._2").as("neighbor_id"), col("nb._1").as("cos"))
-      .orderSmall(col("query_id"), col("cos").desc, col("neighbor_id"))
+      .orderAgg(col("query_id"), col("cos").desc, col("neighbor_id"))
 
   /** rankTopK with the score emitted as the scaled integer it already is:
     * e1/e2/e4 rank by an integral-valued double (cos·10⁴ rounded, or an
@@ -65,10 +65,15 @@ object Similarity {
   }
 
   /** Deterministic IVF-style coarse cell: sign bits of the first `bits`
-    * components. Exact float sign — reproducible across engines. */
+    * components. Exact float sign — reproducible across engines.
+    * Spelled as a flat sum of CASEs, not aggregate(sequence(...)): the
+    * higher-order fold is interpreted per corpus row (the e2 regression
+    * r3→r4), while this stays inside whole-stage codegen. Identical
+    * value: bit i carries weight 2^(bits-1-i), first component is MSB. */
   def signBucket(v: Column, bits: Int = 4): Column =
-    aggregate(sequence(lit(0), lit(bits - 1)), lit(0),
-      (acc, i) => acc * 2 + when(element_at(v, i + 1) >= 0f, 1).otherwise(0))
+    (0 until bits).map(i =>
+      when(element_at(v, i + 1) >= 0f, lit(1 << (bits - 1 - i))).otherwise(lit(0)))
+      .reduce(_ + _)
 
   /** Per-label centroids: element-wise mean of the embedding vectors in
     * each label group — the training step a real IVF quantizer runs.
@@ -87,7 +92,7 @@ object Similarity {
       .groupBy(col("label"), col("pos"))
       .agg(graft.functions.StableAgg
         .avgScaledLong(col("v").cast("double"), 10000, "decimal(18,9)").as("m_x10k"))
-      .orderSmall("label", "pos")
+      .orderAgg("label", "pos")
 
   /** Nearest-centroid assignment + confusion counts — the evaluation step
     * of an embedding pipeline: every vector is assigned the label of its
@@ -146,7 +151,7 @@ object Similarity {
         nearestCell(codebook, col("embedding")).as("assigned_label"))
       .groupBy("true_label", "assigned_label")
       .agg(count(lit(1)).as("n"))
-      .orderSmall("true_label", "assigned_label")
+      .orderAgg("true_label", "assigned_label")
   }
 
   /** IVF with a LEARNED coarse quantizer: the codebook is the exact-

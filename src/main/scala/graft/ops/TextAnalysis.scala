@@ -259,7 +259,7 @@ object TextAnalysis {
       .select(col("doc_id"), posexplode(col("top")))
       .select(col("doc_id"), (col("pos") + 1).cast("int").as("rnk"),
         col("col.token").as("token"), col("col.tf").as("tf"), col("col.df").as("df"))
-      .orderSmall("doc_id", "rnk")
+      .orderAgg("doc_id", "rnk")
   }
 
   /** Rolling-hash fingerprint: fold (acc*31 + h_w mod 1000003) mod 1e9+7

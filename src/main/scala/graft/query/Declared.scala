@@ -56,7 +56,7 @@ object Declared {
       .agg(
         count(lit(1)).as("cnt"),
         StableAgg.sumMicros(col("l_quantity")).as("s_qty_micros"))
-      .orderSmall("l_returnflag", "l_linestatus")
+      .orderAgg("l_returnflag", "l_linestatus")
 
   /** Q5 — time-range predicate, strict vs non-strict ops preserved
     * (reference query.js:88–108 conflates them; we keep them distinct). */
@@ -95,7 +95,7 @@ object Declared {
     Tables.load(spark, dir, "orders")
       .groupBy(trunc(col("o_orderdate"), "month").as("m"))
       .agg(count(lit(1)).as("cnt"))
-      .orderSmall("m")
+      .orderAgg("m")
 
   /** Q9 — CASE / math (declared scalar surface). */
   def q9(spark: SparkSession, dir: String): DataFrame =

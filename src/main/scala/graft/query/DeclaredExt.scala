@@ -26,7 +26,7 @@ object DeclaredExt {
         col("o.o_custkey") === col("c.c_custkey"))
       .groupBy(col("c.c_mktsegment").as("seg"))
       .agg(count(lit(1)).as("cnt"), StableAgg.sumMicros(col("o.o_totalprice")).as("rev_micros"))
-      .orderSmall("seg")
+      .orderAgg("seg")
 
   /** Q15 — window functions: top-2 orders per customer by price. */
   def q15(spark: SparkSession, dir: String): DataFrame =
@@ -66,7 +66,7 @@ object DeclaredExt {
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"), StableAgg.avgScaledLong(col("value"), 100).as("avg_v_x100"))
       .where(col("cnt") > 100)
-      .orderSmall("event_type")
+      .orderAgg("event_type")
 
   /** Q19 — ROLLUP hierarchy totals (null-safe ordering via coalesce so
     * both engines sort identically). */
@@ -74,7 +74,7 @@ object DeclaredExt {
     Tables.load(spark, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("cnt"))
-      .orderSmall(coalesce(col("l_returnflag"), lit("~")),
+      .orderAgg(coalesce(col("l_returnflag"), lit("~")),
         coalesce(col("l_linestatus"), lit("~")))
 
   /** Q20 — sessionization (30-min gap) via gaps-and-islands over event
@@ -118,7 +118,7 @@ object DeclaredExt {
       col("l_returnflag"),
       col("l_orderkey") * 8 + col("l_linenumber"),
       col("l_quantity"))
-      .orderSmall("k")
+      .orderAgg("k")
 
   /** Q23 — set ops: EXCEPT (Spark's `except` = EXCEPT DISTINCT, same as
     * SQL). Completes the §2.5 set-op family next to q16's INTERSECT. */
@@ -140,7 +140,7 @@ object DeclaredExt {
         col("c.c_custkey") === col("o.o_custkey"), "left")
       .groupBy(col("c.c_mktsegment").as("seg"))
       .agg(count(col("o.o_orderkey")).as("big_orders"), count(lit(1)).as("rows"))
-      .orderSmall("seg")
+      .orderAgg("seg")
 
   /** Q25 — SEMI and ANTI joins as physical operators (the dedup-apply
     * primitives, §2.3), one count each. */
@@ -152,7 +152,7 @@ object DeclaredExt {
       .select(lit("semi").as("kind"), col("n"))
       .union(cust.join(hi, cond, "left_anti").agg(count(lit(1)).as("n"))
         .select(lit("anti").as("kind"), col("n")))
-      .orderSmall("kind")
+      .orderAgg("kind")
   }
 
   /** Q26 — exact median per group: Spark's `percentile` (exact,
@@ -181,7 +181,7 @@ object DeclaredExt {
           / (count(lit(1)) - 1))
           .as("var0"))
       .select(col("lang"), col("n"), StableAgg.scaledLong(col("var0"), 100).as("variance_x100"))
-      .orderSmall("lang")
+      .orderAgg("lang")
 
   /** Q28 — correlated-subquery semantics ("customers with more orders
     * than their nation's per-customer average"), expressed as the
@@ -207,7 +207,7 @@ object DeclaredExt {
       .where(col("cnt") * col("m") > col("total"))
       .groupBy("c_nationkey").agg(count(lit(1)).as("busy"))
       .select(col("c_nationkey").cast("int").as("nation"), col("busy"))
-      .orderSmall("nation")
+      .orderAgg("nation")
   }
 
   /** Q29 — as-of join (each click matched to the latest view by the same
@@ -286,7 +286,7 @@ object DeclaredExt {
       .pivot("event_type", types)
       .agg(StableAgg.sumMicros(col("value")))
     types.foldLeft(p)((d, t) => d.withColumn(t, coalesce(col(t), lit(0L))))
-      .orderSmall("user_id")
+      .orderAgg("user_id")
   }
 
   /** Q32 — CUBE: all grouping-set combinations over (status, priority).
@@ -295,7 +295,7 @@ object DeclaredExt {
     Tables.load(spark, dir, "orders")
       .cube("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("cnt"), StableAgg.sumMicros(col("o_totalprice")).as("total_micros"))
-      .orderSmall(coalesce(col("o_orderstatus"), lit("~")),
+      .orderAgg(coalesce(col("o_orderstatus"), lit("~")),
         coalesce(col("o_orderpriority"), lit("~")))
 
   /** Q33 — star join: the fact table against two dimension hops
@@ -310,7 +310,7 @@ object DeclaredExt {
         col("c.c_nationkey") === col("n.n_nationkey"))
       .groupBy(col("n.n_name").as("nation"))
       .agg(count(lit(1)).as("cnt"), StableAgg.sumMicros(col("o.o_totalprice")).as("rev_micros"))
-      .orderSmall("nation")
+      .orderAgg("nation")
 
   /** Q35 — LATERAL explode with ordinality: tokens as rows with their
     * position (posexplode ≡ DuckDB's lockstep unnest of value+range).
@@ -331,7 +331,7 @@ object DeclaredExt {
       .groupBy(col("c_mktsegment").as("seg"))
       .agg(count(lit(1)).as("cnt"),
         concat_ws(",", sort_array(collect_list(col("c_name")))).as("names"))
-      .orderSmall("seg")
+      .orderAgg("seg")
 
   /** Q34 — sliding window frame: 3-event moving average of `value` per
     * user (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW). The frame sum is
