@@ -123,6 +123,21 @@ object ScaleCheck {
       println(s"E2CELLS $dir vecs=${emb.count()} cells=${cs.get(0)} " +
         s"min_occ=${cs.get(1)} max_occ=${cs.get(2)}")
 
+      // e6-trained: UNSUPERVISED codebook cell occupancy + single-probe
+      // recall vs brute force — the trained-IVF viability numbers at
+      // each scale (VERDICT r4 #6).
+      val cb = graft.ops.Similarity.trainCodebook(emb, cells = 10, iters = 3)
+      val occ = emb.select(graft.ops.Similarity.nearestCell(cb, col("embedding")).as("cell"))
+        .groupBy("cell").count().collect().map(_.getLong(1)).sorted
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivfT = pairSet(graft.ops.Similarity.ivfTrainedTopK(emb, col("vec_id") < 5, k = 5))
+      val bruteT = pairSet(graft.ops.Similarity.cosineTopK(emb, col("vec_id") < 5, k = 5))
+      val recall = if (bruteT.isEmpty) 1.0
+        else ivfT.intersect(bruteT).size.toDouble / bruteT.size
+      println(s"E6TRAINED $dir cell_occ=${occ.mkString(",")} " +
+        f"recall_vs_brute=$recall%.3f")
+
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         val n = try fn(spark, dir).count() catch { case _: Throwable => -1L }
         println(s"ROWS $dir $name $n")

@@ -201,6 +201,54 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("unsupervised codebook: deterministic, balanced cells, in-cell exact") {
+    val cb1 = Similarity.trainCodebook(emb, cells = 10, iters = 3)
+    val cb2 = Similarity.trainCodebook(emb, cells = 10, iters = 3)
+    assert(cb1 == cb2, "training is deterministic bit-for-bit")
+    assert(cb1.map(_._1) == (0 until 10), "every cell has a centroid (empty-cell rule)")
+    // Cell balance: assignment over the trained codebook must not
+    // collapse into one mega-cell (the |cell| ≈ N/k cost model). NOTE on
+    // recall: this corpus's embeddings are ISOTROPIC (measured: mean
+    // intra-label cosine ≈ mean inter-label cosine ≈ 0, top-5 same-label
+    // rate ≈ chance), so single-probe recall is ≈ 1/cells for ANY
+    // quantizer by construction — it is measured honestly per SF in
+    // ScaleCheck (E6TRAINED), not asserted here. What the IVF contract
+    // does guarantee — and what this test pins — is exactness WITHIN the
+    // probed cell.
+    val occ = emb.select(Similarity.nearestCell(cb1, col("embedding")).as("cell"))
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    val n = occ.sum
+    assert(occ.length >= 5, s"cells collapsed: ${occ.length} populated")
+    assert(occ.max <= n * 4 / 10, s"largest cell ${occ.max}/$n must hold < 40%")
+    // In-cell exactness: top-k equals driver-recomputed brute force
+    // restricted to the query's cell, and every neighbor is co-celled.
+    val out = Similarity.ivfTrainedTopK(emb, col("vec_id") < 5, k = 5).collect()
+    assert(out.nonEmpty)
+    val cent = cb1.map { case (c, v) => c -> v.toArray }.toMap
+    def cos(a: Array[Float], c: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * c(i); na += a(i).toDouble * a(i); nb += c(i) * c(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cells = vecs.map { case (id, v) =>
+      id -> cent.maxBy { case (l, c) => (cos(v, c), l) }._1
+    }
+    out.foreach(r => assert(cells(r.getLong(0)) == cells(r.getLong(1)),
+      s"neighbor ${r.getLong(1)} not in query ${r.getLong(0)}'s cell"))
+    out.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val inCell = vecs.keys.filter(v => v != qid && cells(v) == cells(qid))
+      val brute = inCell.map(v =>
+          (math.round(cos(vecs(v), vecs(qid).map(_.toDouble)) * 10000), v))
+        .toSeq.sortBy { case (c, v) => (-c, v) }.take(5)
+      assert(rows.map(r => (r.getLong(2), r.getLong(1))).toSeq ==
+        brute.map { case (c, v) => (c, v) })
+    }
+  }
+
   test("hll profile approximates exact NDV within the declared error") {
     val approx = TextAnalysis.hllProfile(docs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
