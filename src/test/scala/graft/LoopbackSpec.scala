@@ -70,6 +70,29 @@ class LoopbackSpec extends GraftSuite {
     } finally api.stop()
   }
 
+  test("llm views are reachable through HTTP /query (standing-server wiring)") {
+    // Same wiring Server.main performs under GRAFT_CORPUS_DIR: register
+    // the views, serve /query over the session catalog.
+    val base = Files.createTempDirectory("graft-llmviews")
+    val appender = new BufferedAppender(spark, base, bufferSize = 1000)
+    graft.query.LlmViews.register(spark, sf)
+    val qs = new QueryService(spark, new Storage(base))
+    val api = new HttpApi(qs, appender, port = 0).start()
+    try {
+      val url = s"http://localhost:${api.boundPort}"
+      val (qc, body) = get(s"$url/query?q=" + java.net.URLEncoder.encode(
+        "SELECT count() AS n FROM llm_quality WHERE quality_x10k >= 0", "UTF-8"))
+      assert(qc == 200, body)
+      val n = "\"n\":(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toLong)
+      assert(n.exists(_ > 0), s"llm_quality over HTTP returned: $body")
+      // A predicate composes over the near-dup pairs view (plan-stored,
+      // so the filter pushes into the operator pipeline).
+      val (pc, pbody) = post(s"$url/query",
+        """{"query":"SELECT count() AS c FROM llm_near_dup_pairs WHERE j_x10k >= 5000"}""")
+      assert(pc == 200 && pbody.contains("\"c\":"), s"$pc $pbody")
+    } finally api.stop()
+  }
+
   test("queries stay exact and monotonic under concurrent ingest churn") {
     val base = Files.createTempDirectory("graft-churn")
     // Small buffer -> a flush (file write + manifest swap) every 25 rows,
