@@ -79,7 +79,10 @@ object Bench {
     // identical code). The median absorbs one bad pass per query; the
     // drain keeps the previous query's deferred ContextCleaner work from
     // landing inside the next query's first pass.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    // 5 passes (was 3): this host's background noise is ±30% minute to
+    // minute; a median of 5 absorbs two bad passes per query instead of
+    // one, for ~80 s more wall-clock on the full suite.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "5").toInt
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = qs.map { case (name, fn) =>
       System.gc()

