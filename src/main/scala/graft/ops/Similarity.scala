@@ -173,17 +173,40 @@ object Similarity {
   def ivfCentroidTopK(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame =
     probeTopK(emb, collectCodebook(centroidFrame(emb)), queryPred, k)
 
+  /** The `probes` nearest cells for one row — the centroid-IVF analogue
+    * of e2's Hamming multiprobe: rank the per-centroid struct(cos,
+    * clabel) descending (same comparison as nearestCell, so probe 1 IS
+    * the assigned cell) and keep the first `probes`. Codebook-sized
+    * arithmetic per row, applied only to the QUERY side. */
+  def nearestCells(codebook: Seq[(Int, Seq[Double])], emb: Column, probes: Int): Column = {
+    val ranked = array_sort(
+      array(codebook.map { case (lab, vec) =>
+        struct(cosine(emb, typedLit(vec)).as("cos"), lit(lab).as("clabel"))
+      }: _*),
+      (a, b) => when(a > b, -1).when(a < b, 1).otherwise(0))
+    transform(slice(ranked, 1, probes), s => s.getField("clabel"))
+  }
+
   /** Shared IVF probe path: map-only assignment over an inlined codebook
     * (see nearestCell — the corpus reaches the probe join straight from
     * its scan, no Exchange carries the embedding column), broadcast
     * query side, candidates only inside (cell) via the equi-join,
-    * bounded top-k ranking. */
+    * bounded top-k ranking. `probes` > 1 expands each QUERY to its p
+    * nearest cells (the recall knob — compute grows to probes × |cell|
+    * per query, the corpus side is untouched); candidate supersets rank
+    * identically, so results at larger p are monotone better. */
   private def probeTopK(emb: DataFrame, codebook: Seq[(Int, Seq[Double])],
-      queryPred: Column, k: Int): DataFrame = {
+      queryPred: Column, k: Int, probes: Int = 1): DataFrame = {
     val assigned = emb.select(col("vec_id"), col("embedding"),
       nearestCell(codebook, col("embedding")).as("cell"))
-    val q = assigned.where(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
+    val q =
+      if (probes <= 1)
+        assigned.where(queryPred)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
+      else
+        emb.where(queryPred)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            explode(nearestCells(codebook, col("embedding"), probes)).as("cell"))
     val scored = assigned.join(broadcast(q), "cell")
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("embedding"), col("qv")) * 10000, 0))
@@ -252,8 +275,8 @@ object Similarity {
     * invariants — determinism, cell balance, recall vs brute force —
     * are asserted in OpsSpec and measured across SFs in ScaleCheck. */
   def ivfTrainedTopK(emb: DataFrame, queryPred: Column, k: Int = 5,
-      cells: Int = 10, iters: Int = 3): DataFrame =
-    probeTopK(emb, trainCodebook(emb, cells, iters), queryPred, k)
+      cells: Int = 10, iters: Int = 3, probes: Int = 1): DataFrame =
+    probeTopK(emb, trainCodebook(emb, cells, iters), queryPred, k, probes)
 
   /** Embedding-cosine near-duplicate PAIRS — the dedup-family member over
     * vectors (exact/minhash/simhash/ngram cover text; this covers the

@@ -249,6 +249,21 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("trained-IVF multiprobe: recall monotone in probes; full probe equals brute force") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pred = col("vec_id") < 3
+    val brute = pairs(Similarity.cosineTopK(emb, pred, k = 5))
+    val p1 = pairs(Similarity.ivfTrainedTopK(emb, pred, k = 5, probes = 1))
+    val p3 = pairs(Similarity.ivfTrainedTopK(emb, pred, k = 5, probes = 3))
+    val full = pairs(Similarity.ivfTrainedTopK(emb, pred, k = 5, probes = 10))
+    // Candidate supersets rank identically, so widening probes cannot
+    // lose recall, and probing every cell IS brute force.
+    assert(p3.intersect(brute).size >= p1.intersect(brute).size,
+      "wider probing must not lose recall")
+    assert(full == brute, "probing all cells must equal brute force")
+  }
+
   test("hll profile approximates exact NDV within the declared error") {
     val approx = TextAnalysis.hllProfile(docs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
