@@ -27,16 +27,36 @@ object LlmViews {
     Map(
       "llm_exact_dedup" -> Dedup.exact(docs),
       "llm_near_dup_pairs" -> Dedup.minhashLsh(docs),
+      "llm_simhash" -> Dedup.simhash(docs),
+      "llm_chunk_dedup" -> Dedup.chunkDedup(docs),
+      "llm_source_overlap" -> Dedup.sourceOverlap(docs),
       "llm_decontaminate" -> Dedup.decontaminate(docs, col("doc_id") % 11 === 0),
       "llm_cosine_topk" -> Similarity.cosineTopK(emb, col("vec_id") < 5),
-      "llm_quality" -> TextAnalysis.quality(docs))
+      "llm_embedding_neardup" -> Similarity.embeddingNearDup(emb),
+      "llm_quality" -> TextAnalysis.quality(docs),
+      "llm_langid" -> TextAnalysis.langid(docs),
+      "llm_token_stats" -> TextAnalysis.tokenStats(docs),
+      "llm_fingerprint" -> TextAnalysis.fingerprint(docs),
+      "llm_gopher_rules" -> TextAnalysis.gopherRules(docs),
+      "llm_vocab" -> TextAnalysis.vocabTopK(docs),
+      "llm_hash_split" -> graft.ops.Sampling.hashSplit(docs))
   }
 
-  /** Register every view into the session catalog (idempotent). */
+  // One registration per (session, dir): view construction is
+  // driver-side plan building for every operator family, and the
+  // declared h5/h6 queries call register() per execution — rebuilding
+  // 15 plans each time measured +0.25 s per query on the bench. Same
+  // (session, dir) always yields the same plans, so the first
+  // registration stands.
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
+  /** Register every view into the session catalog (idempotent, cached). */
   def register(spark: SparkSession, dir: String): Unit =
-    views(spark, dir).foreach { case (name, df) =>
-      df.createOrReplaceTempView(name)
-    }
+    if (registered.add((spark, dir)))
+      views(spark, dir).foreach { case (name, df) =>
+        df.createOrReplaceTempView(name)
+      }
 }
 
 /** Declared queries exercising the LLM operators THROUGH the SQL entry

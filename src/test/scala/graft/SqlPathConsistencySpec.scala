@@ -161,6 +161,17 @@ class SqlPathConsistencySpec extends GraftSuite {
     assert(iss.length == 5 && iss.forall(_.contains("true")), iss)
   }
 
+  test("every llm_* view resolves and answers through the SQL path") {
+    query.LlmViews.register(spark, sf)
+    query.LlmViews.views(spark, sf).foreach { case (name, df) =>
+      val viaView = viaSql(s"SELECT count() AS c FROM $name")
+      assert(viaView.length == 1, s"$name: $viaView")
+      // The view stores the PLAN: its count equals the Scala API's.
+      val n = df.count()
+      assert(viaView.head.contains(s"[$n]"), s"$name via SQL $viaView vs API $n")
+    }
+  }
+
   test("count() dialect + OFFSET work through the SQL path") {
     val r = viaSql("SELECT count() AS c FROM orders")
     assert(r.length == 1)
