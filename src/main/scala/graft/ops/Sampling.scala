@@ -114,11 +114,16 @@ object Sampling {
   def sequencePack(docs: DataFrame, budget: Int = 2048, blockSize: Int = 64): DataFrame = {
     val w = Window.partitionBy("blk").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val toks = docs.select(col("doc_id"), expr(s"doc_id div $blockSize").as("blk"),
-        size(split(col("text"), " ")).cast("long").as("ntok"))
-      .withColumn("intra", coalesce(sum(col("ntok")).over(w), lit(0L)))
+    // Per-block totals come from the PRE-window frame: the offsets
+    // branch needs only sum(ntok) per blk (a map-side-combined scalar
+    // aggregate), not the intra-block cumsum — hanging it off the
+    // windowed frame re-ran the window's shuffle+sort pass on a branch
+    // that never reads `intra`.
+    val base = docs.select(col("doc_id"), expr(s"doc_id div $blockSize").as("blk"),
+      size(split(col("text"), " ")).cast("long").as("ntok"))
+    val toks = base.withColumn("intra", coalesce(sum(col("ntok")).over(w), lit(0L)))
     val wb = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = toks.groupBy("blk").agg(sum(col("ntok")).as("btot"))
+    val offsets = base.groupBy("blk").agg(sum(col("ntok")).as("btot"))
       .withColumn("off", coalesce(sum(col("btot")).over(wb), lit(0L)))
       .select("blk", "off")
     toks.join(broadcast(offsets), "blk")
