@@ -253,7 +253,14 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(graft.functions.Expressions.wordTfs(col("text"))).as("wt"))
       .select(col("doc_id"), col("wt.token").as("token"), col("wt.tf").as("tf"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // df needs only each doc's distinct-token SET — array_distinct
+    // (hash-based) emits the identical tokens as WordTfs (both keep
+    // empty tokens: split limit -1) without the per-doc sort, and this
+    // branch executes separately as the broadcast build job, so the
+    // saving is a whole WordTfs pass over the corpus.
+    val df = docs
+      .select(explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val scored = tf.join(broadcast(df), "token").crossJoin(broadcast(n))
       .withColumn("s", col("tf") * (col("n").cast("double") / col("df")))
