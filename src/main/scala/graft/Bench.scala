@@ -71,41 +71,42 @@ object Bench {
     // timing the throw would publish a bogus (small) duration and HIDE the
     // regression (ADVICE r2).
     //
-    // Median of 3 timed passes per query, with a GC drain BETWEEN queries
-    // (outside any measurement): round 3's graded 27.6 s contained ~7 s of
-    // host variance on code that runs in ~20 s — single-pass timings made
-    // the graded artifact hostage to whatever the host was doing in that
-    // exact second (one query spiked 4.04 s vs 0.38 s on a quiet rerun of
-    // identical code). The median absorbs one bad pass per query; the
-    // drain keeps the previous query's deferred ContextCleaner work from
-    // landing inside the next query's first pass.
-    // 5 passes (was 3): this host's background noise is ±30% minute to
-    // minute; a median of 5 absorbs two bad passes per query instead of
-    // one, for ~80 s more wall-clock on the full suite.
+    // Median of 5 timed passes per query, the passes INTERLEAVED at the
+    // suite level (pass 1 of every query, then pass 2, ...): this host's
+    // background noise arrives in multi-minute BURSTS (round-4/5 lesson:
+    // identical code measured 14.4 s and 20.0 s an hour apart with the
+    // local CPU 100% idle), and back-to-back passes of one query land in
+    // the same burst — correlated samples a median cannot absorb.
+    // Interleaving spaces each query's samples minutes apart, so a burst
+    // inflates at most ~one sample per query. The per-query GC drain
+    // (outside any measurement) keeps deferred ContextCleaner work from
+    // landing inside the next measurement (round-3 lesson).
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "5").toInt
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = qs.map { case (name, fn) =>
-      System.gc()
-      val gc0 = gcMillis
-      var failed = false
-      val times = (1 to passes).flatMap { _ =>
-        if (failed) None
-        else {
+    val failed = scala.collection.mutable.Set.empty[String]
+    val samples = scala.collection.mutable.LinkedHashMap(
+      qs.map { case (name, _) => name -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+    for (_ <- 1 to passes) {
+      qs.foreach { case (name, fn) =>
+        if (!failed.contains(name)) {
+          System.gc()
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).collect(); Some((System.nanoTime() - t0) / 1e9) }
+          try { fn(spark, sfDir).collect(); samples(name) += (System.nanoTime() - t0) / 1e9 }
           catch { case t: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
             errors += name
-            failed = true
-            None
+            failed += name
           }
         }
       }
-      val sec = if (failed || times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
-      if (!failed)
+    }
+    val results = qs.map { case (name, _) =>
+      val times = samples(name).toSeq
+      val sec = if (failed.contains(name) || times.isEmpty)
+        -1.0 else times.sorted.apply(times.size / 2)
+      if (!failed.contains(name))
         System.err.println(f"[bench] $name med ${sec}%.3f s " +
-          f"(min ${times.min}%.3f, max ${times.max}%.3f, " +
-          f"gc ${(gcMillis - gc0) / 1e3}%.3f s)")
+          f"(min ${times.min}%.3f, max ${times.max}%.3f)")
       name -> sec
     }
 
