@@ -131,7 +131,9 @@ object ScaleCheck {
         .groupBy("cell").count().collect().map(_.getLong(1)).sorted
       def pairSet(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val ivfT = pairSet(graft.ops.Similarity.ivfTrainedTopK(emb, col("vec_id") < 5, k = 5))
+      // Reuse the already-trained codebook — ivfTrainedTopK would
+      // retrain it from scratch (the most expensive part of this check).
+      val ivfT = pairSet(graft.ops.Similarity.probeTopK(emb, cb, col("vec_id") < 5, k = 5))
       val bruteT = pairSet(graft.ops.Similarity.cosineTopK(emb, col("vec_id") < 5, k = 5))
       val recall = if (bruteT.isEmpty) 1.0
         else ivfT.intersect(bruteT).size.toDouble / bruteT.size

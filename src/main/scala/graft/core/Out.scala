@@ -20,6 +20,14 @@ import org.apache.spark.sql.{Column, DataFrame}
   * it is the moral equivalent of the reference's single-writer result
   * sink (query.js:173–179), correct exactly because query results are
   * bounded.
+  *
+  * LAYERING: for per-document operators (langid, quality, simhash, …)
+  * whose output is corpus-sized, the final sort is PRESENTATION of the
+  * bounded declared-query corpus, not part of the operator — those
+  * functions take `ordered: Boolean` and the composition layer
+  * (LlmViews, anything a server exposes over an arbitrarily large dir)
+  * registers the UNSORTED plan, so no corpus ever funnels through the
+  * single-task sort outside a declared result dump.
   */
 object Out {
   implicit final class SmallOrderOps(private val df: DataFrame) extends AnyVal {

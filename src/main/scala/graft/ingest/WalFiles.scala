@@ -53,6 +53,50 @@ object WalFiles {
     case _: LineProtocol.LpString => StringType
   }
 
+  /** Deterministic widest-wins resolution for a field seen with
+    * CONFLICTING types within one micro-batch: STRING can represent any
+    * value, DOUBLE any numeric, so the order is STRING > DOUBLE >
+    * BOOLEAN. Partition-independent by construction — unlike
+    * first-occurrence-wins, which depends on row placement. */
+  def widerLpType(a: DataType, b: DataType): DataType = {
+    def rank(t: DataType): Int = t match {
+      case StringType => 3
+      case DoubleType => 2
+      case _ => 1
+    }
+    if (rank(a) >= rank(b)) a else b
+  }
+
+  private def lpTypeOfName(n: String): DataType = n match {
+    case "string" => StringType
+    case "double" => DoubleType
+    case "boolean" => BooleanType
+    case other => throw new IllegalArgumentException(s"unexpected LP type $other")
+  }
+
+  /** Merge the manifest-tracked schemas with a batch's discovered
+    * (measurement, field, typeName) set into COMPLETE per-measurement
+    * seed schemas: previously frozen fields keep their manifest type
+    * (first-seen-wins across batches, as the driver path behaves);
+    * fields new in this batch resolve widest-wins and append in name
+    * order (deterministic column order regardless of partitioning). */
+  def resolveBatchSchemas(manifestSeed: Map[String, String],
+      discovered: Seq[(String, String, String)]): Map[String, String] =
+    discovered.groupBy(_._1).map { case (m, rows) =>
+      val base = manifestSeed.get(m)
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
+        .getOrElse(lpBaseSchema)
+      val known = base.fieldNames.toSet
+      val fresh = rows.filterNot(r => known.contains(r._2))
+        .groupBy(_._2).toSeq
+        .map { case (f, ts) =>
+          StructField(f, ts.map(t => lpTypeOfName(t._3)).reduce(widerLpType),
+            nullable = true)
+        }
+        .sortBy(_.name)
+      m -> StructType(base.fields ++ fresh).json
+    }
+
   def lpValue(v: LineProtocol.FieldValue, dt: DataType): Any = (v, dt) match {
     case (LineProtocol.LpLong(l), DoubleType) => l.toDouble
     case (LineProtocol.LpDouble(d), DoubleType) => d

@@ -25,11 +25,12 @@ object Dedup {
     * the shuffle carries ~70 bytes/row regardless of document size. At
     * 100 TB this is the canonical map-side-combined hash aggregate.
     */
-  def exact(docs: DataFrame): DataFrame =
-    docs.groupBy(sha2(col("text"), 256).as("h"))
+  def exact(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+    val out = docs.groupBy(sha2(col("text"), 256).as("h"))
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("copies"))
       .select("doc_id", "copies")
-      .orderAgg("doc_id")
+    if (ordered) out.orderAgg("doc_id") else out
+  }
 
   /** Digest index of a corpus — the persisted state for cross-run
     * incremental dedup (one 64-hex row per distinct text). */
@@ -335,15 +336,16 @@ object Dedup {
     * hashes have bit i set than clear. Per-row higher-order functions only
     * — embarrassingly parallel, no shuffle at all.
     */
-  def simhash(docs: DataFrame): DataFrame =
-    docs
+  def simhash(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+    val out = docs
       // One md5 digest per word (the portable hash the oracle re-derives),
       // then the 60-bit majority vote — both native single-pass loops with
       // math identical to the declarative per-bit filter/CASE form.
       .select(col("doc_id"),
         graft.functions.Expressions.md5WordHashes(col("text")).as("hs"))
       .select(col("doc_id"), graft.functions.Expressions.simhash60(col("hs")).as("simhash"))
-      .orderSmall("doc_id")
+    if (ordered) out.orderSmall("doc_id") else out
+  }
 
   /** EXACT n-gram Jaccard similarity self-join via prefix filtering — the
     * AllPairs/PPJoin family (Bayardo et al., WWW'07): unlike the MinHash
@@ -446,8 +448,8 @@ object Dedup {
     * projection column so `slice` runs once per CHUNK, not per element),
     * then one hash aggregate whose shuffle carries the 32-hex md5, never
     * chunk text. */
-  def chunkDedup(docs: DataFrame, width: Int = 20): DataFrame =
-    docs
+  def chunkDedup(docs: DataFrame, width: Int = 20, ordered: Boolean = true): DataFrame = {
+    val out = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, (size(w) + ${width - 1}) div $width - 1),
@@ -456,7 +458,8 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"),
         min(col("doc_id")).as("first_doc"))
       .where(col("n_docs") >= 2)
-      .orderAgg("chunk_md5")
+    if (ordered) out.orderAgg("chunk_md5") else out
+  }
 
   /** Top-k documents by 3-shingle Jaccard similarity to a query string —
     * a map-only scan + TakeOrdered; no pairs, no shuffle beyond top-k. */

@@ -141,7 +141,10 @@ object Similarity {
     * centroids; at 100 TB that is a full-corpus shuffle of the widest
     * column where a per-row computation suffices (VERDICT r4 #3). */
   def nearestCell(codebook: Seq[(Int, Seq[Double])], emb: Column): Column =
-    greatest(codebook.map { case (lab, vec) =>
+    // greatest() requires >= 2 args; a 1-cell codebook (single-label
+    // corpus, cells = 1) assigns everything to that cell.
+    if (codebook.size == 1) lit(codebook.head._1)
+    else greatest(codebook.map { case (lab, vec) =>
       struct(cosine(emb, typedLit(vec)).as("cos"), lit(lab).as("clabel"))
     }: _*).getField("clabel")
 
@@ -179,6 +182,7 @@ object Similarity {
     * the assigned cell) and keep the first `probes`. Codebook-sized
     * arithmetic per row, applied only to the QUERY side. */
   def nearestCells(codebook: Seq[(Int, Seq[Double])], emb: Column, probes: Int): Column = {
+    if (codebook.size == 1) return array(lit(codebook.head._1))
     val ranked = array_sort(
       array(codebook.map { case (lab, vec) =>
         struct(cosine(emb, typedLit(vec)).as("cos"), lit(lab).as("clabel"))
@@ -195,7 +199,7 @@ object Similarity {
     * nearest cells (the recall knob — compute grows to probes × |cell|
     * per query, the corpus side is untouched); candidate supersets rank
     * identically, so results at larger p are monotone better. */
-  private def probeTopK(emb: DataFrame, codebook: Seq[(Int, Seq[Double])],
+  def probeTopK(emb: DataFrame, codebook: Seq[(Int, Seq[Double])],
       queryPred: Column, k: Int, probes: Int = 1): DataFrame = {
     val assigned = emb.select(col("vec_id"), col("embedding"),
       nearestCell(codebook, col("embedding")).as("cell"))

@@ -27,14 +27,15 @@ object TextAnalysis {
       .otherwise("und")
   }
 
-  def langid(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), langGuess(col("text")).as("lang_guess"))
-      .orderSmall("doc_id")
+  def langid(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+    val out = docs.select(col("doc_id"), langGuess(col("text")).as("lang_guess"))
+    if (ordered) out.orderSmall("doc_id") else out
+  }
 
   /** Quality stats + score: token count, mean token length, punctuation
     * count, stopword ratio. Score = weighted mix, the standard shape of a
     * web-corpus quality filter. */
-  def quality(docs: DataFrame): DataFrame = {
+  def quality(docs: DataFrame, ordered: Boolean = true): DataFrame = {
     val toks = split(col("text"), " ")
     val nTok = size(toks)
     val meanLen = (length(col("text")) - nTok + 1).cast("double") / nTok
@@ -51,24 +52,25 @@ object TextAnalysis {
     // All three ratios are exact-integer divisions (identical doubles in
     // both engines) emitted as x10k scaled integers — no double reaches
     // the hashed output (see StableAgg.scaledLong).
-    docs.select(
+    val out = docs.select(
       col("doc_id"), nTok.as("n_tokens"),
       graft.functions.StableAgg.scaledLong(meanLen, 10000).as("mean_tok_len_x10k"),
       punct.as("n_punct"),
       graft.functions.StableAgg.scaledLong(stopRatio, 10000).as("stop_ratio_x10k"),
       graft.functions.StableAgg.scaledLong(score, 10000).as("quality_x10k"))
-      .orderSmall("doc_id")
+    if (ordered) out.orderSmall("doc_id") else out
   }
 
   /** Token counting: whitespace tokens, alphanumeric regex tokens, and a
     * chars/4 BPE-style estimate. */
-  def tokenStats(docs: DataFrame): DataFrame =
-    docs.select(
+  def tokenStats(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+    val out = docs.select(
       col("doc_id"),
       size(split(col("text"), " ")).as("ws_tokens"),
       size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("re_tokens"),
       ceil(length(col("text")).cast("double") / 4).cast("long").as("bpe_est"))
-      .orderSmall("doc_id")
+    if (ordered) out.orderSmall("doc_id") else out
+  }
 
   /** Column profiling — the dataset-health snapshot a curation pipeline
     * runs first: row count, exact NDVs, null counts, ranges. One pass,
@@ -138,7 +140,7 @@ object TextAnalysis {
           col("exact_docs").cast("double") * 0.06 &&
          abs(col("a_sources") - col("exact_sources")).cast("double") <=
           col("exact_sources").cast("double") * 0.06).as("approx_ok"))
-      .orderSmall("lang")
+      .orderAgg("lang")
   }
 
   /** Corpus vocabulary: top-k tokens by frequency — the token-frequency
@@ -171,7 +173,7 @@ object TextAnalysis {
     * attribute reference is a per-row O(1) array load. The top-bigram
     * count is one sorted-run-length pass (O(n log n) per row), not a
     * filter-per-distinct scan (O(n·distinct)). */
-  def gopherRules(docs: DataFrame): DataFrame = {
+  def gopherRules(docs: DataFrame, ordered: Boolean = true): DataFrame = {
     val toks = col("toks")
     val n = size(toks)
     // Guard n < 2: sequence(1, 0) counts DOWN through index 0, which is
@@ -203,7 +205,7 @@ object TextAnalysis {
     val cores = docs.sparkSession.sparkContext.defaultParallelism
     val spread =
       if (docs.rdd.getNumPartitions < cores) docs.repartition(cores) else docs
-    spread.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val out = spread.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), n.as("n"), size(array_distinct(toks)).as("n_distinct"),
         bigrams.as("bigrams"))
       .select(col("doc_id"), col("n"), col("n_distinct"), topCount.as("top_cnt"))
@@ -212,7 +214,7 @@ object TextAnalysis {
         graft.functions.StableAgg.scaledLong(dupFrac, 10000).as("dup_word_frac_x10k"),
         graft.functions.StableAgg.scaledLong(topBigram, 10000).as("top_bigram_frac_x10k"),
         keep.as("keep"))
-      .orderSmall("doc_id")
+    if (ordered) out.orderSmall("doc_id") else out
   }
 
   /** Denylist scrub: replace denylisted terms, report the hit count and
@@ -277,10 +279,11 @@ object TextAnalysis {
   /** Rolling-hash fingerprint: fold (acc*31 + h_w mod 1000003) mod 1e9+7
     * over the word sequence, with the portable md5-60-bit word hash. Order
     * sensitive (unlike simhash) — a reordering changes the fingerprint. */
-  def fingerprint(docs: DataFrame): DataFrame =
-    docs.select(
+  def fingerprint(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+    val out = docs.select(
       col("doc_id"),
       graft.functions.Expressions.rollingFp(
         graft.functions.Expressions.md5WordHashes(col("text"))).as("fp"))
-      .orderSmall("doc_id")
+    if (ordered) out.orderSmall("doc_id") else out
+  }
 }

@@ -37,20 +37,44 @@ final class StreamingLpIngest(
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val baseDir = appender.basePathString
         val writer = appender.writerIdString
-        // Driver-side manifest snapshot pins frozen field types across the
-        // batch's partitions (see WalFiles.writeLpPartition scaladoc).
-        val seed = appender.manifestSchemaSnapshot()
         // Same spread as the HEP path: small text files pack into few read
         // partitions; repartition the bounded micro-batch so parse+write
         // scale out.
-        val stats = batch
+        val lines = batch
           .select("value").as(org.apache.spark.sql.Encoders.STRING)
           .repartition(batch.sparkSession.sparkContext.defaultParallelism)
+        // Batch-global type resolution BEFORE writing: the manifest
+        // snapshot pins previously frozen types, but a field first seen
+        // in THIS batch with conflicting value types in different
+        // partitions would still freeze divergently under partition-
+        // local first-occurrence-wins (one file DOUBLE, one UTF8 — the
+        // table then fails to read). A cheap distinct (measurement,
+        // field, type) pre-pass resolves every new field widest-wins
+        // (WalFiles.widerLpType), partition-independently. Costs one
+        // extra parse of the bounded micro-batch.
+        val seed = appender.manifestSchemaSnapshot()
+        val discovered = lines.mapPartitions { ls: Iterator[String] =>
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[(String, String), org.apache.spark.sql.types.DataType]
+          ls.map(_.trim).filter(_.nonEmpty).flatMap(LineProtocol.parse(_))
+            .foreach { p =>
+              p.fields.foreach { case (k, v) =>
+                val t = graft.ingest.WalFiles.lpType(v)
+                acc((p.measurement, k)) = acc.get((p.measurement, k))
+                  .map(graft.ingest.WalFiles.widerLpType(_, t)).getOrElse(t)
+              }
+            }
+          acc.iterator.map { case ((m, f), t) => (m, f, t.typeName) }
+        }(org.apache.spark.sql.Encoders.product[(String, String, String)])
+          .collect()
+        val fullSeed = graft.ingest.WalFiles
+          .resolveBatchSchemas(seed, discovered.toSeq)
+        val stats = lines
           .mapPartitions { lines: Iterator[String] =>
             val points = lines.map(_.trim).filter(_.nonEmpty)
               .flatMap(LineProtocol.parse(_))
             graft.ingest.WalFiles.writeLpPartition(baseDir, writer, points,
-              seedSchemas = seed)
+              seedSchemas = fullSeed)
           }(org.apache.spark.sql.Encoders.product[graft.ingest.WalFiles.PartFile])
           .collect()
         stats.foreach(appender.commitExecutorFile)

@@ -403,6 +403,36 @@ class RegressionSpec extends GraftSuite {
   // --- ADVICE r4: executor-side LP WAL typing must not diverge across
   // partitions of one micro-batch ---
 
+  test("first-batch conflicting LP field types resolve widest-wins, not per-partition") {
+    // A field NEVER seen before (nothing in the manifest) arrives in ONE
+    // micro-batch with a double in one partition and a string in another:
+    // partition-local first-occurrence-wins would freeze DOUBLE and UTF8
+    // files for the same column and the table becomes unreadable. The
+    // batch-global pre-pass resolves it widest-wins (STRING) everywhere.
+    val base = Files.createTempDirectory("graft-lpnewfield")
+    val in = Files.createTempDirectory("graft-lpnewfield-in")
+    val ckpt = Files.createTempDirectory("graft-lpnewfield-ckpt")
+    val app = new BufferedAppender(spark, base, bufferSize = 1000000)
+    val q = new graft.streaming.StreamingLpIngest(
+      spark, in.toString, ckpt.toString, app, triggerMs = 500).start()
+    try {
+      // Many lines so the repartitioned batch spreads both types over
+      // multiple partitions.
+      val lines = (0 until 200).map { i =>
+        if (i % 2 == 0) s"nf v=$i.5 ${1704067200000000000L + i}"
+        else s"""nf v="s$i" ${1704067200000000000L + i}"""
+      }
+      Files.writeString(in.resolve("batch.txt"), lines.mkString("\n"))
+      q.processAllAvailable()
+      val df = new Storage(base).load(spark, "nf", Long.MinValue, Long.MaxValue).get
+      assert(df.schema("v").dataType == org.apache.spark.sql.types.StringType,
+        s"widest-wins must freeze STRING, got ${df.schema("v").dataType}")
+      // Readable end-to-end, with every row present (doubles render via
+      // lpValue's toString widening into the string column).
+      assert(df.count() == 200)
+    } finally q.stop()
+  }
+
   test("seeded LP partition writer pins frozen field types across partitions") {
     val base = Files.createTempDirectory("graft-lpseed")
     val app = new BufferedAppender(spark, base, bufferSize = 1000)
