@@ -40,6 +40,10 @@ final class StreamingLpIngest(
         // Same spread as the HEP path: small text files pack into few read
         // partitions; repartition the bounded micro-batch so parse+write
         // scale out.
+        // Both passes (type discovery + write) recompute from the text
+        // source: persisting the lines in between measured SLOWER than
+        // the reparse (block-store serialization of plain strings costs
+        // more than splitting them again).
         val lines = batch
           .select("value").as(org.apache.spark.sql.Encoders.STRING)
           .repartition(batch.sparkSession.sparkContext.defaultParallelism)
