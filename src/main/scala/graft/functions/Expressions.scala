@@ -142,6 +142,65 @@ object Expressions {
         newRight: Expression): CosineSim = copy(left = newLeft, right = newRight)
   }
 
+  /** Squared L2 distance of two float- or double-element arrays — the
+    * PQ subspace-assignment metric (minimizing reconstruction error),
+    * same sequential-fold/mixed-type contract as CosineSim. */
+  case class L2Sq(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    private def isDouble(e: Expression): Boolean = e.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    private lazy val leftDouble = isDouble(left)
+    private lazy val rightDouble = isDouble(right)
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (leftDouble) a.getDouble(i) else a.getFloat(i).toDouble
+        val y = if (rightDouble) b.getDouble(i) else b.getFloat(i).toDouble
+        val d = x - y
+        s += d * d
+        i += 1
+      }
+      s
+    }
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): L2Sq = copy(left = newLeft, right = newRight)
+  }
+
+  /** PQ asymmetric score: `codes` (one small int per subspace) indexes a
+    * query-specific lookup table `lut` flattened as [subspace][code] —
+    * score = Σ_s lut[s·k + codes[s]], the inner loop of product-
+    * quantized ANN (Jégou et al., PAMI'11: one add per subspace instead
+    * of one multiply-add per dimension). Fold order is subspace-
+    * ascending, matching a per-subspace dot of the reconstructed vector
+    * — the exactness invariant OpsSpec asserts. */
+  case class PqScore(codes: Expression, lut: Expression, k: Int)
+      extends BinaryExpression with CodegenFallback {
+    override def left: Expression = codes
+    override def right: Expression = lut
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val c = l.asInstanceOf[ArrayData]
+      val t = r.asInstanceOf[ArrayData]
+      var s = 0.0
+      var i = 0
+      val m = c.numElements()
+      while (i < m) {
+        s += t.getDouble(i * k + c.getInt(i))
+        i += 1
+      }
+      s
+    }
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): PqScore = copy(codes = newLeft, lut = newRight)
+  }
+
   /** Jaccard similarity of two string arrays (distinct-set semantics in
     * one hash-set pass). Integer counts → the division is bit-identical
     * to the size(array_intersect)/… and len(list_intersect)/… forms. */
@@ -425,6 +484,9 @@ object Expressions {
   def minhashSig(c: Column, numHashes: Int): Column = column(MinHashSig(expression(c), numHashes))
   def simhash60(c: Column): Column = column(SimHash60(expression(c)))
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
+  def l2sq(a: Column, b: Column): Column = column(L2Sq(expression(a), expression(b)))
+  def pqScore(codes: Column, lut: Column, k: Int): Column =
+    column(PqScore(expression(codes), expression(lut), k))
   def jaccardSim(a: Column, b: Column): Column = column(JaccardSim(expression(a), expression(b)))
   def sortedIntersectSize(a: Column, b: Column): Column =
     column(SortedIntersectSize(expression(a), expression(b)))

@@ -282,6 +282,120 @@ object Similarity {
       cells: Int = 10, iters: Int = 3, probes: Int = 1): DataFrame =
     probeTopK(emb, trainCodebook(emb, cells, iters), queryPred, k, probes)
 
+  // ----- Product quantization (Jégou et al., PAMI'11) -----------------
+  // The memory tier BELOW int8 (e4): each vector compresses to m small
+  // codes (m bytes at kc<=256 vs 4·dims float32 — 32× at 64 dims, m=8),
+  // and scoring a pair is m table adds instead of dims multiply-adds.
+
+  /** Nearest sub-centroid by squared L2 (the PQ assignment metric —
+    * Lloyd means minimize exactly this); ties to the smaller code. */
+  private def nearestCodeL2(cb: Seq[(Int, Seq[Double])], sub: Column): Column =
+    if (cb.size == 1) lit(cb.head._1)
+    else least(cb.map { case (code, c) =>
+      struct(graft.functions.Expressions.l2sq(sub, typedLit(c)).as("d"),
+        lit(code).as("code"))
+    }: _*).getField("code")
+
+  /** One PQ subspace codebook, trained like trainCodebook but under the
+    * L2 metric on a subvector column: deterministic farthest-first
+    * seeding (max min-distance instead of min max-cosine) + fixed Lloyd
+    * iterations with exact-decimal means (which ARE the L2-optimal
+    * centroids). `sub` must project (vec_id, v: array) where v is the
+    * subvector. */
+  private def trainSubspace(sub: DataFrame, kc: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    def vecOf(r: org.apache.spark.sql.Row): Seq[Double] =
+      r.getSeq[Float](1).map(_.toDouble).toSeq
+    val first = sub.withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h", "vec_id").limit(1).collect().map(vecOf).head
+    var chosen = Vector(first)
+    while (chosen.size < kc) {
+      val nearest =
+        if (chosen.size == 1) graft.functions.Expressions.l2sq(col("v"), typedLit(chosen.head))
+        else least(chosen.map(s => graft.functions.Expressions.l2sq(col("v"), typedLit(s))): _*)
+      // Farthest-first under L2: next seed MAXIMIZES distance to its
+      // nearest chosen seed (ties to the smaller vec_id).
+      val next = sub.select(col("vec_id"), col("v"), nearest.as("dn"))
+        .orderBy(col("dn").desc, col("vec_id")).limit(1).collect().map(vecOf).head
+      chosen = chosen :+ next
+    }
+    var cb: Seq[(Int, Seq[Double])] = chosen.zipWithIndex.map { case (v, i) => (i, v) }
+    for (_ <- 1 to iters) {
+      val means = sub
+        .select(nearestCodeL2(cb, col("v")).as("code"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("code", "pos")
+        .agg(graft.functions.StableAgg.davg(col("x").cast("double"), 4, "decimal(18,9)").as("m"))
+        .groupBy("code")
+        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)").as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+      cb = cb.map { case (c, old) => (c, means.getOrElse(c, old)) }
+    }
+    cb
+  }
+
+  /** PQ codebooks: m subspace codebooks of kc centroids each, trained
+    * independently (the PQ factorization). Deterministic end to end. */
+  def trainPq(emb: DataFrame, m: Int = 8, kc: Int = 16,
+      iters: Int = 3): Seq[Seq[(Int, Seq[Double])]] = {
+    val dims = emb.select(size(col("embedding"))).head.getInt(0)
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val d = dims / m
+    (0 until m).map { s =>
+      trainSubspace(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), s * d + 1, d).as("v")), kc, iters)
+    }
+  }
+
+  /** Map-only PQ encoding: one nearest-sub-centroid code per subspace,
+    * over the inlined codebooks — the whole corpus compresses inside
+    * its scan, no shuffle (the e5 inlining argument, per subspace). */
+  def pqCodes(codebooks: Seq[Seq[(Int, Seq[Double])]], emb: Column, d: Int): Column =
+    array(codebooks.zipWithIndex.map { case (cb, s) =>
+      nearestCodeL2(cb, slice(emb, s * d + 1, d))
+    }: _*)
+
+  /** PQ asymmetric top-k: corpus scored from its CODES alone against a
+    * per-query lookup table (LUT[s][c] = ⟨query subvector s, centroid
+    * c⟩, built driver-side from the bounded query set — the same small
+    * side every top-k here broadcasts). Score = Σ_s LUT[s][code_s] ≈
+    * the inner product ⟨query, vector⟩; the approximation error is the
+    * quantization residual, and the score is EXACTLY the inner product
+    * with the reconstructed (decoded) vector — the invariant OpsSpec
+    * asserts. Scale: encoding is map-only; the scored set is
+    * corpus × queries like e1, but each pair costs m table adds on
+    * m-byte codes (bandwidth 32× below float32), and ranking is the
+    * bounded top-k aggregate. */
+  def pqTopK(emb: DataFrame, queryPred: Column, k: Int = 5, m: Int = 8,
+      kc: Int = 16, iters: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    val dims = emb.select(size(col("embedding"))).head.getInt(0)
+    val d = dims / m
+    val cbs = trainPq(emb, m, kc, iters)
+    val coded = emb.select(col("vec_id"), pqCodes(cbs, col("embedding"), d).as("codes"))
+    val luts = emb.where(queryPred).select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val q = r.getSeq[Float](1).map(_.toDouble)
+        val lut = cbs.zipWithIndex.flatMap { case (cb, s) =>
+          cb.map { case (_, c) =>
+            var dot = 0.0
+            var i = 0
+            while (i < d) { dot += q(s * d + i) * c(i); i += 1 }
+            dot
+          }
+        }
+        (r.getLong(0), lut)
+      }.toSeq
+    import spark.implicits._
+    val qDf = luts.toDF("query_id", "lut")
+    val scored = coded.crossJoin(broadcast(qDf))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        round(graft.functions.Expressions.pqScore(col("codes"), col("lut"), kc) * 10000, 0))
+    rankTopKScaled(scored, "vec_id", k, "pqdot_x10k")
+  }
+
   /** Embedding-cosine near-duplicate PAIRS — the dedup-family member over
     * vectors (exact/minhash/simhash/ngram cover text; this covers the
     * embedding modality). Random-hyperplane-style LSH with DETERMINISTIC

@@ -264,6 +264,43 @@ class OpsSpec extends GraftSuite {
     assert(full == brute, "probing all cells must equal brute force")
   }
 
+  test("product quantization: deterministic, codes in range, LUT score equals reconstructed dot") {
+    val m = 8; val kc = 8
+    val cbs1 = Similarity.trainPq(emb, m = m, kc = kc, iters = 2)
+    val cbs2 = Similarity.trainPq(emb, m = m, kc = kc, iters = 2)
+    assert(cbs1 == cbs2, "PQ training is deterministic bit-for-bit")
+    assert(cbs1.length == m && cbs1.forall(_.map(_._1) == (0 until kc)))
+    val dims = emb.select(org.apache.spark.sql.functions.size(col("embedding"))).head.getInt(0)
+    val d = dims / m
+    val coded = emb.select(col("vec_id"), col("embedding"),
+      Similarity.pqCodes(cbs1, col("embedding"), d).as("codes")).collect()
+    coded.foreach(r => assert(
+      r.getSeq[Int](2).length == m && r.getSeq[Int](2).forall(c => c >= 0 && c < kc)))
+    // Exactness invariant: the LUT-summed score must equal the inner
+    // product with the DECODED vector, computed with the same
+    // subspace-ascending fold — identical doubles, not approximately.
+    val q = coded.find(_.getLong(0) == 1L).get
+    val qv = q.getSeq[Float](1).map(_.toDouble)
+    val out = Similarity.pqTopK(emb, col("vec_id") === 1L, k = 5, m = m, kc = kc, iters = 2)
+      .collect()
+    assert(out.nonEmpty)
+    val byId = coded.map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    out.foreach { r =>
+      val codes = byId(r.getLong(1))
+      val expected = (0 until m).map { s =>
+        val c = cbs1(s)(codes(s))._2
+        var dot = 0.0; var i = 0
+        while (i < d) { dot += qv(s * d + i) * c(i); i += 1 }
+        dot
+      }.sum
+      // HALF_UP like Spark's round() (math.round differs on negative .5).
+      val expScaled = BigDecimal(expected * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(r.getLong(2) == expScaled,
+        s"neighbor ${r.getLong(1)}: pq ${r.getLong(2)} vs reconstructed ${expected}")
+    }
+  }
+
   test("hll profile approximates exact NDV within the declared error") {
     val approx = TextAnalysis.hllProfile(docs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
