@@ -73,7 +73,14 @@ object GraftExtensions {
       one(graft.ops.Multimodal.MediaHeader(_))),
     ("byte_histogram",
       info("byte_histogram", "byte_histogram(bytes) - 16-bin L1-normalized byte histogram"),
-      one(graft.ops.Multimodal.ByteHistogram(_, 16))))
+      one(graft.ops.Multimodal.ByteHistogram(_, 16))),
+    ("l2sq",
+      info("l2sq", "l2sq(a, b) - squared L2 distance of two float/double arrays"),
+      two(L2Sq(_, _))),
+    ("pq_score16",
+      info("pq_score16",
+        "pq_score16(codes, lut) - PQ asymmetric score over 16-centroid subspace LUTs"),
+      two(PqScore(_, _, 16))))
 
   /** Register into an already-built session (idempotent). */
   def registerAll(spark: SparkSession): Unit = {

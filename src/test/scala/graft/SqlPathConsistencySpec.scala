@@ -154,6 +154,9 @@ class SqlPathConsistencySpec extends GraftSuite {
     val cos = viaSql(
       "SELECT round(cosine_sim(embedding, embedding), 4) AS c FROM embeddings ORDER BY vec_id LIMIT 3")
     assert(cos.forall(_.contains("1.0")), cos)
+    val l2 = viaSql(
+      "SELECT round(l2sq(embedding, embedding), 4) AS z FROM embeddings ORDER BY vec_id LIMIT 3")
+    assert(l2.forall(_.contains("0.0")), l2)
     val iss = viaSql(
       """SELECT sorted_intersect_size(sort_array(word_shingles(text)),
         |sort_array(word_shingles(text))) = size(word_shingles(text)) AS ok
