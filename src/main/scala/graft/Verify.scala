@@ -53,6 +53,10 @@ object Verify {
     case c => c.toString
   } + "\""
 
-  private def oracleJson: String = SparkEntry.oracleSql
+  // Shared with graft.Bench, which dumps the (possibly filtered) oracle
+  // set for its same-window DuckDB pairing subprocess.
+  private[graft] def oracleJson: String = oracleJson(_ => true)
+  private[graft] def oracleJson(keep: String => Boolean): String = SparkEntry.oracleSql
+    .filter { case (k, _) => keep(k) }
     .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
 }

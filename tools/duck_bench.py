@@ -26,12 +26,51 @@ NOT_BASELINES = {"d2_minhash_lsh", "d5_dedup_clusters", "d6_dedup_apply",
                  "d9_embedding_dedup", "d10_jaccard_join", "h5_llm_sql_dedup"}
 
 
-def main(sf_dir, oracle_json, out="DUCK_times.json"):
+def connect(sf_dir):
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     con.execute(f"SET threads={os.cpu_count()}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def serve(sf_dir, oracle_json):
+    """Line protocol for graft.Bench's same-window pairing: the Scala bench
+    interleaves its Spark passes with DuckDB passes of the SAME comparable
+    query set in the SAME process lifetime/window, so the emitted ratio is
+    like-for-like by construction (VERDICT r5 next-#1).
+
+    stdin:  "PASS"  -> run every comparable query once, timed;
+                       stdout: one "name<TAB>seconds" line per query
+                       (-1 on failure), then "DONE".
+            "QUIT"  -> exit.
+    The connection (and therefore DuckDB's buffer cache / compiled plans)
+    persists across passes — symmetric with Bench's warm SparkSession.
+    """
+    con = connect(sf_dir)
+    oracle = json.load(open(oracle_json))
+    names = [n for n in sorted(oracle) if n not in NOT_BASELINES]
+    for line in sys.stdin:
+        cmd = line.strip()
+        if cmd == "QUIT" or cmd == "":
+            break
+        if cmd != "PASS":
+            continue
+        for name in names:
+            try:
+                t0 = time.perf_counter()
+                con.sql(oracle[name]).fetchall()
+                dt = time.perf_counter() - t0
+            except Exception as e:
+                print(f"[duck] {name}: FAILED {e}", file=sys.stderr)
+                dt = -1.0
+            print(f"{name}\t{dt:.6f}", flush=True)
+        print("DONE", flush=True)
+
+
+def main(sf_dir, oracle_json, out="DUCK_times.json"):
+    con = connect(sf_dir)
     oracle = json.load(open(oracle_json))
     times = {}
     for name, sql in sorted(oracle.items()):
@@ -61,4 +100,7 @@ def main(sf_dir, oracle_json, out="DUCK_times.json"):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], *sys.argv[3:])
+    if "--serve" in sys.argv:
+        serve(sys.argv[1], sys.argv[2])
+    else:
+        main(sys.argv[1], sys.argv[2], *sys.argv[3:])
