@@ -169,6 +169,15 @@ object PlanAudit {
       "assignment is per-row and ranking a bounded aggregate, not window ranks" ->
         (p => !p.contains("Window") && p.contains("ObjectHashAggregate")))
 
+    val e7 = qs("e7_pq_topk")(spark, sfDir)
+    audit("e7_pq_topk", e7,
+      "PQ encoding is map-only: no shuffle Exchange carries the embedding column" ->
+        (_ => !shuffleCarries(e7, "embedding")),
+      "per-query LUTs broadcast against the coded scan; no cartesian product" ->
+        (p => p.contains("BroadcastExchange") && !p.contains("CartesianProduct")),
+      "ranking is the bounded top-k aggregate, not a window rank" ->
+        (p => !p.contains("Window") && p.contains("ObjectHashAggregate")))
+
     audit("t6_hll_profile", qs("t6_hll_profile")(spark, sfDir),
       "no Expand: one distinct column per pass, HLL over deduplicated pairs" ->
         (p => !p.contains("Expand")),

@@ -20,9 +20,23 @@ object Tables {
   // DataFrame (= logical plan) cache: `spark.read.parquet` does a file
   // listing + footer read per call, ~50 ms of driver latency that r1's
   // bench paid on every query. Plans are immutable; reuse is what a real
-  // catalog does. Keyed per session so tests with fresh sessions work.
+  // catalog does. Keyed per session so tests with fresh sessions work —
+  // and per source SIGNATURE (bytes+mtime, ~µs of stat), so a
+  // regenerated source file in-session gets a fresh plan instead of one
+  // bound to the previous relayout snapshot (ADVICE r5).
   private val dfCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, String), DataFrame]()
+
+  private def sourceSig(dir: String, name: String): String = {
+    val p = java.nio.file.Paths.get(s"$dir/$name.parquet")
+    if (!java.nio.file.Files.exists(p)) "absent"
+    else s"${java.nio.file.Files.size(p)}-${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+  }
+
+  /** Change-detection key for everything derived from `dir`'s tables
+    * (plan caches, registered views): bytes+mtime per table. */
+  def dataSignature(dir: String): String =
+    names.map(n => sourceSig(dir, n)).mkString(",")
 
   // The driver-generated testdata files are written as ONE parquet row
   // group each. Parquet scans split at row-group boundaries, so Spark
@@ -65,15 +79,41 @@ object Tables {
       val dst = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft-relayout",
         s"${Integer.toHexString(dir.hashCode)}-$name-$n-$bytes-${java.lang.Long.toHexString(mtime)}")
-      if (!java.nio.file.Files.exists(dst.resolve("_SUCCESS")))
+      if (!java.nio.file.Files.exists(dst.resolve("_SUCCESS"))) {
+        // Sweep stale siblings of this (dir, table) first: the key embeds
+        // bytes+mtime, so every source regeneration mints a NEW cache dir
+        // and the old ones would otherwise accumulate in tmp for the
+        // machine lifetime (ADVICE r5).
+        val prefix = s"${Integer.toHexString(dir.hashCode)}-$name-"
+        val parent = dst.getParent
+        if (java.nio.file.Files.isDirectory(parent)) {
+          val it = java.nio.file.Files.list(parent)
+          try {
+            it.iterator().forEachRemaining { p =>
+              if (p.getFileName.toString.startsWith(prefix) && p != dst)
+                deleteRecursively(p)
+            }
+          } finally it.close()
+        }
         spark.read.parquet(s"$dir/$name.parquet")
           .repartition(n)
           .write.mode("overwrite").parquet(dst.toString)
+      }
       dst.toString
     }
 
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    if (Files.isDirectory(p)) {
+      val it = Files.list(p)
+      try it.iterator().forEachRemaining((c: Path) => deleteRecursively(c))
+      finally it.close()
+    }
+    try Files.deleteIfExists(p) catch { case _: java.io.IOException => }
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    dfCache.computeIfAbsent((spark, dir, name), _ => {
+    dfCache.computeIfAbsent((spark, dir, name, sourceSig(dir, name)), _ => {
       // Parquet TIMESTAMP(NANOS) (events.ts) is not a Spark type; read it as
       // a ns Long and floor to µs TimestampType — same truncation DuckDB
       // applies (its TIMESTAMP is µs), so oracle comparisons stay aligned.

@@ -55,6 +55,14 @@ object DeclaredOps {
     "e4_quantized_topk" -> ((s, dir) => Similarity.quantizedTopK(emb(s, dir), col("vec_id") < 5)),
     "e5_centroid_assign" -> ((s, dir) => Similarity.centroidAssign(emb(s, dir))),
     "e6_ivf_centroid"  -> ((s, dir) => Similarity.ivfCentroidTopK(emb(s, dir), col("vec_id") < 5)),
+    // PQ with the oracle-expressible label-centroid codebooks (one
+    // supervised Lloyd step — iterative k-means is not SQL-replicable);
+    // encoding + LUT scoring, the arithmetic this row pins, are the
+    // production path unchanged (Similarity.labelPqCodebooks).
+    "e7_pq_topk"       -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pqTopK(e, col("vec_id") < 5, Similarity.labelPqCodebooks(e))
+    }),
     "d11_decontaminate" -> ((s, dir) =>
       Dedup.decontaminate(docs(s, dir), col("doc_id") % 11 === 0)))
 
@@ -260,6 +268,55 @@ object DeclaredOps {
          |    row_number() OVER (PARTITION BY q.query_id ORDER BY $DuckCos DESC, c.vec_id) AS rn
          |  FROM cells c JOIN q USING (cell) WHERE c.vec_id <> q.query_id)
          |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
+    // e7: product quantization with the label-centroid codebooks (e5's
+    // cent CTE, re-ranked to contiguous codes and sliced into 8 subspaces
+    // of 8 dims). Codes: per (vector, subspace) L2-argmin over the
+    // sub-centroids — same double fold (ascending i), ties to the smaller
+    // code, mirroring least(struct(d, code)). Score: per-subspace LUT
+    // dots ⟨query-slice, centroid-slice⟩ summed in subspace-ascending
+    // order (list(l ORDER BY s) → list_sum is the left fold PqScore
+    // runs); round·10⁴ → BIGINT, rank by the rounded integer.
+    "e7_pq_topk" ->
+      """WITH cent AS (
+        |  SELECT label AS clabel, list(m ORDER BY pos) AS c FROM (
+        |    SELECT label, i - 1 AS pos,
+        |      round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+        |            / count(*), 4) + 0 AS m
+        |    FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+        |    GROUP BY label, i)
+        |  GROUP BY label),
+        |cb AS (SELECT row_number() OVER (ORDER BY clabel) - 1 AS code, c FROM cent),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sub AS (SELECT unnest(range(0, 8)) AS s),
+        |dists AS (
+        |  SELECT v.vec_id, sub.s, cb.code,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (v.v[sub.s * 8 + i] - cb.c[sub.s * 8 + i])
+        |         * (v.v[sub.s * 8 + i] - cb.c[sub.s * 8 + i]))) AS dd
+        |  FROM v CROSS JOIN sub CROSS JOIN cb),
+        |codes AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT vec_id, s, code,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dd ASC, code ASC) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
+        |lut AS (
+        |  SELECT q.query_id, sub.s, cb.code,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> q.qv[sub.s * 8 + i] * cb.c[sub.s * 8 + i])) AS ldot
+        |  FROM q CROSS JOIN sub CROSS JOIN cb),
+        |scored AS (
+        |  SELECT l.query_id, c.vec_id AS neighbor_id,
+        |    CAST(round(list_sum(list(l.ldot ORDER BY l.s)) * 10000) AS BIGINT) AS pqdot_x10k
+        |  FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+        |  WHERE c.vec_id <> l.query_id
+        |  GROUP BY l.query_id, c.vec_id)
+        |SELECT query_id, neighbor_id, pqdot_x10k FROM (
+        |  SELECT query_id, neighbor_id, pqdot_x10k,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY pqdot_x10k DESC, neighbor_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
 
     "t1_langid" ->
       """SELECT doc_id, CASE

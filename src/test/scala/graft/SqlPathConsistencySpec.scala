@@ -164,6 +164,28 @@ class SqlPathConsistencySpec extends GraftSuite {
     assert(iss.length == 5 && iss.forall(_.contains("true")), iss)
   }
 
+  test("llm_pq_topk: SQL equals Scala API; coded scan prunes to vec_id+embedding") {
+    query.LlmViews.register(spark, sf)
+    val sql = viaSql(
+      """SELECT query_id, neighbor_id, pqdot_x10k FROM llm_pq_topk
+        |WHERE query_id = 1 ORDER BY pqdot_x10k DESC, neighbor_id""".stripMargin)
+    val emb = graft.core.Tables.load(spark, sf, "embeddings")
+    val api = graft.ops.Similarity
+      .pqTopK(emb, org.apache.spark.sql.functions.col("vec_id") < 5,
+        graft.ops.Similarity.labelPqCodebooks(emb))
+      .where(org.apache.spark.sql.functions.col("query_id") === 1)
+      .collect().map(_.toString).toSeq
+    assert(sql == api)
+    assert(sql.nonEmpty)
+    // The view stores a plan whose codebook is inlined literals: the
+    // embeddings scan under it must read only (vec_id, embedding) —
+    // `label` fed the REGISTRATION-time codebook build, not the query.
+    val plan = spark.table("llm_pq_topk").queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("label"), "label column must not reach the coded scan")
+  }
+
   test("every llm_* view resolves and answers through the SQL path") {
     query.LlmViews.register(spark, sf)
     query.LlmViews.views(spark, sf).foreach { case (name, df) =>
