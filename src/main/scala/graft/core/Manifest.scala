@@ -147,6 +147,13 @@ object Manifest {
   def tableManifestPath(base: Path, writerId: String, table: String): Path =
     tableDir(base, writerId, table).resolve("metadata.json")
 
+  /** Inverse of tableDir's last segment: `<table>-<tableId>` → table.
+    * Lives HERE, next to the layout it inverts, so the naming scheme and
+    * its parser can only change together (ADVICE r5: a regex re-parse at
+    * a call site silently breaks when the layout changes). */
+  def tableOfDirName(dirName: String): String =
+    dirName.replaceAll("-\\d+$", "")
+
   /** In-process per-table lock serializing manifest read-modify-write
     * cycles between the appender's flush and the compactor's swap (the
     * reference's per-type lock, hepop.js:499–505). Cross-process safety

@@ -157,7 +157,14 @@ object Expressions {
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
+      // Unlike cosine (where a truncating fold has a documented contract),
+      // an L2 distance over mismatched lengths is a silent wrong answer —
+      // a malformed embedding or a wrong subvector slice would quietly
+      // rank by a partial distance (ADVICE r5). Fail with the lengths.
+      if (a.numElements() != b.numElements())
+        throw new IllegalArgumentException(
+          s"l2sq: array lengths differ (${a.numElements()} vs ${b.numElements()})")
+      val n = a.numElements()
       var s = 0.0
       var i = 0
       while (i < n) {
@@ -188,11 +195,20 @@ object Expressions {
     override def nullSafeEval(l: Any, r: Any): Any = {
       val c = l.asInstanceOf[ArrayData]
       val t = r.asInstanceOf[ArrayData]
+      val m = c.numElements()
+      // SQL-exposed (pq_score16): bad codes or a short LUT must raise a
+      // descriptive error, not a raw ArrayIndexOutOfBounds (ADVICE r5).
+      if (t.numElements() < m.toLong * k)
+        throw new IllegalArgumentException(
+          s"pq_score: lut has ${t.numElements()} entries, need m*k = ${m * k}")
       var s = 0.0
       var i = 0
-      val m = c.numElements()
       while (i < m) {
-        s += t.getDouble(i * k + c.getInt(i))
+        val code = c.getInt(i)
+        if (code < 0 || code >= k)
+          throw new IllegalArgumentException(
+            s"pq_score: code $code at subspace $i out of range [0, $k)")
+        s += t.getDouble(i * k + code)
         i += 1
       }
       s

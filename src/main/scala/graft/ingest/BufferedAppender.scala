@@ -235,7 +235,7 @@ final class BufferedAppender(
       try dbStream.iterator().asScala.flatMap { db =>
         val ts = Files.list(db)
         try ts.iterator().asScala
-          .map(_.getFileName.toString.replaceAll("-\\d+$", "")).toList
+          .map(p => Manifest.tableOfDirName(p.getFileName.toString)).toList
         finally ts.close()
       }.toList
       finally dbStream.close()
