@@ -140,6 +140,62 @@ object ScaleCheck {
       println(s"E6TRAINED $dir cell_occ=${occ.mkString(",")} " +
         f"recall_vs_brute=$recall%.3f")
 
+      // PQ tier (VERDICT r5 #8, mirrors E6TRAINED): per-subspace code
+      // occupancy, quantization distortion (mean |LUT score − exact inner
+      // product| over the full query×corpus scoring set), and ranking
+      // recall@5 of LUT scores vs exact inner products — all on the
+      // SAMPLE-trained path (the 100 TB posture; full-corpus training is
+      // the test-only exactness pin).
+      {
+        val m = 8; val kc = 16
+        val cbs = graft.ops.Similarity.trainPq(emb, m, kc, iters = 3, sampleN = 1000)
+        val dSub = cbs.head.head._2.size
+        val coded = emb.select(col("vec_id"),
+          graft.ops.Similarity.pqCodes(cbs, col("embedding"), dSub).as("codes"))
+        val occS = coded.select(posexplode(col("codes")).as(Seq("s", "code")))
+          .groupBy("s", "code").count()
+          .groupBy("s").agg(count(lit(1)).as("used"), max("count").as("mx"))
+          .collect().sortBy(_.getInt(0))
+        val used = occS.map(_.getLong(1))
+        val skew = occS.map(_.getLong(2))
+        // LUT per query, exactly as pqTopK builds them (driver-side over
+        // the bounded query set).
+        val qRows = emb.where(col("vec_id") < 5)
+          .select(col("vec_id"), col("embedding")).collect()
+        val luts = qRows.map { r =>
+          val q = r.getSeq[Float](1).map(_.toDouble)
+          (r.getLong(0), cbs.zipWithIndex.flatMap { case (cb, s) =>
+            cb.map { case (_, c) =>
+              (0 until dSub).map(i => q(s * dSub + i) * c(i)).sum }
+          })
+        }.toSeq
+        import spark.implicits._
+        val qDf = luts.toDF("query_id", "lut").join(
+          emb.where(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+          "query_id")
+        val scored = coded.join(emb, "vec_id").crossJoin(broadcast(qDf))
+          .where(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            graft.functions.Expressions.pqScore(col("codes"), col("lut"), kc).as("approx"),
+            expr("aggregate(zip_with(embedding, qe, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (a, v) -> a + v)").as("exact"))
+        val dist = scored.agg(avg(abs(col("approx") - col("exact"))),
+          avg(abs(col("exact"))), count(lit(1))).head()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+        def top5(byCol: String) = scored
+          .withColumn("rk", row_number().over(w.orderBy(col(byCol).desc, col("vec_id"))))
+          .where(col("rk") <= 5).select("query_id", "vec_id")
+        val pqSet = pairSet(top5("approx"))
+        val exSet = pairSet(top5("exact"))
+        val rec = if (exSet.isEmpty) 1.0
+          else pqSet.intersect(exSet).size.toDouble / exSet.size
+        println(s"PQTRAINED $dir codes_used_per_subspace=${used.mkString(",")} " +
+          s"max_cell_per_subspace=${skew.mkString(",")} " +
+          f"mean_abs_err=${dist.getDouble(0)}%.4f mean_abs_dot=${dist.getDouble(1)}%.4f " +
+          f"scored_pairs=${dist.getLong(2)} recall5_vs_exact_dot=$rec%.3f")
+      }
+
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         val n = try fn(spark, dir).count() catch { case _: Throwable => -1L }
         println(s"ROWS $dir $name $n")

@@ -3,11 +3,71 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.PlanExec.column
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Static per-row kernels for the two hottest scan expressions, in a
+  * top-level object so Scala emits STATIC forwarders that generated Java
+  * (Janino) calls directly — the shape `defineCodeGen` needs to keep
+  * WordShingles/Md5WordHashes inside whole-stage codegen instead of
+  * falling back to a row-wrapped boxed eval (VERDICT r5 #4). Semantics
+  * are identical to the former in-expression loops. */
+object ShingleKernels {
+  // One MD5 instance per thread, not per ROW: getInstance is a provider
+  // lookup + allocation, measurable at millions of rows per task.
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private[functions] def md5(): java.security.MessageDigest = {
+    val md = md5Local.get()
+    md.reset()
+    md
+  }
+
+  def wordShingles(input: UTF8String, n: Int): ArrayData = {
+    val words = input.toString.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val set = new java.util.LinkedHashSet[String](words.length * 2)
+    var i = 0
+    while (i <= words.length - n) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      set.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  def md5WordHashes(input: UTF8String): ArrayData = {
+    val words = input.toString.split(" ", -1)
+    val md = md5()
+    val out = new Array[Any](words.length)
+    var i = 0
+    while (i < words.length) {
+      val d = md.digest(words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // First 15 hex chars = top 60 bits: 64-bit BE of bytes 0..7, >>> 4.
+      var v = 0L
+      var j = 0
+      while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      out(i) = v >>> 4
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
 
 /** Custom Catalyst expressions for the hot per-row loops of the LLM-data
   * operators. Spark's higher-order array functions (`transform`/`filter`/
@@ -277,32 +337,17 @@ object Expressions {
   /** Distinct word n-gram shingles of a text column: split on single
     * spaces (trailing empties kept, same token list as split(text, ' ')
     * and DuckDB string_split), join each n consecutive tokens with ' '.
-    * Output order is irrelevant to every consumer (set ops / min-fold). */
-  case class WordShingles(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+    * Output order is irrelevant to every consumer (set ops / min-fold).
+    *
+    * Participates in whole-stage codegen (VERDICT r5 #4): doGenCode emits
+    * a direct static call into ShingleKernels — no CodegenFallback row
+    * wrapper / boxed eval in the d2/d7/d10/d11 scan stages. */
+  case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
-      if (words.length < n) return new GenericArrayData(Array.empty[Any])
-      val set = new java.util.LinkedHashSet[String](words.length * 2)
-      var i = 0
-      while (i <= words.length - n) {
-        val sb = new java.lang.StringBuilder
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(words(i + j))
-          j += 1
-        }
-        set.add(sb.toString)
-        i += 1
-      }
-      val out = new Array[Any](set.size)
-      val it = set.iterator()
-      var k = 0
-      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      ShingleKernels.wordShingles(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.wordShingles($c, $n)")
     override protected def withNewChildInternal(newChild: Expression): WordShingles =
       copy(child = newChild)
   }
@@ -310,27 +355,14 @@ object Expressions {
   /** Per-word portable 60-bit hash: the integer value of the first 15 hex
     * chars of md5(word) — exactly CAST(conv(substring(md5(w),1,15),16,10)
     * AS BIGINT) / DuckDB CAST('0x'||substr(md5(w),1,15) AS UBIGINT), i.e.
-    * the top 60 bits of the digest. One digest per word, no lambda. */
-  case class Md5WordHashes(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+    * the top 60 bits of the digest. One digest per word, no lambda.
+    * Codegen-native like WordShingles (same static-kernel pattern). */
+  case class Md5WordHashes(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val out = new Array[Any](words.length)
-      var i = 0
-      while (i < words.length) {
-        md.reset()
-        val d = md.digest(words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        // First 15 hex chars = top 60 bits: 64-bit BE of bytes 0..7, >>> 4.
-        var v = 0L
-        var j = 0
-        while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
-        out(i) = v >>> 4
-        i += 1
-      }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      ShingleKernels.md5WordHashes(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.md5WordHashes($c)")
     override protected def withNewChildInternal(newChild: Expression): Md5WordHashes =
       copy(child = newChild)
   }
@@ -356,11 +388,10 @@ object Expressions {
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val md = ShingleKernels.md5() // thread-local, not per-row getInstance
       val sig = Array.fill(numHashes)(Long.MaxValue)
       var i = 0
       while (i < n) {
-        md.reset()
         val d = md.digest(arr.getUTF8String(i).toString
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         var v = 0L

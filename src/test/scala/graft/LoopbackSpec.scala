@@ -149,6 +149,79 @@ class LoopbackSpec extends GraftSuite {
     } finally api.stop()
   }
 
+  test("two concurrent writers with distinct ids fan in exactly at query time") {
+    // The reference fans in every writer dir at query time (query.js:24–26);
+    // here two INDEPENDENT appenders — distinct writer ids, so distinct
+    // manifests and file trees under one base — ingest the same table
+    // concurrently while queries run against the union.
+    val base = Files.createTempDirectory("graft-multiwriter")
+    val wa = new BufferedAppender(spark, base, bufferSize = 25, writerId = "writerA")
+    val wb = new BufferedAppender(spark, base, bufferSize = 25, writerId = "writerB")
+    val qs = new QueryService(spark, new Storage(base))
+    val t0 = System.currentTimeMillis() - 60000
+    val perWriter = 250
+    @volatile var err: Option[Throwable] = None
+    def runWriter(app: BufferedAppender, idOffset: Int, name: String): Thread =
+      new Thread(() => try {
+        (0 until perWriter).foreach { i =>
+          val n = idOffset + i
+          app.addLinePoints(Seq(LineProtocol.parse(
+            s"mw,src=$name v=$n.0 ${(t0 + i * 10) * 1000000}").get))
+          // Flush every 25 rows -> many manifest swaps racing the reader
+          // and the sibling writer (each holds only its OWN table lock).
+          if (i % 25 == 24) app.flushAll()
+        }
+        app.flushAll()
+      } catch { case t: Throwable => err = Some(t) }, name)
+    val ta = runWriter(wa, 0, "wa")
+    val tb = runWriter(wb, 100000, "wb")
+    val startIso = java.time.Instant.ofEpochMilli(t0).toString
+      .replace("T", " ").dropRight(1)
+    ta.start(); tb.start()
+    // Reads during ingest: the two-writer union is append-only and each
+    // writer's manifest swap is atomic, so counts never go backwards.
+    var last = 0L
+    while (ta.isAlive || tb.isAlive) {
+      try {
+        val n = qs.execute(
+          s"SELECT count() AS c FROM mw WHERE time >= '$startIso'")
+          .collect()(0).getLong(0)
+        assert(n >= last, s"union count went backwards: $last -> $n")
+        last = n
+      } catch { case _: Exception => // table not yet flushed by either writer
+        assert(last == 0L)
+      }
+    }
+    ta.join(); tb.join()
+    err.foreach(throw _)
+
+    // Exact totals: global union and per-writer slices (v encodes the
+    // writer id range, so cross-writer file mixups would show up here).
+    val total = qs.execute(
+      s"SELECT count() AS c FROM mw WHERE time >= '$startIso'")
+      .collect()(0).getLong(0)
+    assert(total == 2L * perWriter, s"union total $total")
+    val bOnly = qs.execute(
+      s"SELECT count() AS c FROM mw WHERE v >= 100000 AND time >= '$startIso'")
+      .collect()(0).getLong(0)
+    assert(bOnly == perWriter.toLong, s"writerB slice $bOnly")
+
+    // Manifest integrity per writer: counts add up, every listed file
+    // exists, and neither manifest references the other writer's tree.
+    Seq("writerA", "writerB").foreach { wid =>
+      val m = Manifest.loadTable(Manifest.tableManifestPath(base, wid, "mw"))
+        .getOrElse(fail(s"missing manifest for $wid"))
+      assert(m.row_count == perWriter.toLong, s"$wid row_count ${m.row_count}")
+      assert(m.files.map(_.row_count).sum == perWriter.toLong, s"$wid file rows")
+      // Manifest file paths are BASE-relative (pruneFiles resolves them
+      // against baseDir), and must stay inside this writer's own tree.
+      m.files.foreach { f =>
+        assert(Files.exists(base.resolve(f.path)), s"$wid lost file ${f.path}")
+        assert(f.path.startsWith(s"$wid/"), s"$wid manifest leaked ${f.path}")
+      }
+    }
+  }
+
   test("HTTP /query materialization is bounded: row cap + in-band truncation flag") {
     val base = Files.createTempDirectory("graft-cap")
     val appender = new BufferedAppender(spark, base, bufferSize = 1000)
