@@ -183,13 +183,20 @@ object Bench {
     val ratio = if (duckTotal > 0) sparkComp / duckTotal else -1.0
     val djson = duckMed.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+    // Field ORDER is load-bearing: the driver records only the TAIL of
+    // stdout (every BENCH_r*.json so far has "parsed": null and a ~2 kB
+    // tail with the FRONT of this line cut off), so the per-query maps go
+    // first and every scalar that grades the run — value, value_min, the
+    // same-window duck pairing, ratio, window quality, canary — goes at
+    // the very end of the line where the tail always preserves it.
     val pair =
       if (duckMed.isEmpty)
         f""""duck_total":null,"ratio":null,"window":"$window","d10_canary_min":$canaryMin%.4f"""
       else
-        f""""spark_comparable":$sparkComp%.4f,"spark_comparable_min":$sparkCompMin%.4f,"duck_total":$duckTotal%.4f,"duck_n":${duckMed.size},"ratio":$ratio%.4f,"window":"$window","d10_canary_min":$canaryMin%.4f,"duck_queries":$djson"""
+        f""""spark_comparable":$sparkComp%.4f,"spark_comparable_min":$sparkCompMin%.4f,"duck_total":$duckTotal%.4f,"duck_n":${duckMed.size},"ratio":$ratio%.4f,"window":"$window","d10_canary_min":$canaryMin%.4f"""
+    val duckQ = if (duckMed.isEmpty) "" else s""""duck_queries":$djson,"""
     val line =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","value_min":$totalMin%.4f,$pair,"queries":$qjson,"errors":$ejson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","queries":$qjson,$duckQ"errors":$ejson,"sf":"$sfDir","unit":"sec","value":$total%.4f,"value_min":$totalMin%.4f,$pair}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try Files.writeString(Paths.get(out), line + "\n")

@@ -50,6 +50,7 @@ object DeclaredOps {
     "s2_stratified_sample" -> ((s, dir) => Sampling.stratifiedCounts(docs(s, dir))),
     "s3_pergroup_sample" -> ((s, dir) => Sampling.perGroupSample(docs(s, dir))),
     "s4_sequence_pack" -> ((s, dir) => Sampling.sequencePack(docs(s, dir))),
+    "s5_cluster_split" -> ((s, dir) => Sampling.clusterSafeSplit(docs(s, dir))),
     "d10_jaccard_join" -> ((s, dir) => Dedup.jaccardJoin(docs(s, dir))),
     "t11_chunk_dedup"  -> ((s, dir) => Dedup.chunkDedup(docs(s, dir))),
     "e4_quantized_topk" -> ((s, dir) => Similarity.quantizedTopK(emb(s, dir), col("vec_id") < 5)),
@@ -492,6 +493,34 @@ object DeclaredOps {
         |  CAST(sum(ntok) AS BIGINT) AS toks,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // s5: ground-truth clusters via the same recursive closure as d5,
+    // every doc labeled with its cluster representative (itself when
+    // unclustered), split derived from the representative's hash bucket;
+    // `moved` compares the doc's own band with its root's band.
+    "s5_cluster_split" ->
+      s"""${ShingleCte.replace("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         |edges AS (SELECT da AS a, db AS b FROM pairs UNION ALL SELECT db, da FROM pairs),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+         |lab AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS root
+         |        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id),
+         |pm AS (SELECT doc_id, root,
+         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS UBIGINT) % 1000 AS pd,
+         |  CAST(concat('0x', substr(md5(CAST(root AS VARCHAR)), 1, 4)) AS UBIGINT) % 1000 AS pr
+         |  FROM lab)
+         |SELECT CASE WHEN pr < 800 THEN 'train' WHEN pr < 900 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, count(DISTINCT root) AS n_groups,
+         |  count(CASE WHEN (CASE WHEN pd < 800 THEN 0 WHEN pd < 900 THEN 1 ELSE 2 END)
+         |          <> (CASE WHEN pr < 800 THEN 0 WHEN pr < 900 THEN 1 ELSE 2 END) THEN 1 END) AS n_moved
+         |FROM pm GROUP BY 1 ORDER BY split""".stripMargin,
 
     // d8: re-derive the xor-MinHash sketch exactly — md5-60-bit shingle
     // hash (the same integer as d3/t4's word hash), per-k xor constants

@@ -135,4 +135,37 @@ object Sampling {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .orderAgg("bin")
   }
+
+  /** Leakage-safe train/val/test split: every member of a near-duplicate
+    * CLUSTER is assigned the split of its cluster representative (min
+    * doc_id), so near-copies of one document can never straddle the
+    * train/test boundary — the contamination mode a plain per-doc hash
+    * split ([[hashSplit]]) cannot prevent. Reported per split: doc count,
+    * distinct group count, and how many docs the cluster-awareness MOVED
+    * relative to the naive per-doc assignment.
+    *
+    * Scale: cluster labels come from [[Dedup.nearDupClusters]] (LSH
+    * candidates → exact verify → connected components) and are a
+    * few-percent-of-corpus artifact — only CLUSTERED docs carry a label
+    * row. The corpus joins them once on doc_id (Catalyst broadcasts
+    * while the label table is small; at a scale where dup clusters are
+    * corpus-sized it degrades to a plain key-partitioned equi-join, which
+    * is the correct plan there), then one map-side-combined aggregate on
+    * a 3-row key space. The split stays a pure function of
+    * (root id, group sizes): reproducible across runs, engines, retries.
+    */
+  def clusterSafeSplit(docs: DataFrame): DataFrame = {
+    val labels = Dedup.nearDupClusters(docs)
+    val root = coalesce(col("cluster"), col("doc_id"))
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), root.as("root"))
+      .select(splitOf(col("root")).as("split"), col("root"),
+        (splitOf(col("doc_id")) =!= splitOf(col("root"))).as("moved"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("root")).as("n_groups"),
+        count(when(col("moved"), 1)).as("n_moved"))
+      .orderAgg("split")
+  }
 }

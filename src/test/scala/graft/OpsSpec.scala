@@ -369,6 +369,29 @@ class OpsSpec extends GraftSuite {
     assert(graft.ops.Sampling.hashSplit(docs).collect().toSeq == out.toSeq)
   }
 
+  test("cluster-safe split pins every near-dup cluster to its root's split") {
+    val out = graft.ops.Sampling.clusterSafeSplit(docs).collect()
+    assert(out.map(_.getLong(1)).sum == docs.count(), "split is exhaustive")
+    // Independent recomputation: JDK MessageDigest md5 band per id (vs the
+    // engine's Catalyst md5), labels from the cluster op — n_moved must
+    // equal the count of clustered docs whose own band differs from their
+    // root's, and it must be nonzero (a straddling cluster exists in the
+    // planted data, so the cluster-awareness is genuinely exercised).
+    def band(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      val b = Integer.parseInt(hex, 16) % 1000
+      if (b < 800) 0 else if (b < 900) 1 else 2
+    }
+    val labels = Dedup.nearDupClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val movedExpected = labels.count { case (d, c) => band(d) != band(c) }
+    assert(movedExpected > 0, "planted dups must include a band-straddling cluster")
+    assert(out.map(_.getLong(3)).sum == movedExpected,
+      "n_moved must equal the independently recomputed straddle count")
+  }
+
   test("bernoulli sample is a deterministic subset at about the asked rate") {
     val ids = graft.ops.Sampling.bernoulliSample(docs, col("doc_id"), 200)
       .select("doc_id").collect().map(_.getLong(0)).toSet

@@ -23,7 +23,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 NOT_BASELINES = {"d2_minhash_lsh", "d5_dedup_clusters", "d6_dedup_apply",
-                 "d9_embedding_dedup", "d10_jaccard_join", "h5_llm_sql_dedup"}
+                 "d9_embedding_dedup", "d10_jaccard_join", "h5_llm_sql_dedup",
+                 "s5_cluster_split"}
 
 
 def connect(sf_dir):
