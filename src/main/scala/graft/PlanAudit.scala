@@ -178,6 +178,23 @@ object PlanAudit {
       "ranking is the bounded top-k aggregate, not a window rank" ->
         (p => !p.contains("Window") && p.contains("ObjectHashAggregate")))
 
+    audit("e8_knn_graph", qs("e8_knn_graph")(spark, sfDir),
+      "pairs form only inside sign-bit cells, never all-pairs" ->
+        (p => !p.contains("CartesianProduct")),
+      "ranking is the bounded top-k aggregate, not a corpus-wide window rank" ->
+        (p => !p.contains("Window") && p.contains("ObjectHashAggregate")))
+
+    // At test scale the corpus side fits the broadcast threshold; the
+    // 100 TB plan is the SHUFFLE regime, so force it and assert the true
+    // self-join collapses to ONE corpus shuffle (round-4 lesson: plan
+    // shapes flip with size — audit the regime the claim is about).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    audit("e8_knn_graph (forced shuffle regime)", qs("e8_knn_graph")(spark, sfDir),
+      "cell self-join reuses one exchange (corpus shuffled once on the cell id)" ->
+        (_.contains("ReusedExchange")),
+      "still no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+
     audit("t6_hll_profile", qs("t6_hll_profile")(spark, sfDir),
       "no Expand: one distinct column per pass, HLL over deduplicated pairs" ->
         (p => !p.contains("Expand")),

@@ -64,6 +64,7 @@ object DeclaredOps {
       val e = emb(s, dir)
       Similarity.pqTopK(e, col("vec_id") < 5, Similarity.labelPqCodebooks(e))
     }),
+    "e8_knn_graph"     -> ((s, dir) => Similarity.knnGraph(emb(s, dir))),
     "d11_decontaminate" -> ((s, dir) =>
       Dedup.decontaminate(docs(s, dir), col("doc_id") % 11 === 0)))
 
@@ -200,6 +201,21 @@ object DeclaredOps {
          |    row_number() OVER (PARTITION BY q.query_id ORDER BY $DuckCos DESC, c.vec_id) AS rn
          |  FROM cells c JOIN q USING (cell) WHERE c.vec_id <> q.query_id)
          |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
+    // e8: same cell CTE and ranking as e2, but every vector is a query —
+    // the cell-restricted KNN graph is the declared (deterministic)
+    // operator on both sides, so the join shape matches exactly.
+    "e8_knn_graph" ->
+      s"""WITH cells AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  list_sum(list_transform(range(0, 4),
+         |    i -> CASE WHEN embedding[i + 1] >= 0 THEN (1 << (3 - i)) ELSE 0 END)) AS cell
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv, cell FROM cells)
+         |SELECT query_id, neighbor_id, cos_x10k FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id, $DuckCos AS cos_x10k,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY $DuckCos DESC, c.vec_id) AS rn
+         |  FROM cells c JOIN q USING (cell) WHERE c.vec_id <> q.query_id)
+         |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
 
     "e3_label_centroids" ->
       """SELECT label, i - 1 AS pos,

@@ -506,6 +506,35 @@ object Similarity {
       .orderSmall("vec_a", "vec_b")
   }
 
+  /** Cell-restricted KNN graph — every vector's k nearest neighbors among
+    * the vectors sharing its deterministic sign-bit cell (the SemDeDup /
+    * semantic-dedup building block: the all-vectors analogue of e1's
+    * bounded-query top-k). The cell restriction IS the declared operator
+    * (both engines compute the identical deterministic approximation —
+    * hash-equal by construction); recall against brute force is a
+    * measured ScaleCheck property, not a correctness one.
+    *
+    * Scale: one shuffle on the cell id co-locates each cell, pairs form
+    * only inside cells (equi-join, never all-pairs), and ranking is the
+    * bounded top-k aggregate — compute is Σ|cell|² ≈ N·|cell| and state
+    * is O(N·k). `bits` is the scale knob: it grows with log N (4 at test
+    * scale, ~20 ⇒ 1 M cells at 100 TB) to hold |cell| roughly constant,
+    * exactly how a coarse IVF quantizer's cell count scales. */
+  def knnGraph(emb: DataFrame, k: Int = 3, bits: Int = 4): DataFrame = {
+    // TRUE self-join (identical projection on both sides, renames only
+    // after the join) so the two cell exchanges canonicalize to one and
+    // the corpus is shuffled ONCE on the cell id (ReusedExchange —
+    // PlanAudit-asserted; d2's band-join discipline).
+    val cells = emb.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), bits).as("cell"))
+    val scored = cells.as("q").join(cells.as("c"),
+        col("q.cell") === col("c.cell"))
+      .where(col("c.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor"),
+        round(cosine(col("c.embedding"), col("q.embedding")) * 10000, 0).as("cos"))
+    rankTopKScaled(scored, "neighbor", k, "cos_x10k")
+  }
+
   /** Symmetric int8 quantization of a float-vector column: round(x·127)
     * clamped to [-127, 127]. Deterministic (half-away-from-zero in both
     * engines), so quantized scores are exact integers — no float-order

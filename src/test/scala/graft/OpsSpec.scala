@@ -97,6 +97,33 @@ class OpsSpec extends GraftSuite {
     assert(brute.nonEmpty)
   }
 
+  test("knn graph is exact within cells and never all-pairs") {
+    val df = Similarity.knnGraph(emb)
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "pairs must form only inside sign-bit cells")
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // Local ground truth: same cell function, same sequential fold, same
+    // half-up rounding — the whole output set must match exactly.
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cellOf(v: Array[Double]): Int =
+      (0 until 4).map(i => if (v(i) >= 0) 1 << (3 - i) else 0).sum
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def x10k(c: Double): Long = BigDecimal(c * 10000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val byCell = vecs.groupBy { case (_, v) => cellOf(v) }
+    val expected = vecs.flatMap { case (id, v) =>
+      byCell(cellOf(v)).filter(_._1 != id)
+        .map { case (nid, nv) => (id, nid, x10k(cos(v, nv))) }
+        .sortBy { case (_, nid, c) => (-c, nid) }.take(3)
+    }.toSet
+    assert(out == expected, "cell-restricted top-3 must match the local recomputation")
+  }
+
   test("text analysis columns are consistent") {
     val q = TextAnalysis.quality(docs).collect()
     q.foreach { r =>
