@@ -196,6 +196,34 @@ object ScaleCheck {
           f"scored_pairs=${dist.getLong(2)} recall5_vs_exact_dot=$rec%.3f")
       }
 
+      // e8: recall of the cell-restricted KNN graph vs the brute-force
+      // graph over ALL vectors (the declared operator is the restricted
+      // one — this measures what the restriction costs on this corpus).
+      // Brute force computed driver-side: check-scale corpora only.
+      {
+        val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+        def cosL(a: Array[Double], b: Array[Double]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+          }
+          dot / (math.sqrt(na) * math.sqrt(nb))
+        }
+        val brute = vecs.flatMap { case (id, v) =>
+          vecs.view.filter(_._1 != id)
+            .map { case (nid, nv) => (nid, cosL(v, nv)) }
+            .toSeq.sortBy { case (nid, c) => (-c, nid) }.take(3)
+            .map { case (nid, _) => (id, nid) }
+        }.toSet
+        val g = pairSet(graft.ops.Similarity.knnGraph(emb)
+          .select("query_id", "neighbor_id"))
+        val rec = if (brute.isEmpty) 1.0
+          else g.intersect(brute).size.toDouble / brute.size
+        println(f"E8KNN $dir vecs=${vecs.length} graph_edges=${g.size} " +
+          f"recall3_vs_brute=$rec%.3f")
+      }
+
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         val n = try fn(spark, dir).count() catch { case _: Throwable => -1L }
         println(s"ROWS $dir $name $n")
