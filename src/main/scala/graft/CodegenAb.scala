@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Same-window A/B for the codegen-native shingle/hash kernels
+  * (VERDICT r5 #4): one JVM, one SparkSession, passes ALTERNATING
+  * between native doGenCode and the CodegenFallback emitter (the
+  * `graft.kernel.codegen` system property, read at codegen time), so
+  * both modes sample the same minutes of host time — the only
+  * measurement this host's bursty noise admits (see Bench).
+  *
+  * Covers the five queries whose scans evaluate WordShingles /
+  * Md5WordHashes. Run: sbt "runMain graft.CodegenAb [sfDir [passes]]".
+  */
+object CodegenAb {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val passes = args.lift(1).map(_.toInt).getOrElse(5)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val names = Seq("d2_minhash_lsh", "d7_source_overlap", "d10_jaccard_join",
+      "d11_decontaminate", "t10_tfidf_topk")
+    val qs = names.map(n => n -> SparkEntry.queries(n))
+    val modes = Seq("native", "interpreted")
+    def setMode(m: String): Unit =
+      if (m == "interpreted") sys.props("graft.kernel.codegen") = "interpreted"
+      else sys.props.remove("graft.kernel.codegen")
+
+    // Warm both modes (codegen cache + file caches) outside measurement.
+    modes.foreach { m =>
+      setMode(m)
+      qs.foreach { case (_, fn) =>
+        try fn(spark, sfDir).collect() catch { case _: Throwable => }
+      }
+    }
+    System.gc(); Thread.sleep(2000)
+
+    val samples = scala.collection.mutable.Map
+      .empty[(String, String), scala.collection.mutable.ArrayBuffer[Double]]
+    for (_ <- 1 to passes; m <- modes) {
+      setMode(m)
+      qs.foreach { case (name, fn) =>
+        System.gc()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).collect()
+        samples.getOrElseUpdate((name, m),
+          scala.collection.mutable.ArrayBuffer.empty) += (System.nanoTime() - t0) / 1e9
+      }
+    }
+    setMode("native")
+
+    def med(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
+    var totN = 0.0; var totI = 0.0
+    names.foreach { n =>
+      val a = samples((n, "native")).toSeq
+      val b = samples((n, "interpreted")).toSeq
+      totN += med(a); totI += med(b)
+      println(f"AB $n native_med=${med(a)}%.3f (min ${a.min}%.3f) " +
+        f"interp_med=${med(b)}%.3f (min ${b.min}%.3f) " +
+        f"speedup=${med(b) / med(a)}%.3f")
+    }
+    val canary = samples(("d10_jaccard_join", "native")).min
+    println(f"AB TOTAL native=$totN%.3f interpreted=$totI%.3f " +
+      f"speedup=${totI / totN}%.3f d10_canary_min=$canary%.3f " +
+      f"window=${if (canary <= 1.5) "ok" else "degraded"}")
+    spark.stop()
+  }
+}

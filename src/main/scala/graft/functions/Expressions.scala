@@ -352,6 +352,36 @@ object Expressions {
       copy(child = newChild)
   }
 
+  /** The pre-r6 CodegenFallback variants, constructible ONLY via the
+    * `graft.kernel.codegen=interpreted` system property (CodegenAb's
+    * same-window A/B lever): mixing in CodegenFallback is what ejects a
+    * stage from whole-stage codegen (CollapseCodegenStages tests the
+    * TRAIT, not doGenCode), so a faithful before/after needs the twin
+    * class, not a runtime branch inside the native one. */
+  case class WordShinglesFallback(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      ShingleKernels.wordShingles(input.asInstanceOf[UTF8String], n)
+    override protected def withNewChildInternal(newChild: Expression): WordShinglesFallback =
+      copy(child = newChild)
+  }
+
+  /** See WordShinglesFallback. */
+  case class Md5WordHashesFallback(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      ShingleKernels.md5WordHashes(input.asInstanceOf[UTF8String])
+    override protected def withNewChildInternal(newChild: Expression): Md5WordHashesFallback =
+      copy(child = newChild)
+  }
+
+  /** A/B lever (CodegenAb): checked when the expression is CONSTRUCTED,
+    * so flipping it between passes re-plans with the other class. */
+  private def kernelCodegenInterpreted: Boolean =
+    sys.props.get("graft.kernel.codegen").contains("interpreted")
+
   /** Per-word portable 60-bit hash: the integer value of the first 15 hex
     * chars of md5(word) — exactly CAST(conv(substring(md5(w),1,15),16,10)
     * AS BIGINT) / DuckDB CAST('0x'||substr(md5(w),1,15) AS UBIGINT), i.e.
@@ -537,8 +567,12 @@ object Expressions {
   def jaccardSim(a: Column, b: Column): Column = column(JaccardSim(expression(a), expression(b)))
   def sortedIntersectSize(a: Column, b: Column): Column =
     column(SortedIntersectSize(expression(a), expression(b)))
-  def wordShingles(c: Column, n: Int = 3): Column = column(WordShingles(expression(c), n))
-  def md5WordHashes(c: Column): Column = column(Md5WordHashes(expression(c)))
+  def wordShingles(c: Column, n: Int = 3): Column =
+    column(if (kernelCodegenInterpreted) WordShinglesFallback(expression(c), n)
+           else WordShingles(expression(c), n))
+  def md5WordHashes(c: Column): Column =
+    column(if (kernelCodegenInterpreted) Md5WordHashesFallback(expression(c))
+           else Md5WordHashes(expression(c)))
   def rollingFp(c: Column): Column = column(RollingFp(expression(c)))
   def countWordsIn(c: Column, words: Seq[String]): Column =
     column(CountWordsIn(expression(c), words))
