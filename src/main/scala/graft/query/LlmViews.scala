@@ -55,7 +55,10 @@ object LlmViews {
       // the parquet scan under the coded projection (asserted in
       // SqlPathConsistencySpec).
       "llm_pq_topk" -> Similarity.pqTopK(emb, col("vec_id") < 5,
-        Similarity.labelPqCodebooks(emb)))
+        Similarity.labelPqCodebooks(emb)),
+      // Bounded-output graph/split reports (canonical order kept).
+      "llm_knn_graph" -> Similarity.knnGraph(emb),
+      "llm_cluster_split" -> graft.ops.Sampling.clusterSafeSplit(docs))
   }
 
   // One registration per session PER CURRENT (dir, data signature): view

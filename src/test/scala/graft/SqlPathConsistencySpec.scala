@@ -186,6 +186,19 @@ class SqlPathConsistencySpec extends GraftSuite {
     assert(!plan.contains("label"), "label column must not reach the coded scan")
   }
 
+  test("llm_knn_graph: SQL equals Scala API under a pushed predicate") {
+    query.LlmViews.register(spark, sf)
+    val sql = viaSql(
+      """SELECT query_id, neighbor_id, cos_x10k FROM llm_knn_graph
+        |WHERE query_id = 7 ORDER BY cos_x10k DESC, neighbor_id""".stripMargin)
+    val api = graft.ops.Similarity
+      .knnGraph(graft.core.Tables.load(spark, sf, "embeddings"))
+      .where(org.apache.spark.sql.functions.col("query_id") === 7)
+      .collect().map(_.toString).toSeq
+    assert(sql == api)
+    assert(sql.nonEmpty)
+  }
+
   test("every llm_* view resolves and answers through the SQL path") {
     query.LlmViews.register(spark, sf)
     query.LlmViews.views(spark, sf).foreach { case (name, df) =>
