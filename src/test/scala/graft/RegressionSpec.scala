@@ -453,4 +453,21 @@ class RegressionSpec extends GraftSuite {
     assert(df.count() == 2)
     assert(df.where("v IS NULL").count() == 1)
   }
+
+  // --- VERDICT r6 wrong-#4: dfCache must evict superseded signatures ---
+
+  test("Tables.load drops the old plan when a source file is regenerated") {
+    val dir = Files.createTempDirectory("graft-dfcache").toString
+    import spark.implicits._
+    Seq((1L, "one")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(graft.core.Tables.load(spark, dir, "documents").count() == 1)
+    assert(graft.core.Tables.cachedPlans(spark, dir, "documents") == 1)
+    Thread.sleep(20) // ensure a distinct directory mtime
+    Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // New signature serves the fresh rows AND supersedes the stale entry.
+    assert(graft.core.Tables.load(spark, dir, "documents").count() == 2)
+    assert(graft.core.Tables.cachedPlans(spark, dir, "documents") == 1)
+  }
 }
