@@ -125,13 +125,15 @@ object Bench {
     for (_ <- 1 to passes) { sparkPass(); duckPass() }
 
     // Canary gate: d10_jaccard_join is the established window-quality
-    // probe (~1.1 s quiet, 2–4 s degraded — wide stages straggle under a
-    // core-stealing neighbor while 1-thread probes stay flat). If its MIN
-    // never reached quiet territory, the whole window is suspect: take up
+    // probe (~1.05 s quiet after the round-7 candidate-pipeline cuts,
+    // 2–4 s degraded — wide stages straggle under a core-stealing
+    // neighbor while 1-thread probes stay flat). If its MIN never
+    // reached quiet territory, the whole window is suspect: take up
     // to two extra interleaved pass pairs hoping to catch a quiet burst,
-    // and flag the artifact either way.
+    // and flag the artifact either way. (Threshold retightened from the
+    // pre-cut 1.5 so "ok" keeps meaning the same degradation headroom.)
     val canaryQ = "d10_jaccard_join"
-    val canaryMax = sys.env.getOrElse("SPARK_GRAFT_CANARY", "1.5").toDouble
+    val canaryMax = sys.env.getOrElse("SPARK_GRAFT_CANARY", "1.3").toDouble
     def canaryMin: Double =
       samples.get(canaryQ).filter(_.nonEmpty).map(_.min).getOrElse(-1.0)
     var extra = 0

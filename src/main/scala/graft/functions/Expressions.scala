@@ -69,6 +69,109 @@ object ShingleKernels {
   }
 }
 
+/** Static per-row kernels for the vector-scoring expressions (cosine,
+  * L2², PQ score/encode) — same top-level-object shape as ShingleKernels
+  * so Janino-generated code calls them directly and the scoring loops of
+  * e1/e2/e6/e7/e8/d9 stay inside whole-stage codegen instead of a
+  * row-wrapped interpreted eval (VERDICT r6 #3: e7's LUT adds ran
+  * through CodegenFallback, breaking the coded scan's codegen span).
+  * Arithmetic is IDENTICAL to the former in-expression loops: sequential
+  * element-order folds, per-side float→double widening. */
+object VectorKernels {
+  def cosineSim(a: ArrayData, b: ArrayData, aDouble: Boolean, bDouble: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def l2sq(a: ArrayData, b: ArrayData, aDouble: Boolean, bDouble: Boolean): Double = {
+    // Unlike cosine (where a truncating fold has a documented contract),
+    // an L2 distance over mismatched lengths is a silent wrong answer —
+    // a malformed embedding or a wrong subvector slice would quietly
+    // rank by a partial distance (ADVICE r5). Fail with the lengths.
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"l2sq: array lengths differ (${a.numElements()} vs ${b.numElements()})")
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
+      val d = x - y
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  def pqScore(c: ArrayData, t: ArrayData, k: Int): Double = {
+    val m = c.numElements()
+    // SQL-exposed (pq_score16): bad codes or a short LUT must raise a
+    // descriptive error, not a raw ArrayIndexOutOfBounds (ADVICE r5).
+    if (t.numElements() < m.toLong * k)
+      throw new IllegalArgumentException(
+        s"pq_score: lut has ${t.numElements()} entries, need m*k = ${m * k}")
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      val code = c.getInt(i)
+      if (code < 0 || code >= k)
+        throw new IllegalArgumentException(
+          s"pq_score: code $code at subspace $i out of range [0, $k)")
+      s += t.getDouble(i * k + code)
+      i += 1
+    }
+    s
+  }
+
+  /** All m PQ codes of one vector in a single pass: for subspace s the
+    * code whose centroid minimizes the squared L2 distance to the
+    * subvector, ties to the SMALLER code — exactly the
+    * least(struct(l2sq(slice(v)), code)) tree this kernel replaces (the
+    * per-centroid distance is the same element-order fold as [[l2sq]];
+    * Double.compare orders NaN greatest, matching Spark's struct
+    * ordering). `cb` is the flattened [subspace][code][dim] centroid
+    * table, `codes` the code VALUE per (subspace, rank) slot. */
+  def pqEncode(v: ArrayData, cb: Array[Double], codes: Array[Int],
+      m: Int, kc: Int, vDouble: Boolean): ArrayData = {
+    val d = cb.length / (m * kc)
+    if (v.numElements() != m * d)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector has ${v.numElements()} dims, codebook expects ${m * d}")
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      var bestD = Double.PositiveInfinity
+      var bestI = 0
+      var c = 0
+      while (c < kc) {
+        val base = (s * kc + c) * d
+        var dist = 0.0
+        var i = 0
+        while (i < d) {
+          val x = if (vDouble) v.getDouble(s * d + i) else v.getFloat(s * d + i).toDouble
+          val diff = x - cb(base + i)
+          dist += diff * diff
+          i += 1
+        }
+        if (java.lang.Double.compare(dist, bestD) < 0) { bestD = dist; bestI = c }
+        c += 1
+      }
+      out(s) = codes(s * kc + bestI)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Custom Catalyst expressions for the hot per-row loops of the LLM-data
   * operators. Spark's higher-order array functions (`transform`/`filter`/
   * `aggregate`) evaluate their lambdas interpreted, one virtual call per
@@ -176,7 +279,7 @@ object Expressions {
     * a float corpus column score against double centroids without an
     * interpreted higher-order lambda in the hot loop. */
   case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     private def isDouble(e: Expression): Boolean = e.dataType match {
       case ArrayType(DoubleType, _) => true
@@ -184,20 +287,12 @@ object Expressions {
     }
     private lazy val leftDouble = isDouble(left)
     private lazy val rightDouble = isDouble(right)
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]
-      val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < n) {
-        val x = if (leftDouble) a.getDouble(i) else a.getFloat(i).toDouble
-        val y = if (rightDouble) b.getDouble(i) else b.getFloat(i).toDouble
-        dot += x * y; na += x * x; nb += y * y
-        i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      VectorKernels.cosineSim(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+        leftDouble, rightDouble)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.VectorKernels.cosineSim($a, $b, $leftDouble, $rightDouble)")
     override protected def withNewChildrenInternal(newLeft: Expression,
         newRight: Expression): CosineSim = copy(left = newLeft, right = newRight)
   }
@@ -206,7 +301,7 @@ object Expressions {
     * PQ subspace-assignment metric (minimizing reconstruction error),
     * same sequential-fold/mixed-type contract as CosineSim. */
   case class L2Sq(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     private def isDouble(e: Expression): Boolean = e.dataType match {
       case ArrayType(DoubleType, _) => true
@@ -214,28 +309,12 @@ object Expressions {
     }
     private lazy val leftDouble = isDouble(left)
     private lazy val rightDouble = isDouble(right)
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]
-      val b = r.asInstanceOf[ArrayData]
-      // Unlike cosine (where a truncating fold has a documented contract),
-      // an L2 distance over mismatched lengths is a silent wrong answer —
-      // a malformed embedding or a wrong subvector slice would quietly
-      // rank by a partial distance (ADVICE r5). Fail with the lengths.
-      if (a.numElements() != b.numElements())
-        throw new IllegalArgumentException(
-          s"l2sq: array lengths differ (${a.numElements()} vs ${b.numElements()})")
-      val n = a.numElements()
-      var s = 0.0
-      var i = 0
-      while (i < n) {
-        val x = if (leftDouble) a.getDouble(i) else a.getFloat(i).toDouble
-        val y = if (rightDouble) b.getDouble(i) else b.getFloat(i).toDouble
-        val d = x - y
-        s += d * d
-        i += 1
-      }
-      s
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      VectorKernels.l2sq(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+        leftDouble, rightDouble)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.VectorKernels.l2sq($a, $b, $leftDouble, $rightDouble)")
     override protected def withNewChildrenInternal(newLeft: Expression,
         newRight: Expression): L2Sq = copy(left = newLeft, right = newRight)
   }
@@ -248,33 +327,48 @@ object Expressions {
     * ascending, matching a per-subspace dot of the reconstructed vector
     * — the exactness invariant OpsSpec asserts. */
   case class PqScore(codes: Expression, lut: Expression, k: Int)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def left: Expression = codes
     override def right: Expression = lut
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val c = l.asInstanceOf[ArrayData]
-      val t = r.asInstanceOf[ArrayData]
-      val m = c.numElements()
-      // SQL-exposed (pq_score16): bad codes or a short LUT must raise a
-      // descriptive error, not a raw ArrayIndexOutOfBounds (ADVICE r5).
-      if (t.numElements() < m.toLong * k)
-        throw new IllegalArgumentException(
-          s"pq_score: lut has ${t.numElements()} entries, need m*k = ${m * k}")
-      var s = 0.0
-      var i = 0
-      while (i < m) {
-        val code = c.getInt(i)
-        if (code < 0 || code >= k)
-          throw new IllegalArgumentException(
-            s"pq_score: code $code at subspace $i out of range [0, $k)")
-        s += t.getDouble(i * k + code)
-        i += 1
-      }
-      s
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      VectorKernels.pqScore(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (c, t) =>
+        s"graft.functions.VectorKernels.pqScore($c, $t, $k)")
     override protected def withNewChildrenInternal(newLeft: Expression,
         newRight: Expression): PqScore = copy(codes = newLeft, lut = newRight)
+  }
+
+  /** Fused PQ encoder: all m nearest-sub-centroid codes of one embedding
+    * in a single codegen'd call over a flattened codebook reference —
+    * replaces the m × kc `least(struct(l2sq(slice(v)), code))` tree
+    * (~128 interpreted expression nodes per row at m=8, kc=16) that made
+    * e7's map-only encoding the most expensive part of its scan
+    * (VERDICT r6 #3). Distance fold order and the smaller-code tie-break
+    * are identical to that tree (see VectorKernels.pqEncode).
+    * `cb` is [subspace][code][dim] flattened; `codeVals` the code value
+    * per (subspace, rank) slot, so arbitrary code domains keep working. */
+  case class PqEncode(child: Expression, cb: Seq[Double], codeVals: Seq[Int],
+      m: Int, kc: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    private lazy val childDouble = child.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    @transient private lazy val cbArr = cb.toArray
+    @transient private lazy val codesArr = codeVals.toArray
+    override def nullSafeEval(input: Any): Any =
+      VectorKernels.pqEncode(input.asInstanceOf[ArrayData], cbArr, codesArr,
+        m, kc, childDouble)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cbRef = ctx.addReferenceObj("pqCb", cbArr, "double[]")
+      val codesRef = ctx.addReferenceObj("pqCodeVals", codesArr, "int[]")
+      defineCodeGen(ctx, ev, v =>
+        s"graft.functions.VectorKernels.pqEncode($v, $cbRef, $codesRef, $m, $kc, $childDouble)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): PqEncode =
+      copy(child = newChild)
   }
 
   /** Jaccard similarity of two string arrays (distinct-set semantics in
@@ -564,6 +658,8 @@ object Expressions {
   def l2sq(a: Column, b: Column): Column = column(L2Sq(expression(a), expression(b)))
   def pqScore(codes: Column, lut: Column, k: Int): Column =
     column(PqScore(expression(codes), expression(lut), k))
+  def pqEncode(v: Column, cb: Seq[Double], codeVals: Seq[Int], m: Int, kc: Int): Column =
+    column(PqEncode(expression(v), cb, codeVals, m, kc))
   def jaccardSim(a: Column, b: Column): Column = column(JaccardSim(expression(a), expression(b)))
   def sortedIntersectSize(a: Column, b: Column): Column =
     column(SortedIntersectSize(expression(a), expression(b)))

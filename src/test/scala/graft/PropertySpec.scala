@@ -120,6 +120,35 @@ class PropertySpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("vector kernels (cosine, l2sq, pq encode/score) are codegen-native") {
+    // The scoring loops of e1/e2/e6/e7/e8/d9 (VERDICT r6 #3: PqScore and
+    // L2Sq were CodegenFallback, breaking whole-stage codegen exactly in
+    // the corpus × queries hot path). Same two-way proof as above.
+    val emb = graft.core.Tables.load(spark, sf, "embeddings").limit(5)
+    val cbs = graft.ops.Similarity.labelPqCodebooks(
+      graft.core.Tables.load(spark, sf, "embeddings"))
+    val d = cbs.head.head._2.size
+    val kc = cbs.head.size
+    val lut = org.apache.spark.sql.functions.typedLit(Seq.fill(cbs.size * kc)(0.5))
+    val df = emb.select(
+      graft.functions.Expressions.cosineSim(col("embedding"), col("embedding")).as("cos"),
+      graft.functions.Expressions.l2sq(col("embedding"), col("embedding")).as("l2"),
+      graft.functions.Expressions.pqScore(
+        graft.ops.Similarity.pqCodes(cbs, col("embedding"), d), lut, kc).as("ps"))
+    val gen = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    for (k <- Seq("cosineSim", "l2sq", "pqEncode", "pqScore"))
+      assert(gen.contains(s"graft.functions.VectorKernels.$k"), s"$k: ${gen.take(2000)}")
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val row = df.collect()(0)
+      assert(math.abs(row.getDouble(0) - 1.0) < 1e-9) // cos(v, v) = 1
+      assert(row.getDouble(1) == 0.0)                 // l2sq(v, v) = 0
+      assert(row.getDouble(2) == 0.5 * cbs.size)      // m adds of 0.5
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("property: JaccardSim equals set arithmetic") {
     check(Prop.forAll(genWords, genWords) { (a, b) =>
       val df = spark.createDataFrame(Seq((a.toArray, b.toArray))).toDF("a", "b")
