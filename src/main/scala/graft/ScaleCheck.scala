@@ -222,6 +222,17 @@ object ScaleCheck {
           else g.intersect(brute).size.toDouble / brute.size
         println(f"E8KNN $dir vecs=${vecs.length} graph_edges=${g.size} " +
           f"recall3_vs_brute=$rec%.3f")
+        // Hot-cell cap (VERDICT r6 #6): the generous default must be a
+        // NO-OP on this isotropic corpus (capped ≡ uncapped, asserted),
+        // while a tight cap bounds in-cell membership — Σ|cell|² goes
+        // from unbounded to ≤ cells·cap² on a clustered corpus.
+        val uncapped = pairSet(graft.ops.Similarity.knnGraph(emb, cellCap = 0)
+          .select("query_id", "neighbor_id"))
+        assert(g == uncapped, "default cellCap must be a no-op at check scale")
+        val capped32 = graft.ops.Similarity.knnGraph(emb, cellCap = 32)
+          .select("query_id").distinct().count()
+        println(s"E8CAP $dir default_cap_noop=true capped32_queries=$capped32 " +
+          s"uncapped_queries=${g.map(_._1).size}")
       }
 
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

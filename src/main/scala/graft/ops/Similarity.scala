@@ -534,13 +534,32 @@ object Similarity {
     * is O(N·k). `bits` is the scale knob: it grows with log N (4 at test
     * scale, ~20 ⇒ 1 M cells at 100 TB) to hold |cell| roughly constant,
     * exactly how a coarse IVF quantizer's cell count scales. */
-  def knnGraph(emb: DataFrame, k: Int = 3, bits: Int = 4): DataFrame = {
+  def knnGraph(emb: DataFrame, k: Int = 3, bits: Int = 4,
+      cellCap: Int = 512): DataFrame = {
     // TRUE self-join (identical projection on both sides, renames only
     // after the join) so the two cell exchanges canonicalize to one and
     // the corpus is shuffled ONCE on the cell id (ReusedExchange —
     // PlanAudit-asserted; d2's band-join discipline).
-    val cells = emb.select(col("vec_id"), col("embedding"),
+    val cells0 = emb.select(col("vec_id"), col("embedding"),
       signBucket(col("embedding"), bits).as("cell"))
+    // Hot-cell cap (VERDICT r6 #6): in-cell pair formation is Σ|cell|²,
+    // and while `bits` holds |cell| ~ constant on an ISOTROPIC corpus, a
+    // CLUSTERED corpus at scale can concentrate mass in one sign-cell
+    // and blow the quadratic up. Cells larger than `cellCap` are
+    // deterministically truncated to their smallest-md5 members (the d7
+    // stop-shingle-cap idiom — engine-independent, reproducible across
+    // runs/retries); overflow vectors drop out of the graph and are the
+    // signal to escalate `bits`. The cap is generous at test scale
+    // (~125 vectors/cell at sf0.1 — a no-op, asserted in ScaleCheck and
+    // OpsSpec); the window sits ABOVE the one cell exchange, so both
+    // self-join sides still canonicalize to a single shuffle.
+    val cells =
+      if (cellCap <= 0) cells0
+      else cells0
+        .withColumn("cr", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cell")
+            .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+        .where(col("cr") <= cellCap).drop("cr")
     val scored = cells.as("q").join(cells.as("c"),
         col("q.cell") === col("c.cell"))
       .where(col("c.vec_id") =!= col("q.vec_id"))

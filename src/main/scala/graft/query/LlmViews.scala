@@ -58,7 +58,11 @@ object LlmViews {
         Similarity.labelPqCodebooks(emb)),
       // Bounded-output graph/split reports (canonical order kept).
       "llm_knn_graph" -> Similarity.knnGraph(emb),
-      "llm_cluster_split" -> graft.ops.Sampling.clusterSafeSplit(docs))
+      // Cluster labels read the build-once materialized artifact
+      // (VERDICT r6 #5) — a view query is one join + a 3-key aggregate
+      // over a scanned parquet, never an inline re-clustering.
+      "llm_cluster_split" -> graft.ops.Sampling.clusterSafeSplit(docs,
+        graft.ops.Sampling.clusterLabelsFor(spark, dir)))
   }
 
   // One registration per session PER CURRENT (dir, data signature): view

@@ -122,6 +122,18 @@ class OpsSpec extends GraftSuite {
         .sortBy { case (_, nid, c) => (-c, nid) }.take(3)
     }.toSet
     assert(out == expected, "cell-restricted top-3 must match the local recomputation")
+    // Hot-cell cap (VERDICT r6 #6): generous cap is a no-op at test
+    // scale; a tight cap truncates cells deterministically (same output
+    // across runs) and bounds in-cell membership.
+    val uncapped = Similarity.knnGraph(emb, cellCap = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(uncapped == out, "default cap must be a no-op on the test corpus")
+    val tight = Similarity.knnGraph(emb, cellCap = 10)
+    val t1 = tight.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val t2 = tight.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(t1 == t2, "tight cap must be deterministic across runs")
+    assert(t1.nonEmpty && t1.map(_._1).size <= 16 * 10,
+      "at most cap members per cell remain as queries")
   }
 
   test("text analysis columns are consistent") {

@@ -199,6 +199,24 @@ class SqlPathConsistencySpec extends GraftSuite {
     assert(sql.nonEmpty)
   }
 
+  test("llm_cluster_split reads the label artifact, never re-clusters") {
+    // VERDICT r6 #5 done-criterion: a (repeated) view query must carry
+    // NO clustering subtree — labels come from the build-once
+    // materialized parquet, so the plan is scan + join + aggregate.
+    query.LlmViews.register(spark, sf)
+    val df = spark.sql("SELECT * FROM llm_cluster_split")
+    val plan = df.queryExecution.executedPlan.toString
+    for (marker <- Seq("MinHash", "minhash", "word_shingles", "WordShingles"))
+      assert(!plan.contains(marker),
+        s"clustering subtree ($marker) leaked into the served plan")
+    assert(plan.contains("graft-artifacts"),
+      "labels must scan the materialized artifact")
+    // And the artifact path answers exactly what inline clustering does.
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val inline = graft.ops.Sampling.clusterSafeSplit(docs).collect().map(_.toString)
+    assert(df.collect().map(_.toString).toSeq == inline.toSeq)
+  }
+
   test("every llm_* view resolves and answers through the SQL path") {
     query.LlmViews.register(spark, sf)
     query.LlmViews.views(spark, sf).foreach { case (name, df) =>
