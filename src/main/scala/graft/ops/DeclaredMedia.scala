@@ -12,8 +12,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * math is hash-checked. */
 object DeclaredMedia {
 
+  // Plan cache per session (the Tables.load discipline): the fixture is
+  // written once and immutable, but `spark.read.parquet` re-lists and
+  // re-reads footers on every call — ~0.1 s of driver latency each m*
+  // query paid per bench pass.
+  private val mediaCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
   private def media(s: SparkSession): DataFrame =
-    s.read.parquet(MediaFixture.ensure(s))
+    mediaCache.computeIfAbsent(s, _ => s.read.parquet(MediaFixture.ensure(s)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_decode"  -> ((s, _) => Multimodal.decodeDims(media(s))),

@@ -148,8 +148,13 @@ object Similarity {
       struct(cosine(emb, typedLit(vec)).as("cos"), lit(lab).as("clabel"))
     }: _*).getField("clabel")
 
-  def centroidAssign(emb: DataFrame): DataFrame = {
-    val codebook = collectCodebook(centroidFrame(emb))
+  def centroidAssign(emb: DataFrame): DataFrame =
+    centroidAssign(emb, collectCodebook(centroidFrame(emb)))
+
+  /** centroidAssign over a PREBUILT codebook (the build-artifact
+    * discipline of e7/s5: training runs once per data signature at the
+    * declaration layer, not once per query). */
+  def centroidAssign(emb: DataFrame, codebook: Seq[(Int, Seq[Double])]): DataFrame = {
     emb.select(col("label").as("true_label"),
         nearestCell(codebook, col("embedding")).as("assigned_label"))
       .groupBy("true_label", "assigned_label")
@@ -175,6 +180,11 @@ object Similarity {
     */
   def ivfCentroidTopK(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame =
     probeTopK(emb, collectCodebook(centroidFrame(emb)), queryPred, k)
+
+  /** ivfCentroidTopK over a PREBUILT codebook (see centroidAssign). */
+  def ivfCentroidTopK(emb: DataFrame, codebook: Seq[(Int, Seq[Double])],
+      queryPred: Column, k: Int): DataFrame =
+    probeTopK(emb, codebook, queryPred, k)
 
   /** The `probes` nearest cells for one row — the centroid-IVF analogue
     * of e2's Hamming multiprobe: rank the per-centroid struct(cos,

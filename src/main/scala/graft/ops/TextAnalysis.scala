@@ -124,7 +124,12 @@ object TextAnalysis {
     // approx_count_distinct: mixing a distinct and a non-distinct
     // aggregate re-triggers RewriteDistinctAggregates' Expand (measured
     // +40% on this query); the pre-deduplicated spelling keeps both
-    // counts Expand-free.
+    // counts Expand-free. Two aggregates by design: fusing them into one
+    // lang-keyed agg with `when(w = …, v)` conditional sketches was
+    // measured 40% SLOWER (round 7) — two HLL buffers per group make an
+    // 800+-slot aggregation buffer that falls out of codegen; the
+    // (lang, w) tag keeps one sketch per row and the pivot agg is 10
+    // rows.
     tagged.distinct()
       .groupBy(col("lang"), col("w"))
       .agg(count(col("v")).as("cnt"),
