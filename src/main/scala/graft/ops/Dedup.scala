@@ -399,8 +399,12 @@ object Dedup {
     // Sort each document's shingles ONCE (5e3 rows) so the 10^5-pair
     // verify is an allocation-free two-pointer walk per pair instead of
     // a per-pair hash build (same cardinality, see SortedIntersectSize).
-    val shA = withSh.select(col("doc_id").as("doc_a"), array_sort(col("s")).as("sa"))
-    val shB = withSh.select(col("doc_id").as("doc_b"), array_sort(col("s")).as("sb"))
+    // sortedStrings, not array_sort: same binary order, but array_sort's
+    // comparator lambda is CodegenFallback and ejects these projections
+    // from whole-stage codegen.
+    val sorted = graft.functions.Expressions.sortedStrings(col("s"))
+    val shA = withSh.select(col("doc_id").as("doc_a"), sorted.as("sa"))
+    val shB = withSh.select(col("doc_id").as("doc_b"), sorted.as("sb"))
     cands.join(shA, "doc_a").join(shB, "doc_b")
       .withColumn("inter",
         graft.functions.Expressions.sortedIntersectSize(col("sa"), col("sb")))

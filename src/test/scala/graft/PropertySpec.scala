@@ -139,6 +139,38 @@ class PropertySpec extends GraftSuite {
       df.queryExecution.executedPlan)
     for (k <- Seq("cosineSim", "l2sq", "pqEncode", "pqScore"))
       assert(gen.contains(s"graft.functions.VectorKernels.$k"), s"$k: ${gen.take(2000)}")
+    // ... and the hash/text kernels (round 7: every custom per-row loop
+    // is now behind a doGenCode static call — zero CodegenFallback).
+    val docs2 = graft.core.Tables.load(spark, sf, "documents").limit(5)
+    val hdf = docs2.select(
+      graft.functions.Expressions.minhashSig(Dedup.shingles(col("text")), 8).as("mh"),
+      graft.functions.Expressions.xorMinHashSig(Dedup.shingles(col("text")), 8).as("xmh"),
+      graft.functions.Expressions.simhash60(
+        graft.functions.Expressions.md5WordHashes(col("text"))).as("sh"),
+      graft.functions.Expressions.rollingFp(
+        graft.functions.Expressions.md5WordHashes(col("text"))).as("fp"),
+      graft.functions.Expressions.countWordsIn(col("text"), Seq("the", "a")).as("cw"),
+      graft.functions.Expressions.wordTfs(col("text")).as("tfs"),
+      graft.functions.Expressions.jaccardSim(
+        Dedup.shingles(col("text")), Dedup.shingles(col("text"))).as("js"),
+      // No array_sort here: its comparator LAMBDA is CodegenFallback and
+      // would eject the whole projection from codegen — the kernel's own
+      // codegen is what this proves (sortedness is a semantics contract,
+      // not a codegen one).
+      graft.functions.Expressions.sortedIntersectSize(
+        Dedup.shingles(col("text")), Dedup.shingles(col("text"))).as("sis"))
+    val hgen = org.apache.spark.sql.execution.debug.codegenString(
+      hdf.queryExecution.executedPlan)
+    for (k <- Seq("minHashSig", "xorMinHashSig", "simHash60", "rollingFp",
+        "countWordsIn", "wordTfs", "jaccardSim", "sortedIntersectSize"))
+      assert(hgen.contains(s"graft.functions.HashKernels.$k"), s"$k missing")
+    val prev2 = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val r = hdf.collect()(0)
+      assert(r.getSeq[Long](0).size == 8 && r.getSeq[Long](1).size == 8)
+      assert(math.abs(r.getDouble(6) - 1.0) < 1e-12) // J(s, s) = 1
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev2)
     val prev = spark.conf.get("spark.sql.codegen.fallback")
     try {
       spark.conf.set("spark.sql.codegen.fallback", "false")
