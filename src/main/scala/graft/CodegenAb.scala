@@ -18,7 +18,12 @@ object CodegenAb {
     val passes = args.lift(1).map(_.toInt).getOrElse(5)
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // Match graft.Bench's graded configuration (8-wide latency-tuned
+      // shuffles + AQE off): the kernels' benefit is claimed FOR that
+      // config, and d10's operator-width pins key off this conf too —
+      // at 32 the whole suite shifts regime and the canary never quiets.
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
@@ -44,9 +49,17 @@ object CodegenAb {
     }
     System.gc(); Thread.sleep(2000)
 
+    // Mode order ALTERNATES per pass (native-first on odd passes,
+    // interpreted-first on even): a fixed order biases one mode with the
+    // previous pass's deferred cleanup and the burst phase of host
+    // noise — three fixed-order runs read speedups 0.52–0.92 on code
+    // whose per-query minima were within noise of each other. The
+    // per-query System.gc() is the Bench discipline (round-3 lesson):
+    // ContextCleaner work from the previous query must not land inside
+    // the next measurement.
     val samples = scala.collection.mutable.Map
       .empty[(String, String), scala.collection.mutable.ArrayBuffer[Double]]
-    for (_ <- 1 to passes; m <- modes) {
+    for (p <- 1 to passes; m <- (if (p % 2 == 0) modes.reverse else modes)) {
       setMode(m)
       qs.foreach { case (name, fn) =>
         System.gc()
@@ -59,19 +72,22 @@ object CodegenAb {
     setMode("native")
 
     def med(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
-    var totN = 0.0; var totI = 0.0
+    var totN = 0.0; var totI = 0.0; var totNmin = 0.0; var totImin = 0.0
     names.foreach { n =>
       val a = samples((n, "native")).toSeq
       val b = samples((n, "interpreted")).toSeq
-      totN += med(a); totI += med(b)
+      totN += med(a); totI += med(b); totNmin += a.min; totImin += b.min
       println(f"AB $n native_med=${med(a)}%.3f (min ${a.min}%.3f) " +
         f"interp_med=${med(b)}%.3f (min ${b.min}%.3f) " +
         f"speedup=${med(b) / med(a)}%.3f")
     }
     val canary = samples(("d10_jaccard_join", "native")).min
+    // speedup_min is the floor-to-floor ratio (the Bench ratio_min
+    // argument): additive burst noise cannot inflate per-query minima.
     println(f"AB TOTAL native=$totN%.3f interpreted=$totI%.3f " +
-      f"speedup=${totI / totN}%.3f d10_canary_min=$canary%.3f " +
-      f"window=${if (canary <= 1.5) "ok" else "degraded"}")
+      f"speedup=${totI / totN}%.3f speedup_min=${totImin / totNmin}%.3f " +
+      f"d10_canary_min=$canary%.3f " +
+      f"window=${if (canary <= 1.3) "ok" else "degraded"}")
     spark.stop()
   }
 }
