@@ -218,6 +218,20 @@ object PlanAudit {
         (p => p.linesIterator.count(l =>
           l.contains("Exchange SinglePartition")) <= 1))
 
+    audit("t12_repetition", qs("t12_repetition")(spark, sfDir),
+      "map-only: both repetition kernels run inside the scan stage, no corpus shuffle" ->
+        // tree-line node count ("Exchange (n)"), not detail headers;
+        // the one allowed exchange is the presentation sort's.
+        (p => p.linesIterator.count(_.contains("Exchange (")) <= 1),
+      "no window, no join, no aggregate over the corpus" ->
+        (p => !p.contains("Window") && !p.contains("Join") && !p.contains("HashAggregate")))
+
+    audit("e9_embed_decontam", qs("e9_embed_decontam")(spark, sfDir),
+      "eval side broadcast against one train scan; no shuffle carries embeddings" ->
+        (p => p.contains("Broadcast") &&
+          !p.linesIterator.exists(l => l.contains("Exchange hashpartitioning") && l.contains("embedding"))),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+
     println(s"\nplan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

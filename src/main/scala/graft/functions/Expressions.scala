@@ -338,6 +338,70 @@ object HashKernels {
     n
   }
 
+  /** Fraction of characters covered by the MOST frequent word n-gram
+    * (Rae et al., Gopher §A1.1 repetition signals): count·chars(gram) /
+    * chars(text), capped at 1 (overlapping occurrences can overshoot).
+    * Ties break to the lexicographically smallest gram. Integer
+    * numerator, one double division — the oracle mirrors it exactly. */
+  def topNgramCharFrac(text: UTF8String, n: Int): Double = {
+    val s = text.toString
+    val toks = s.split(" ", -1)
+    if (toks.length < n || s.isEmpty) return 0.0
+    val counts = new java.util.HashMap[String, Integer](toks.length * 2)
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      counts.merge(sb.toString, 1, (a, b) => a + b)
+      i += 1
+    }
+    var bestG: String = null
+    var bestC = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue > bestC ||
+          (e.getValue == bestC && (bestG == null || e.getKey.compareTo(bestG) < 0))) {
+        bestG = e.getKey; bestC = e.getValue
+      }
+    }
+    math.min(1.0, (bestC.toLong * bestG.length).toDouble / s.length)
+  }
+
+  /** Fraction of characters covered by DUPLICATED word n-grams (count
+    * ≥ 2): Σ count·chars(gram) over duplicated grams / chars(text),
+    * capped at 1. Same integer-numerator/one-division contract. */
+  def dupNgramCharFrac(text: UTF8String, n: Int): Double = {
+    val s = text.toString
+    val toks = s.split(" ", -1)
+    if (toks.length < n || s.isEmpty) return 0.0
+    val counts = new java.util.HashMap[String, Integer](toks.length * 2)
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      counts.merge(sb.toString, 1, (a, b) => a + b)
+      i += 1
+    }
+    var covered = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue >= 2) covered += e.getValue.toLong * e.getKey.length
+    }
+    math.min(1.0, covered.toDouble / s.length)
+  }
+
   def sortedStrings(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val out = new Array[UTF8String](n)
@@ -537,6 +601,27 @@ object Expressions {
     * projection ejects the WHOLE stage from whole-stage codegen (d10's
     * verify-side array projections, found round 7). One static call,
     * Arrays.sort on UTF8String's byte-lexicographic compareTo. */
+  /** Gopher-style repetition signals (see HashKernels.topNgramCharFrac /
+    * dupNgramCharFrac) — codegen-native scalar per (text, n). */
+  case class TopNgramCharFrac(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any =
+      HashKernels.topNgramCharFrac(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.topNgramCharFrac($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): TopNgramCharFrac =
+      copy(child = newChild)
+  }
+  case class DupNgramCharFrac(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any =
+      HashKernels.dupNgramCharFrac(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.dupNgramCharFrac($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): DupNgramCharFrac =
+      copy(child = newChild)
+  }
+
   case class SortedStrings(child: Expression) extends UnaryExpression {
     override def dataType: DataType = child.dataType
     override def nullSafeEval(input: Any): Any =
@@ -749,6 +834,8 @@ object Expressions {
     column(PqEncode(expression(v), cb, codeVals, m, kc))
   def jaccardSim(a: Column, b: Column): Column = column(JaccardSim(expression(a), expression(b)))
   def sortedStrings(c: Column): Column = column(SortedStrings(expression(c)))
+  def topNgramCharFrac(c: Column, n: Int): Column = column(TopNgramCharFrac(expression(c), n))
+  def dupNgramCharFrac(c: Column, n: Int): Column = column(DupNgramCharFrac(expression(c), n))
   def sortedIntersectSize(a: Column, b: Column): Column =
     column(SortedIntersectSize(expression(a), expression(b)))
   def wordShingles(c: Column, n: Int = 3): Column =

@@ -90,7 +90,10 @@ object DeclaredOps {
       Similarity.pqTopK(emb(s, dir), col("vec_id") < 5, pqCodebooks(s, dir))),
     "e8_knn_graph"     -> ((s, dir) => Similarity.knnGraph(emb(s, dir))),
     "d11_decontaminate" -> ((s, dir) =>
-      Dedup.decontaminate(docs(s, dir), col("doc_id") % 11 === 0)))
+      Dedup.decontaminate(docs(s, dir), col("doc_id") % 11 === 0)),
+    "t12_repetition"   -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
+    "e9_embed_decontam" -> ((s, dir) =>
+      Similarity.crossContamination(emb(s, dir), col("vec_id") % 11 === 0)))
 
   // ---- DuckDB oracle SQL ----
 
@@ -604,5 +607,48 @@ object DeclaredOps {
          |    list_transform(string_split(text, ' '),
          |      w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS UBIGINT) % 1000003)),
          |  (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fp
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Repetition signals: integer numerator (count · gram chars), ONE
+    // double division by the doc's char count, capped at 1 — the exact
+    // arithmetic of the Spark kernels. Ties for the top 3-gram break to
+    // the lexicographically smallest gram in both engines (ASCII corpus:
+    // Java UTF-16 order == DuckDB byte order).
+    "t12_repetition" ->
+      """WITH d AS (SELECT doc_id, len(text) AS nc, string_split(text, ' ') AS w FROM documents),
+        |e3 AS (SELECT doc_id, nc, unnest(list_transform(range(1, len(w) - 1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |       FROM d WHERE len(w) >= 3),
+        |c3 AS (SELECT doc_id, any_value(nc) AS nc, g, count(*) AS c FROM e3 GROUP BY doc_id, g),
+        |t3 AS (SELECT doc_id, least(1.0, CAST(c * len(g) AS DOUBLE) / nc) AS f
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM c3)
+        |       WHERE rn = 1),
+        |e5 AS (SELECT doc_id, nc, unnest(list_transform(range(1, len(w) - 3),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS g
+        |       FROM d WHERE len(w) >= 5),
+        |c5 AS (SELECT doc_id, any_value(nc) AS nc, g, count(*) AS c FROM e5 GROUP BY doc_id, g),
+        |t5 AS (SELECT doc_id, least(1.0,
+        |         CAST(coalesce(sum(CASE WHEN c >= 2 THEN c * len(g) END), 0) AS DOUBLE) / any_value(nc)) AS f
+        |       FROM c5 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(round(coalesce(t3.f, 0) * 10000) AS BIGINT) AS top3_frac_x10k,
+        |  CAST(round(coalesce(t5.f, 0) * 10000) AS BIGINT) AS dup5_frac_x10k,
+        |  CASE WHEN coalesce(t3.f, 0) <= 0.18 AND coalesce(t5.f, 0) <= 0.15
+        |    THEN 1 ELSE 0 END AS keep
+        |FROM d LEFT JOIN t3 ON d.doc_id = t3.doc_id
+        |       LEFT JOIN t5 ON d.doc_id = t5.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Cross-corpus contamination ground truth: ALL-PAIRS train × eval
+    // cosine — which is also what the engine computes (broadcast-eval
+    // exact scan), so equality holds at any threshold by construction.
+    "e9_embed_decontam" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT train_id, eval_id, CAST(round(cos * 10000) AS BIGINT) AS cos_x10k FROM (
+        |  SELECT a.vec_id AS train_id, b.vec_id AS eval_id,
+        |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) AS cos
+        |  FROM v a JOIN v b ON a.vec_id % 11 <> 0 AND b.vec_id % 11 = 0)
+        |WHERE cos >= 0.4 ORDER BY train_id, eval_id""".stripMargin)
 }

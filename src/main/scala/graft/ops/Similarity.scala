@@ -530,6 +530,40 @@ object Similarity {
       .orderSmall("vec_a", "vec_b")
   }
 
+  /** Cross-corpus embedding decontamination — the embedding-modality
+    * analogue of d11's text decontaminate: TRAIN vectors whose cosine to
+    * any EVAL vector reaches the threshold (the leakage a semantic
+    * train/eval split must remove; 13-gram text matching misses
+    * paraphrases, embedding similarity is the published remedy).
+    *
+    * EXACT by construction at ANY threshold: the eval set is broadcast
+    * (an eval benchmark is bounded by definition — the same "small
+    * dimension" premise as e1's query set) against one scan of the
+    * train corpus, exact cosine per pair. A sign-band LSH variant was
+    * measured and REJECTED for the declared row: below τ = 0.5 the
+    * band-sharing guarantee genuinely fails on this corpus (162 of 172
+    * qualifying pairs at τ = 0.4, sf0.1) — a silent-miss decontaminator
+    * is worse than a slower exact one. For corpus-sized eval sets,
+    * compose the e2/e8 cell machinery to prefilter; the exactness
+    * contract then becomes that of the chosen index.
+    *
+    * Scale: broadcast eval side, map-only scoring inside the train
+    * scan, no shuffle except the bounded-output presentation sort —
+    * per-row cost is |eval| fused cosine kernels. */
+  def crossContamination(emb: DataFrame, evalPred: Column,
+      threshold: Double = 0.4): DataFrame = {
+    val ev = emb.where(evalPred)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ee"))
+    emb.where(!evalPred)
+      .select(col("vec_id").as("train_id"), col("embedding").as("et"))
+      .crossJoin(broadcast(ev))
+      .withColumn("cos", cosine(col("et"), col("ee")))
+      .where(col("cos") >= threshold)
+      .select(col("train_id"), col("eval_id"),
+        graft.functions.StableAgg.scaledLong(col("cos"), 10000).as("cos_x10k"))
+      .orderSmall("train_id", "eval_id")
+  }
+
   /** Cell-restricted KNN graph — every vector's k nearest neighbors among
     * the vectors sharing its deterministic sign-bit cell (the SemDeDup /
     * semantic-dedup building block: the all-vectors analogue of e1's

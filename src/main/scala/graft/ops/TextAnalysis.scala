@@ -222,6 +222,30 @@ object TextAnalysis {
     if (ordered) out.orderSmall("doc_id") else out
   }
 
+  /** Repetition signals (Rae et al., Gopher §A1.1 — the n-gram half of
+    * the repetition family; [[gopherRules]] covers the word/bigram
+    * half): per document, the character fraction covered by the MOST
+    * frequent 3-gram and by all DUPLICATED 5-grams, plus the paper-style
+    * keep flag. Excess repetition is the canonical low-quality-document
+    * signal a pretraining filter removes first.
+    *
+    * Scale: map-only — two codegen-native kernel calls per row inside
+    * the scan stage (one token pass + one hash count each), no shuffle
+    * at all except the declared-output presentation sort. Fractions are
+    * integer-numerator / one-double-division, mirrored exactly by the
+    * DuckDB oracle, then scaled-integer for the hashed surface. */
+  def repetition(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+    val top3 = graft.functions.Expressions.topNgramCharFrac(col("text"), 3)
+    val dup5 = graft.functions.Expressions.dupNgramCharFrac(col("text"), 5)
+    val out = docs.select(
+      col("doc_id"),
+      graft.functions.StableAgg.scaledLong(top3, 10000).as("top3_frac_x10k"),
+      graft.functions.StableAgg.scaledLong(dup5, 10000).as("dup5_frac_x10k"),
+      // Gopher-style thresholds (top 3-gram <= 0.18, dup 5-grams <= 0.15).
+      when(top3 <= 0.18 && dup5 <= 0.15, 1).otherwise(0).as("keep"))
+    if (ordered) out.orderSmall("doc_id") else out
+  }
+
   /** Denylist scrub: replace denylisted terms, report the hit count and
     * the scrubbed text — the regex machinery of PII/boilerplate removal
     * (the synthetic corpus has no emails/digits, so the declared query's

@@ -45,6 +45,8 @@ object LlmViews {
       "llm_token_stats" -> TextAnalysis.tokenStats(docs, ordered = false),
       "llm_fingerprint" -> TextAnalysis.fingerprint(docs, ordered = false),
       "llm_gopher_rules" -> TextAnalysis.gopherRules(docs, ordered = false),
+      "llm_repetition" -> TextAnalysis.repetition(docs, ordered = false),
+      "llm_embed_decontam" -> Similarity.crossContamination(emb, col("vec_id") % 11 === 0),
       "llm_vocab" -> TextAnalysis.vocabTopK(docs),
       "llm_hash_split" -> graft.ops.Sampling.hashSplit(docs),
       // Build-once PQ (VERDICT r5 wrong-#4): the codebook is constructed

@@ -624,4 +624,42 @@ class OpsSpec extends GraftSuite {
     assert(out.toSet == local)
     assert(out.map(_._2).sum == rows.length, "every doc lands in exactly one bin")
   }
+
+  test("repetition fractions: hand-checked on constructed documents") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, "a b a b a b"),      // top 3-gram "a b a"/"b a b" x2; no dup 5-gram
+      (1L, "x y z w v u"),      // all n-grams unique
+      (2L, "c c c c c c c c"),  // maximal repetition, frac caps at 1
+      (3L, "q")                 // shorter than any n-gram
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.repetition(tiny).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    // doc 0: top3 = 2 occurrences x 5 chars / 11 chars = 0.9091 -> 9091
+    assert(out(0L) == ((9091L, 0L, 0)))
+    // doc 1: nothing repeats — top 3-gram occurs once: 5 chars / 11
+    assert(out(1L) == ((4545L, 0L, 0)))
+    // doc 2: "c c c" occurs 6x x 5 chars / 15 chars, capped at 1
+    assert(out(2L)._1 == 10000L && out(2L)._2 == 10000L && out(2L)._3 == 0)
+    // doc 3: too short for any n-gram
+    assert(out(3L) == ((0L, 0L, 1)))
+  }
+
+  test("embedding decontamination equals local all-pairs ground truth") {
+    val got = Similarity.crossContamination(emb, col("vec_id") % 11 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ev = vecs.filter(_._1 % 11 == 0)
+    val tr = vecs.filter(_._1 % 11 != 0)
+    val truth = (for { (t, tv) <- tr; (e, evv) <- ev if cos(tv, evv) >= 0.4 }
+      yield (t, e)).toSet
+    assert(got == truth, "broadcast-exact path must equal all-pairs ground truth")
+    assert(got.nonEmpty, "test corpus must exercise the operator")
+  }
 }
