@@ -232,6 +232,27 @@ object PlanAudit {
           !p.linesIterator.exists(l => l.contains("Exchange hashpartitioning") && l.contains("embedding"))),
       "no cartesian product" -> (p => !p.contains("CartesianProduct")))
 
+    audit("q37_proximity_pairs", qs("q37_proximity_pairs")(spark, sfDir),
+      "banded proximity pairs run as a (user, bucket) equi-join, never a nested-loop" ->
+        (p => !p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian")),
+      "exact-window refine is a post-join filter (dt_us bounds), not a join condition probe" ->
+        (_.contains("dt_us")))
+
+    audit("s6_weighted_sample", qs("s6_weighted_sample")(spark, sfDir),
+      "weighted keep is a pure filter before the aggregate — no shuffle of the corpus rows" ->
+        // one exchange for the (lang) aggregate; the filter itself is map-only
+        (p => p.linesIterator.count(_.contains("Exchange (")) <= 1),
+      "no join, no window" -> (p => !p.contains("Join") && !p.contains("Window")))
+
+    audit("e10_twostage_topk", qs("e10_twostage_topk")(spark, sfDir),
+      "both stages broadcast the small side; the corpus is never shuffle-joined" ->
+        (p => p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange")),
+      "no shuffle exchange carries the full embedding column" ->
+        (p => !p.linesIterator.exists(l =>
+          l.contains("Exchange hashpartitioning") && l.contains("embedding"))),
+      "no cartesian product over the corpus (query fan-out is the broadcast crossJoin)" ->
+        (p => !p.contains("CartesianProduct")))
+
     println(s"\nplan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

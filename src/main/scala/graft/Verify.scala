@@ -13,7 +13,10 @@ object Verify {
       Files.writeString(Paths.get(s"$dir/oracle_sql.json"), oracleJson)
       return
     }
-    val Array(sfDir, outDir) = args
+    // Optional third arg: comma-separated query names — restrict the dump
+    // for local spot-checks of new operators (the driver passes none).
+    val (Array(sfDir, outDir), only) =
+      (args.take(2), args.drop(2).headOption.map(_.split(',').toSet))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,7 +32,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

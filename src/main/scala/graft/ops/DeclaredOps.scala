@@ -93,7 +93,10 @@ object DeclaredOps {
       Dedup.decontaminate(docs(s, dir), col("doc_id") % 11 === 0)),
     "t12_repetition"   -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
     "e9_embed_decontam" -> ((s, dir) =>
-      Similarity.crossContamination(emb(s, dir), col("vec_id") % 11 === 0)))
+      Similarity.crossContamination(emb(s, dir), col("vec_id") % 11 === 0)),
+    "s6_weighted_sample" -> ((s, dir) => Sampling.weightedCounts(docs(s, dir))),
+    "e10_twostage_topk" -> ((s, dir) =>
+      Similarity.twoStageTopK(emb(s, dir), col("vec_id") < 5)))
 
   // ---- DuckDB oracle SQL ----
 
@@ -650,5 +653,35 @@ object DeclaredOps {
         |    (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
         |     sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) AS cos
         |  FROM v a JOIN v b ON a.vec_id % 11 <> 0 AND b.vec_id % 11 = 0)
-        |WHERE cos >= 0.4 ORDER BY train_id, eval_id""".stripMargin)
+        |WHERE cos >= 0.4 ORDER BY train_id, eval_id""".stripMargin,
+
+    "s6_weighted_sample" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS UBIGINT) % 1000
+        |      < least(999, greatest(0, n_chars // 2))
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // Two-stage retrieval: the coarse CTE ranks by the prefix-dims
+    // rounded cosine (same fold, same rounding as the engine's stage 1);
+    // the re-rank is e1's exact full-dim scoring restricted to the
+    // candidate set — the declared operator is the composition.
+    "e10_twostage_topk" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+         |coarse AS (
+         |  SELECT q.query_id, c.vec_id,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |      CAST(round(list_sum(list_transform(range(1, 9), i -> v[i] * qv[i])) /
+         |        (sqrt(list_sum(list_transform(range(1, 9), i -> v[i] * v[i]))) *
+         |         sqrt(list_sum(list_transform(range(1, 9), i -> qv[i] * qv[i])))) * 10000) AS BIGINT) DESC,
+         |      c.vec_id) AS rn
+         |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         |cand AS (SELECT query_id, vec_id FROM coarse WHERE rn <= 50)
+         |SELECT query_id, neighbor_id, cos_x10k FROM (
+         |  SELECT cand.query_id, c.vec_id AS neighbor_id, $DuckCos AS cos_x10k,
+         |    row_number() OVER (PARTITION BY cand.query_id ORDER BY $DuckCos DESC, c.vec_id) AS rn
+         |  FROM cand JOIN c ON cand.vec_id = c.vec_id
+         |            JOIN q ON cand.query_id = q.query_id)
+         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin)
 }

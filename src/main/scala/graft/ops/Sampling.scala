@@ -78,6 +78,30 @@ object Sampling {
       .groupBy("lang").agg(count(lit(1)).as("n"))
       .orderAgg("lang")
 
+  /** Deterministic per-ROW weighted (importance) sampling: keep a row
+    * with probability `weightPermille`/1000 where the weight is a pure
+    * function of the row itself — the importance-mixing primitive (s2's
+    * rates are per-GROUP; here every row carries its own rate, e.g. a
+    * quality score or a token count). Same id-hash mechanism as the
+    * other splits: a pure filter, no shuffle, reproducible across runs,
+    * engines, partitionings, and task retries. Weights are clamped to
+    * [0, 999] so no row is kept with certainty by accident. */
+  def weightedSample(docs: DataFrame, id: Column, weightPermille: Column): DataFrame =
+    docs.where(hashBucket(id) % 1000 <
+      least(lit(999), greatest(lit(0), weightPermille.cast("long"))))
+
+  /** Declared query: token-proportional document sampling — keeping a
+    * document with probability ∝ its length samples TOKENS uniformly
+    * (the unit LLM training actually consumes), where uniform document
+    * sampling would over-represent short docs' tokens. Weight =
+    * n_chars/2 permille; output is the per-language kept-count and
+    * kept-chars a mixing run audits. */
+  def weightedCounts(docs: DataFrame): DataFrame =
+    weightedSample(docs, col("doc_id"), expr("n_chars div 2"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderAgg("lang")
+
   /** Deterministic fixed-size sample of k rows PER GROUP: the k smallest
     * id-hash buckets of each group (ties broken by id). Same reproducible
     * hash-order as the other samplers, but with an exact per-group count

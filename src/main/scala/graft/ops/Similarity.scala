@@ -667,4 +667,42 @@ object Similarity {
       .withColumn("cos", round(cosine(col("embedding"), col("qv")) * 10000, 0))
     rankTopKScaled(scored, "vec_id", k, "cos_x10k")
   }
+
+  /** Two-stage (coarse → exact) top-k: rank the corpus by cosine on the
+    * first `dims` dimensions only, keep the top `m` candidates per
+    * query, then re-rank those candidates by exact full-dimension cosine
+    * and emit the top `k` — the truncated-dimension ("Matryoshka")
+    * retrieval pattern: embedding models trained with
+    * matryoshka-representation losses concentrate signal in the prefix,
+    * so a prefix scan finds nearly the same candidates at a fraction of
+    * the cost.
+    *
+    * Scale: this is the bandwidth tier BETWEEN e4 (int8, 4×) and e7
+    * (PQ, 32×): the coarse pass reads `dims`/D of the vector bytes
+    * (8/64 = 12.5% here — with a column layout storing the prefix
+    * separately, the full vectors never leave disk for non-candidates),
+    * scores with the same fused kernel, and keeps the bounded top-m
+    * aggregate shape of e1. The re-rank touches only queries × m full
+    * vectors via broadcast candidate joins — no corpus shuffle anywhere.
+    * Both stages are deterministic (rounded integral score, id
+    * tiebreak), so the DECLARED operator is the two-stage composition
+    * itself, hash-equal in both engines; recall vs the exact e1 answer
+    * is a measured ScaleCheck property, not a correctness one.
+    */
+  def twoStageTopK(emb: DataFrame, queryPred: Column, dims: Int = 8,
+      m: Int = 50, k: Int = 10): DataFrame = {
+    val q = emb.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val coarse = emb.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(
+        cosine(slice(col("embedding"), 1, dims), slice(col("qv"), 1, dims)) * 10000, 0))
+    val cand = rankTopK(coarse, "vec_id", m).select("query_id", "neighbor_id")
+    val exact = broadcast(cand)
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+        "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos", round(cosine(col("nv"), col("qv")) * 10000, 0))
+    rankTopKScaled(exact, "neighbor_id", k, "cos_x10k")
+  }
 }

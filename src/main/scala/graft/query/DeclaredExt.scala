@@ -220,26 +220,19 @@ object DeclaredExt {
     * which survives any scale where a user's history fits a sort spill.
     * Views are pre-deduped to one row per (user, ts) (max value — an
     * order-independent exact aggregate) so tie-matching is deterministic
-    * in both engines; ordering within the union is totalized by
-    * (ts, side, event_id). Oracle: DuckDB's native ASOF LEFT JOIN. */
+    * in both engines. Delegates to the reusable `ops.Joins.asofJoin`,
+    * which implements exactly this union + running-last shape.
+    * Oracle: DuckDB's native ASOF LEFT JOIN. */
   def q29(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
     val views = ev.where(col("event_type") === "view")
-      .groupBy("user_id", "ts").agg(max(col("value")).as("view_value"))
-      .select(col("user_id"), col("ts"), lit(0).as("side"),
-        col("ts").as("v_ts"), col("view_value"), lit(null).cast("long").as("event_id"))
+      .groupBy(col("user_id"), col("ts").as("v_ts"))
+      .agg(max(col("value")).as("view_value"))
     val clicks = ev.where(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), lit(1).as("side"),
-        lit(null).cast("timestamp").as("v_ts"), lit(null).cast("double").as("view_value"),
-        col("event_id"))
-    val w = Window.partitionBy("user_id").orderBy("ts", "side", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    views.unionByName(clicks)
-      .withColumn("m",
-        last(when(col("side") === 0, struct(col("v_ts"), col("view_value"))), true).over(w))
-      .where(col("side") === 1)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    graft.ops.Joins.asofJoin(clicks, views, "user_id", "ts", "v_ts")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
-        col("m.v_ts").as("view_ts"), col("m.view_value").as("view_value"))
+        col("v_ts").as("view_ts"), col("view_value"))
       .orderBy("click_id")
       .limit(200)
   }
@@ -272,6 +265,23 @@ object DeclaredExt {
         .otherwise(0)).as("n_prior"))
       .orderBy("event_id")
       .limit(200)
+  }
+
+  /** Q37 — symmetric proximity pairs (every error ↔ click by the same
+    * user within ±1 h) via the reusable banded `ops.Joins.rangeJoin`:
+    * the inner-pair complement to q30's one-sided left-join count. The
+    * plan is one (user_id, bucket) equi-join — no nested-loop probe —
+    * and the exact microsecond delta is part of the hashed output. */
+  def q37(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val errs = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"), col("ts").as("err_ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    graft.ops.Joins.rangeJoin(errs, clicks, "user_id", "err_ts", "click_ts", -3600L, 3600L)
+      .select(col("err_id"), col("click_id"), col("dt_us"))
+      .orderBy("err_id", "click_id")
+      .limit(300)
   }
 
   /** Q31 — PIVOT: per-user value totals spread across event-type columns.
@@ -374,7 +384,8 @@ object DeclaredExt {
     "q33_star_join"      -> (q33 _),
     "q34_sliding_window" -> (q34 _),
     "q35_explode_pos"    -> (q35 _),
-    "q36_string_agg"     -> (q36 _))
+    "q36_string_agg"     -> (q36 _),
+    "q37_proximity_pairs" -> (q37 _))
 
   val oracleSql: Map[String, String] = Map(
     "q31_pivot" -> {
@@ -416,6 +427,14 @@ object DeclaredExt {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id LIMIT 300""".stripMargin,
+    "q37_proximity_pairs" ->
+      """SELECT e.event_id AS err_id, c.event_id AS click_id,
+        |       epoch_us(c.ts) - epoch_us(e.ts) AS dt_us
+        |FROM events e JOIN events c
+        |  ON e.user_id = c.user_id
+        | AND c.ts BETWEEN e.ts - INTERVAL 3600 SECOND AND e.ts + INTERVAL 3600 SECOND
+        |WHERE e.event_type = 'error' AND c.event_type = 'click'
+        |ORDER BY err_id, click_id LIMIT 300""".stripMargin,
     "q30_range_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec
         |           FROM events WHERE event_type = 'error'),
