@@ -211,8 +211,13 @@ object Bench {
         f""""spark_comparable":$sparkComp%.4f,"spark_comparable_min":$sparkCompMin%.4f,"duck_total":$duckTotal%.4f,"duck_total_min":$duckTotalMin%.4f,"duck_n":${duckMed.size},"ratio":$ratio%.4f,"ratio_min":$ratioMin%.4f,"window":"$window","d10_canary_min":$canaryMin%.4f"""
     val duckQ = if (duckMed.isEmpty) ""
       else s""""duck_queries":$djson,"duck_queries_min":$dminJson,"""
+    // Per-query Spark minima: the per-query side of ratio_min, so a
+    // degraded-window artifact is still diagnosable query-by-query
+    // (which floors moved vs which medians merely absorbed a burst).
+    val qminJson = results.collect { case (k, v) if v >= 0 =>
+      "\"" + k + "\":" + f"${samples(k).min}%.4f" }.mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total","queries":$qjson,$duckQ"errors":$ejson,"sf":"$sfDir","unit":"sec","value":$total%.4f,"value_min":$totalMin%.4f,$pair}"""
+      f"""{"metric":"total","queries":$qjson,"queries_min":$qminJson,$duckQ"errors":$ejson,"sf":"$sfDir","unit":"sec","value":$total%.4f,"value_min":$totalMin%.4f,$pair}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try Files.writeString(Paths.get(out), line + "\n")

@@ -697,11 +697,18 @@ object Similarity {
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(
         cosine(slice(col("embedding"), 1, dims), slice(col("qv"), 1, dims)) * 10000, 0))
-    val cand = rankTopK(coarse, "vec_id", m).select("query_id", "neighbor_id")
+    // Bounded top-m per query; qv rides through the aggregate (it is
+    // functionally dependent on the grouping key), so the re-rank needs
+    // only ONE broadcast join back to the corpus — no second q join, and
+    // no intermediate presentation sort on the discarded coarse ranks.
+    val cand = coarse.groupBy("query_id")
+      .agg(graft.functions.TopKByScoreAgg.column(m, col("cos"), col("vec_id")).as("top"),
+        first(col("qv")).as("qv"))
+      .select(col("query_id"), col("qv"), explode(col("top")).as("nb"))
+      .select(col("query_id"), col("qv"), col("nb._2").as("neighbor_id"))
     val exact = broadcast(cand)
       .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
         "neighbor_id")
-      .join(broadcast(q), "query_id")
       .withColumn("cos", round(cosine(col("nv"), col("qv")) * 10000, 0))
     rankTopKScaled(exact, "neighbor_id", k, "cos_x10k")
   }
