@@ -67,6 +67,27 @@ object ShingleKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Element-wise 60-bit md5 of a string ARRAY (same hash as
+    * md5WordHashes), length-preserving, no dedup: d10's candidate
+    * pipeline tokens. Shuffling/sorting/joining 8-byte longs instead of
+    * multi-word shingle strings cuts the candidate stage's exchange
+    * bytes ~4x and makes its window sorts integer compares. */
+  def md5ArrayHashes(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val md = md5()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      var v = 0L
+      var j = 0
+      while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      out(i) = v >>> 4
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Static per-row kernels for the vector-scoring expressions (cosine,
@@ -709,6 +730,28 @@ object Expressions {
       copy(child = newChild)
   }
 
+  /** Element-wise 60-bit md5 over a string array (see
+    * ShingleKernels.md5ArrayHashes). Codegen-native like Md5WordHashes. */
+  case class Md5ArrayHashes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      ShingleKernels.md5ArrayHashes(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.md5ArrayHashes($c)")
+    override protected def withNewChildInternal(newChild: Expression): Md5ArrayHashes =
+      copy(child = newChild)
+  }
+
+  /** See WordShinglesFallback. */
+  case class Md5ArrayHashesFallback(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      ShingleKernels.md5ArrayHashes(input.asInstanceOf[ArrayData])
+    override protected def withNewChildInternal(newChild: Expression): Md5ArrayHashesFallback =
+      copy(child = newChild)
+  }
+
   /** Per-k xor "permutation" constants for the PORTABLE MinHash variant:
     * 60-bit masks derived from splitmix64(k+1) — xor by a constant is a
     * bijection of the 60-bit hash space, so min-over-xor is a valid
@@ -844,6 +887,9 @@ object Expressions {
   def md5WordHashes(c: Column): Column =
     column(if (kernelCodegenInterpreted) Md5WordHashesFallback(expression(c))
            else Md5WordHashes(expression(c)))
+  def md5ArrayHashes(c: Column): Column =
+    column(if (kernelCodegenInterpreted) Md5ArrayHashesFallback(expression(c))
+           else Md5ArrayHashes(expression(c)))
   def rollingFp(c: Column): Column = column(RollingFp(expression(c)))
   def countWordsIn(c: Column, words: Seq[String]): Column =
     column(CountWordsIn(expression(c), words))

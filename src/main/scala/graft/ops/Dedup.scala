@@ -421,7 +421,19 @@ object Dedup {
   private[graft] def jaccardCandidates(withSh: DataFrame, num: Int, den: Int,
       width: Int = 0): DataFrame = {
     val w = if (width > 0) width else jaccardWidth(withSh)
-    val ex = withSh.select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("g"))
+    // Candidate tokens are 60-bit md5 hashes of the shingles, not the
+    // shingle strings: the pipeline below shuffles the postings three
+    // times, window-sorts them twice, and self-joins on the token — on
+    // 8-byte longs all of that is integer work and ~4x fewer exchange
+    // bytes. Correctness is unaffected WITH or WITHOUT collisions: the
+    // prefix/positional theorems hold under ANY total order of a common
+    // token universe, and a collision only ever MERGES tokens, which
+    // raises the candidate stage's Jaccard upper bound — extra candidate
+    // pairs the exact string-level verify in jaccardJoin then kills.
+    // False negatives cannot arise; the output stays bit-exact.
+    val ex = withSh
+      .select(col("doc_id"), size(col("s")).as("n"),
+        explode(graft.functions.Expressions.md5ArrayHashes(col("s"))).as("g"))
       .repartition(w, col("g"))
     // Document frequency as a partition-group COUNT on the g-clustered
     // postings — not a separate groupBy branch: the former

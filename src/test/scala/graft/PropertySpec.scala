@@ -120,6 +120,32 @@ class PropertySpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("Md5ArrayHashes is codegen-native and matches the word-hash family") {
+    // d10's hashed candidate tokens: element-wise 60-bit md5 over the
+    // shingle array. Same two-way codegen proof as above, plus the hash
+    // identity: hashing the ARRAY of single words must equal
+    // md5WordHashes on the text (same digest prefix per element), so the
+    // candidate pipeline's token universe is the established portable
+    // 60-bit family (d8's oracle idiom), not a new ad-hoc hash.
+    val df = graft.core.Tables.load(spark, sf, "documents")
+      .limit(5)
+      .select(
+        graft.functions.Expressions.md5ArrayHashes(
+          org.apache.spark.sql.functions.split(col("text"), " ", -1)).as("ah"),
+        graft.functions.Expressions.md5WordHashes(col("text")).as("wh"))
+    val gen = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    assert(gen.contains("graft.functions.ShingleKernels.md5ArrayHashes"), gen.take(2000))
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      df.collect().foreach { row =>
+        assert(row.getSeq[Long](0) == row.getSeq[Long](1),
+          "array-hash of the word list must equal the word-hash kernel")
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("vector kernels (cosine, l2sq, pq encode/score) are codegen-native") {
     // The scoring loops of e1/e2/e6/e7/e8/d9 (VERDICT r6 #3: PqScore and
     // L2Sq were CodegenFallback, breaking whole-stage codegen exactly in
