@@ -67,6 +67,46 @@ object Bench {
     System.gc()
     Thread.sleep(2000)
 
+    // Diagnostic mode (not the graded path): split each query's cost into
+    // plan (analysis+optimization+physical planning+codegen lookup) vs
+    // execute, to see how much of the sub-second floor is Catalyst.
+    if (sys.env.get("SPARK_GRAFT_PROBE").contains("planning")) {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val stages = new java.util.concurrent.atomic.AtomicInteger
+      val tasks = new java.util.concurrent.atomic.AtomicInteger
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          stages.addAndGet(j.stageInfos.size)
+          tasks.addAndGet(j.stageInfos.map(_.numTasks).sum)
+        }
+      })
+      // Raw dispatch calibration: warm empty jobs of 1 and 2 stages.
+      for (_ <- 1 to 3) { spark.range(32).count(); spark.range(32).repartition(8).count() }
+      for (i <- 1 to 5) {
+        val a0 = System.nanoTime(); spark.range(32).count()
+        val a1 = System.nanoTime(); spark.range(32).repartition(8).count()
+        val a2 = System.nanoTime(); spark.range(32, 32 + 32, 1, 4).count()
+        val a3 = System.nanoTime(); spark.range(32, 32 + 32, 1, 1).count()
+        val a4 = System.nanoTime()
+        System.err.println(f"[probe] calib$i 32task ${(a1 - a0) / 1e9}%.3f " +
+          f"2stage ${(a2 - a1) / 1e9}%.3f 4task ${(a3 - a2) / 1e9}%.3f 1task ${(a4 - a3) / 1e9}%.3f")
+      }
+      qs.foreach { case (name, fn) =>
+        jobs.set(0); stages.set(0); tasks.set(0)
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        df.queryExecution.executedPlan // forces full planning
+        val t1 = System.nanoTime()
+        df.collect()
+        val t2 = System.nanoTime()
+        Thread.sleep(50) // let listener events drain
+        System.err.println(f"[probe] $name plan ${(t1 - t0) / 1e9}%.3f " +
+          f"exec ${(t2 - t1) / 1e9}%.3f jobs ${jobs.get} stages ${stages.get} tasks ${tasks.get}")
+      }
+      spark.stop(); return
+    }
+
     // A failing query is recorded as -1 and listed in "errors" — silently
     // timing the throw would publish a bogus (small) duration and HIDE the
     // regression (ADVICE r2).

@@ -58,16 +58,20 @@ object Tables {
   private def relayout(spark: SparkSession, dir: String, name: String): String =
     Tables.synchronized {
       // Split count scales with bytes, capped by the session's cores.
-      // Two regimes (measured): numeric scan-bound tables want ~256 KB
-      // compressed per split — finer splits just multiply per-task
-      // dispatch cost (a 2.7 MB orders at 64 KB splits made a trivial
-      // group-by 2× SLOWER than the single-task original); the text /
-      // vector corpus tables (documents, embeddings) carry ~10× the
-      // per-byte CPU (shingling, hashing, per-row folds) and want
-      // ~64 KB splits so those loops actually parallelize.
+      // Three regimes (measured; re-measured r7 when a dispatch-latency
+      // probe put this host's fixed cost at ~30 ms per job + ~3 ms per
+      // task): numeric scan-bound tables want ~512 KB compressed per
+      // split — their per-split compute is tens of µs, so finer splits
+      // just multiply per-task dispatch cost (a 2.7 MB orders at 64 KB
+      // splits made a trivial group-by 2× SLOWER than the single-task
+      // original); documents carries ~10× the per-byte CPU (shingling,
+      // hashing) and keeps ~64 KB splits so those loops actually
+      // parallelize; embeddings' vector folds are codegen'd tight loops
+      // (µs/row), between the two — ~128 KB.
       val srcPath = java.nio.file.Paths.get(s"$dir/$name.parquet")
       val bytes = java.nio.file.Files.size(srcPath)
-      val perSplitShift = if (name == "documents" || name == "embeddings") 16 else 18
+      val perSplitShift =
+        if (name == "documents") 16 else if (name == "embeddings") 17 else 19
       val n = math.max(2, math.min(
         math.min(spark.sparkContext.defaultParallelism, 32),
         (bytes >> perSplitShift).toInt))
