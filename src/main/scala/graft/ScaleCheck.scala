@@ -235,6 +235,26 @@ object ScaleCheck {
           s"uncapped_queries=${g.map(_._1).size}")
       }
 
+      // e10: recall of the two-stage (prefix-coarse -> exact re-rank)
+      // top-k vs the exact e1 answer, swept over candidate budget m and
+      // prefix width dims. On this ISOTROPIC corpus the prefix carries
+      // only dims/64 of the signal, so absolute recall is honestly low
+      // at dims=8 — the operator's target is Matryoshka-trained
+      // embeddings; what must hold here is monotonicity in both knobs.
+      {
+        val exact = pairSet(graft.ops.Similarity.cosineTopK(emb, col("vec_id") < 10)
+          .select("query_id", "neighbor_id"))
+        val rows = for (dims <- Seq(8, 16, 32); m <- Seq(50, 200)) yield {
+          val two = pairSet(graft.ops.Similarity.twoStageTopK(
+              emb, col("vec_id") < 10, dims = dims, m = m)
+            .select("query_id", "neighbor_id"))
+          val rec = if (exact.isEmpty) 1.0
+            else two.intersect(exact).size.toDouble / exact.size
+          f"d${dims}m$m=$rec%.3f"
+        }
+        println(s"E10TWOSTAGE $dir ${rows.mkString(" ")}")
+      }
+
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         val n = try fn(spark, dir).count() catch { case _: Throwable => -1L }
         println(s"ROWS $dir $name $n")
