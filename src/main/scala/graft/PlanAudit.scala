@@ -253,6 +253,18 @@ object PlanAudit {
       "no cartesian product over the corpus (query fan-out is the broadcast crossJoin)" ->
         (p => !p.contains("CartesianProduct")))
 
+    audit("s7_mixture_sample", qs("s7_mixture_sample")(spark, sfDir),
+      "per-group thresholds broadcast back onto one map-only corpus pass" ->
+        (_.contains("BroadcastHashJoin")),
+      "the only Window is the groups-sized Tstar min inside the broadcast subtree" ->
+        (p => "Window \\(\\d+\\)".r.findAllIn(p).toSet.size <= 1 &&
+          !p.linesIterator.exists(l => l.contains("Window") && l.contains("doc_id"))))
+
+    audit("t13_quantile_audit", qs("t13_quantile_audit")(spark, sfDir),
+      "one aggregation pass: exact percentiles and the sketch share a single shuffle" ->
+        (p => p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1),
+      "no join, no corpus window" -> (p => !p.contains("Join")))
+
     println(s"\nplan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -96,7 +96,9 @@ object DeclaredOps {
       Similarity.crossContamination(emb(s, dir), col("vec_id") % 11 === 0)),
     "s6_weighted_sample" -> ((s, dir) => Sampling.weightedCounts(docs(s, dir))),
     "e10_twostage_topk" -> ((s, dir) =>
-      Similarity.twoStageTopK(emb(s, dir), col("vec_id") < 5)))
+      Similarity.twoStageTopK(emb(s, dir), col("vec_id") < 5)),
+    "s7_mixture_sample" -> ((s, dir) => Sampling.mixtureCounts(docs(s, dir))),
+    "t13_quantile_audit" -> ((s, dir) => TextAnalysis.quantileAudit(docs(s, dir))))
 
   // ---- DuckDB oracle SQL ----
 
@@ -683,5 +685,31 @@ object DeclaredOps {
          |    row_number() OVER (PARTITION BY cand.query_id ORDER BY $DuckCos DESC, c.vec_id) AS rn
          |  FROM cand JOIN c ON cand.vec_id = c.vec_id
          |            JOIN q ON cand.query_id = q.query_id)
-         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin)
+         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+
+    // Mixture planner: T* = min_g floor(n_g*1000/w_g) is the largest
+    // total the corpus serves without oversampling any group; per-group
+    // keep rate = floor(1000 * floor(w*T*/1000) / n_g) permille applied
+    // to the id-hash bucket. All integer floors in both engines.
+    "s7_mixture_sample" ->
+      """WITH sizes AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY 1),
+        |w(lang, w) AS (VALUES ('en', 500), ('zh', 200), ('de', 150), ('es', 100), ('fr', 50)),
+        |t AS (SELECT min(n_g * 1000 // w) AS tstar FROM sizes JOIN w USING (lang)),
+        |th AS (SELECT s.lang, CAST(1000 * (w.w * t.tstar // 1000) // s.n_g AS INT) AS permille
+        |       FROM sizes s JOIN w ON s.lang = w.lang CROSS JOIN t)
+        |SELECT d.lang, th.permille, count(*) AS n
+        |FROM documents d JOIN th ON d.lang = th.lang
+        |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS UBIGINT) % 1000
+        |      < th.permille
+        |GROUP BY 1, 2 ORDER BY d.lang""".stripMargin,
+
+    // Exact quantiles hashed; the sketch value is NOT hashed (GK merge
+    // results legitimately vary with merge order inside the bound), only
+    // the audit flag — `true` on the oracle side, the t6 idiom.
+    "t13_quantile_audit" ->
+      """SELECT lang, count(*) AS n,
+        |CAST(round(quantile_cont(n_chars, 0.5) * 100) AS BIGINT) AS p50_x100,
+        |CAST(round(quantile_cont(n_chars, 0.75) * 100) AS BIGINT) AS p75_x100,
+        |true AS approx_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
 }

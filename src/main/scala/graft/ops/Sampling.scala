@@ -78,6 +78,48 @@ object Sampling {
       .groupBy("lang").agg(count(lit(1)).as("n"))
       .orderAgg("lang")
 
+  /** Target-mixture downsampling rates: given per-group target weights
+    * (permille of the FINAL corpus), find the largest total Tstar the
+    * corpus can serve without oversampling any group — Tstar =
+    * min_g floor(n_g·1000/w_g) — and each group's keep-rate toward
+    * w_g·Tstar/1000 rows. This is the corpus-mixing planner (s2 is the
+    * special case of uniform targets): "train on 50% en, 20% zh, ..."
+    * becomes per-group deterministic id-hash keep thresholds. All
+    * arithmetic is integer floors, so the selected set is a pure
+    * function of (ids, group sizes, weights) — reproducible across
+    * engines, partitionings, and retries.
+    *
+    * Scale: group sizes are a groups-sized aggregate; Tstar is a window
+    * min over that tiny frame; the thresholds broadcast back onto ONE
+    * map-only filtered pass of the corpus — the s2 shape exactly. */
+  def mixtureSample(docs: DataFrame, id: Column, group: Column,
+      targetsPermille: Seq[(String, Int)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = targetsPermille.toDF("g", "w")
+    val sizes = docs.groupBy(group.as("g")).agg(count(lit(1)).as("n_g"))
+      .join(broadcast(w), "g")
+    // All divisions are integer `div` floors (Spark `/` is double division).
+    val tstar = min(expr("n_g * 1000 div w")).over(Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing))
+    val thresholds = sizes
+      .withColumn("tstar", tstar)
+      .withColumn("kept", expr("w * tstar div 1000"))
+      .select(col("g"), expr("CAST(1000 * kept div n_g AS INT)").as("permille"))
+    docs.join(broadcast(thresholds), group === col("g"))
+      .where(hashBucket(id) % 1000 < col("permille"))
+      .drop("g")
+  }
+
+  /** Declared query: realized per-language counts and rates under a
+    * 50/20/15/10/5 target mixture — the audit table a mixing run checks
+    * before training. */
+  def mixtureCounts(docs: DataFrame): DataFrame =
+    mixtureSample(docs, col("doc_id"), col("lang"),
+      Seq("en" -> 500, "zh" -> 200, "de" -> 150, "es" -> 100, "fr" -> 50))
+      .groupBy("lang", "permille").agg(count(lit(1)).as("n"))
+      .orderAgg("lang")
+
   /** Deterministic per-ROW weighted (importance) sampling: keep a row
     * with probability `weightPermille`/1000 where the weight is a pure
     * function of the row itself — the importance-mixing primitive (s2's

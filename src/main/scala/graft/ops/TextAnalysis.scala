@@ -315,4 +315,38 @@ object TextAnalysis {
         graft.functions.Expressions.md5WordHashes(col("text"))).as("fp"))
     if (ordered) out.orderSmall("doc_id") else out
   }
+
+  /** Quantile sketch audit (the t6 pattern for percentiles): per-language
+    * EXACT p50/p75 of document length next to an `approx_ok` flag
+    * asserting the GK sketch (`approx_percentile`, 1% rank accuracy)
+    * landed inside the generous ±5%-rank value window. The hashed surface
+    * is the exact quantiles and the flag — the sketch VALUE is not
+    * hashed, because GK merge results legitimately vary with partition
+    * merge order inside their error bound; what a pipeline audits is
+    * that the bound holds. p ∈ {0.5, 0.75} keeps the interpolation
+    * fractions exact in binary ((n-1)·p mod 1 ∈ {0,.25,.5,.75}), so the
+    * ×100-scaled exact quantiles are exact integers in both engines.
+    *
+    * Scale: one pass, map-side partial aggregates; exact percentiles
+    * sort per (lang) group — at corpus scale the exact side is the
+    * expensive audit run occasionally, the sketch is the cheap
+    * always-on metric (the same economics as t6's NDV audit). */
+  def quantileAudit(docs: DataFrame): DataFrame =
+    docs.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n"),
+        graft.functions.StableAgg.scaledLong(
+          expr("percentile(n_chars, 0.5D)"), 100).as("p50_x100"),
+        graft.functions.StableAgg.scaledLong(
+          expr("percentile(n_chars, 0.75D)"), 100).as("p75_x100"),
+        expr("approx_percentile(n_chars, 0.5D, 100)").as("a50"),
+        expr("approx_percentile(n_chars, 0.75D, 100)").as("a75"),
+        expr("percentile(n_chars, 0.45D)").as("lo50"),
+        expr("percentile(n_chars, 0.55D)").as("hi50"),
+        expr("percentile(n_chars, 0.70D)").as("lo75"),
+        expr("percentile(n_chars, 0.80D)").as("hi75"))
+      .select(col("lang"), col("n"), col("p50_x100"), col("p75_x100"),
+        (col("a50").cast("double").between(col("lo50"), col("hi50")) &&
+         col("a75").cast("double").between(col("lo75"), col("hi75"))).as("approx_ok"))
+      .orderAgg("lang")
 }

@@ -121,6 +121,48 @@ class JoinsSpec extends GraftSuite {
     assert(again == lo)
   }
 
+  test("mixtureSample: no group oversampled, binding group kept whole, deterministic") {
+    val docs = Tables.load(spark, sf, "documents")
+    val targets = Seq("en" -> 500, "zh" -> 200, "de" -> 150, "es" -> 100, "fr" -> 50)
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tstar = targets.map { case (l, w) => sizes(l) * 1000L / w }.min
+    val kept = Sampling.mixtureSample(docs, col("doc_id"), col("lang"), targets)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    targets.foreach { case (l, w) =>
+      val target = w * tstar / 1000L
+      assert(kept(l) <= sizes(l), s"$l oversampled")
+      // the hash filter realizes the permille rate within small-n noise
+      assert(math.abs(kept(l) - target) <= math.max(5L, sizes(l) / 5),
+        s"$l kept=${kept(l)} target=$target n=${sizes(l)}")
+    }
+    val binding = targets.minBy { case (l, w) => sizes(l) * 1000L / w }._1
+    assert(kept(binding) >= sizes(binding) - 1,
+      s"binding group $binding must be kept (nearly) whole: ${kept(binding)}/${sizes(binding)}")
+    val again = Sampling.mixtureSample(docs, col("doc_id"), col("lang"), targets)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+  }
+
+  test("quantileAudit: exact quantiles match driver-side sort, sketch flag holds") {
+    val docs = Tables.load(spark, sf, "documents")
+    val byLang = docs.select("lang", "n_chars").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1).toInt).sorted).toMap
+    def pct(v: Array[Int], p: Double): Double = {
+      val pos = (v.length - 1) * p
+      val lo = pos.toInt
+      if (lo == v.length - 1) v(lo)
+      else v(lo) + (v(lo + 1) - v(lo)) * (pos - lo)
+    }
+    graft.ops.TextAnalysis.quantileAudit(docs).collect().foreach { r =>
+      val v = byLang(r.getString(0))
+      assert(r.getLong(2) == math.round(pct(v, 0.5) * 100), s"p50 ${r.getString(0)}")
+      assert(r.getLong(3) == math.round(pct(v, 0.75) * 100), s"p75 ${r.getString(0)}")
+      assert(r.getBoolean(4), s"approx_ok must hold for ${r.getString(0)}")
+    }
+  }
+
   test("twoStageTopK at full dims with m >= corpus equals exact cosineTopK") {
     val emb = Tables.load(spark, sf, "embeddings")
     val n = emb.count().toInt
