@@ -265,6 +265,23 @@ object PlanAudit {
         (p => p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1),
       "no join, no corpus window" -> (p => !p.contains("Join")))
 
+    audit("d12_substring_dedup", qs("d12_substring_dedup")(spark, sfDir),
+      "no cartesian product; pair formation is the per-fingerprint equi-join" ->
+        (p => !p.contains("CartesianProduct")),
+      "df filter and both self-join sides reuse the single pinned h exchange" ->
+        (_.contains("ReusedExchange")),
+      "postings shuffle 60-bit longs, never window text" ->
+        (p => !p.linesIterator.exists(l =>
+          l.contains("Exchange hashpartitioning") && l.contains("concat_ws"))))
+
+    audit("t14_pmi_quality", qs("t14_pmi_quality")(spark, sfDir),
+      "no cartesian product over the corpus (N attaches via broadcast)" ->
+        (p => !p.contains("CartesianProduct")),
+      "stats enrich + occurrence join are broadcast, corpus never shuffles for them" ->
+        (_.contains("BroadcastHashJoin")),
+      "corpus-sized data crosses only the c12 and per-doc aggregate exchanges" ->
+        (p => p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 4))
+
     println(s"\nplan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

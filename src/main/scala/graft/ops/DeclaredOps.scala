@@ -98,7 +98,9 @@ object DeclaredOps {
     "e10_twostage_topk" -> ((s, dir) =>
       Similarity.twoStageTopK(emb(s, dir), col("vec_id") < 5)),
     "s7_mixture_sample" -> ((s, dir) => Sampling.mixtureCounts(docs(s, dir))),
-    "t13_quantile_audit" -> ((s, dir) => TextAnalysis.quantileAudit(docs(s, dir))))
+    "t13_quantile_audit" -> ((s, dir) => TextAnalysis.quantileAudit(docs(s, dir))),
+    "d12_substring_dedup" -> ((s, dir) => Dedup.substringDedup(docs(s, dir))),
+    "t14_pmi_quality" -> ((s, dir) => TextAnalysis.pmiQuality(docs(s, dir))))
 
   // ---- DuckDB oracle SQL ----
 
@@ -711,5 +713,51 @@ object DeclaredOps {
         |CAST(round(quantile_cont(n_chars, 0.5) * 100) AS BIGINT) AS p50_x100,
         |CAST(round(quantile_cont(n_chars, 0.75) * 100) AS BIGINT) AS p75_x100,
         |true AS approx_ok
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Unaligned duplicated spans: stride-1 8-word windows fingerprinted
+    // to the SAME 60-bit md5 integer both engines derive; cross-doc
+    // matches merged along diagonals (a_pos - b_pos) into maximal spans
+    // by gaps-and-islands. Stop-window cap df<=64 is part of the
+    // declared semantics (mirrored here).
+    "d12_substring_dedup" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wins AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    CAST(concat('0x', substr(md5(array_to_string(w[i+1:i+8], ' ')), 1, 15)) AS UBIGINT) AS h
+        |  FROM words, UNNEST(range(0, greatest(len(w) - 7, 0))) AS t(i)),
+        |stats AS (SELECT h, count(DISTINCT doc_id) AS df FROM wins GROUP BY 1),
+        |good AS (SELECT wins.* FROM wins JOIN stats USING (h) WHERE df BETWEEN 2 AND 64),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS a_pos,
+        |         a.pos - b.pos AS d
+        |  FROM good a JOIN good b USING (h) WHERE a.doc_id < b.doc_id),
+        |isl AS (
+        |  SELECT doc_a, doc_b, d, a_pos,
+        |    a_pos - row_number() OVER (PARTITION BY doc_a, doc_b, d ORDER BY a_pos) AS g
+        |  FROM pairs)
+        |SELECT doc_a, doc_b, min(a_pos) AS a_start, min(a_pos) - d AS b_start,
+        |       count(*) + 7 AS span_words
+        |FROM isl GROUP BY doc_a, doc_b, d, g
+        |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
+
+    // Integer-PMI bigram coherence (the log-free determinism rule:
+    // pmi_x1000 = 1000*N*c12/(c1*c2) under integer floors, identical in
+    // any engine; a float log/avg would drift in the last ulp).
+    "t14_pmi_quality" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |big AS (
+        |  SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+        |  FROM words, UNNEST(range(0, greatest(len(w) - 1, 0))) AS t(i)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+        |c2 AS (SELECT w2, sum(c12) AS c2 FROM c12 GROUP BY 1),
+        |n AS (SELECT sum(c12) AS n FROM c12),
+        |stats AS (
+        |  SELECT w1, w2, CAST(c12 * 1000 * n // (c1 * c2) AS BIGINT) AS pmi_x1000
+        |  FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(pmi_x1000) // count(*) AS BIGINT) AS pmi_score
+        |FROM big b JOIN stats USING (w1, w2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

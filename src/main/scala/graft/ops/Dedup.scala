@@ -511,6 +511,63 @@ object Dedup {
     if (ordered) out.orderAgg("chunk_md5") else out
   }
 
+  /** UNALIGNED duplicated-span detection — the substring-dedup view of a
+    * corpus that `chunkDedup`'s aligned chunks cannot see (a passage
+    * copied at word offset 3 never lines up with a 20-word chunk grid).
+    * Published form: suffix-array substring dedup over the concatenated
+    * corpus; the Spark-native equivalent is rolling fingerprints + a
+    * diagonal-run merge, which keeps every stage key-partitioned:
+    *
+    *  1. stride-1 `width`-word windows per document, fingerprinted to
+    *     60-bit md5 longs (the d10 token idiom — integer shuffles);
+    *  2. fingerprints seen in 2..`dfCap` distinct docs form an inverted
+    *     index (the cap drops boilerplate "stop windows", d7's
+    *     stop-shingle idiom, bounding join fan-out to df² per posting);
+    *  3. cross-doc posting pairs land on a DIAGONAL d = a_pos - b_pos;
+    *     a shared span of L words is exactly a run of L-width+1
+    *     consecutive a_pos on one diagonal, so a gaps-and-islands pass
+    *     (row_number per (pair, diagonal)) merges windows into MAXIMAL
+    *     shared spans — (doc_a, doc_b, a_start, b_start, span_words).
+    *
+    * The fingerprint IS the declared match key (both engines derive the
+    * identical 60-bit integer), so the result is deterministic and
+    * oracle-exact by construction rather than by collision probability.
+    *
+    * Scale: postings are linear in corpus words; the self-join is
+    * per-fingerprint with fan-out ≤ dfCap²; islands shuffle once on
+    * (pair, diagonal). No stage is quadratic in the corpus. */
+  def substringDedup(docs: DataFrame, width: Int = 8, dfCap: Int = 64,
+      ordered: Boolean = true): DataFrame = {
+    val wins = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= width)
+      .select(col("doc_id"), posexplode(graft.functions.Expressions.md5ArrayHashes(expr(
+        s"""transform(sequence(0, size(w) - $width),
+           |  i -> concat_ws(' ', slice(w, i + 1, $width)))""".stripMargin))))
+      .toDF("doc_id", "pos", "h")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+      // Pin ONE h-exchange: the df aggregate below and both sides of the
+      // posting self-join all read it back as ReusedExchange.
+      .repartition(col("h"))
+    val stats = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df").between(2, dfCap))
+    val good = wins.join(stats, "h").select("h", "doc_id", "pos")
+    val pairs = good.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("a_pos"))
+      .join(good.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("b_pos")), "h")
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), (col("a_pos") - col("b_pos")).as("d"), col("a_pos"))
+    val wIsl = Window.partitionBy("doc_a", "doc_b", "d").orderBy("a_pos")
+    val out = pairs
+      .withColumn("g", col("a_pos") - row_number().over(wIsl))
+      .groupBy("doc_a", "doc_b", "d", "g")
+      .agg(min(col("a_pos")).as("a_start"), count(lit(1)).as("nw"))
+      .select(col("doc_a"), col("doc_b"), col("a_start"),
+        (col("a_start") - col("d")).as("b_start"),
+        (col("nw") + (width - 1)).as("span_words"))
+    if (ordered) out.orderAgg("doc_a", "doc_b", "a_start", "b_start") else out
+  }
+
   /** Top-k documents by 3-shingle Jaccard similarity to a query string —
     * a map-only scan + TakeOrdered; no pairs, no shuffle beyond top-k. */
   def ngramJaccardTopK(docs: DataFrame, query: String, k: Int = 20): DataFrame = {

@@ -331,6 +331,51 @@ object TextAnalysis {
     * sort per (lang) group — at corpus scale the exact side is the
     * expensive audit run occasionally, the sketch is the cheap
     * always-on metric (the same economics as t6's NDV audit). */
+  /** Bigram-coherence quality score — the deterministic stand-in for
+    * LM-perplexity filtering (the CCNet/KenLM quality gate): documents
+    * whose word transitions are corpus-typical score near 1000, documents
+    * of rare transitions score high. The statistic is integer-scaled
+    * pointwise mutual information, pmi_x1000 = 1000·N·c12/(c1·c2) under
+    * integer floor division — log-free on purpose: float log/avg would
+    * make the hashed score engine-order-dependent in the last ulp, while
+    * integer floors are bit-identical in any engine (the s7/t13 rule).
+    *
+    * Scale: the bigram-occurrence frame is a map-only explode (linear in
+    * corpus words); c12/c1/c2 are one hash aggregate each; c1/c2/N
+    * (vocab-sized and scalar) broadcast onto the bigram-TYPE table, and
+    * that enriched stats table joins back to occurrences. At web scale
+    * the stats table is pruned to the top bigrams by count (stupid-
+    * backoff style) and the join stays an equi-join on (w1, w2); at
+    * declared scale it is broadcast-sized and the plan is one corpus
+    * pass + one corpus-side aggregate. */
+  def pmiQuality(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+    val big = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(w) - 2),
+          |  i -> named_struct('w1', element_at(w, i + 1), 'w2', element_at(w, i + 2)))"""
+          .stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // ONE corpus-side aggregate: c1/c2/N are rollups OF the bigram-type
+    // table (sum of c12 over w1 / over w2 / overall), not further corpus
+    // passes — the map-side-combined (w1,w2) aggregate is the only
+    // exchange that sees corpus-sized data.
+    val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val c2 = c12.groupBy("w2").agg(sum(col("c12")).as("c2"))
+    val n = c12.agg(sum(col("c12")).as("n"))
+    val stats = c12
+      .join(broadcast(c1), "w1").join(broadcast(c2), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), expr("c12 * 1000 * n div (c1 * c2)").as("pmi_x1000"))
+    val out = big.join(broadcast(stats), Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(pmi_x1000) div count(1)").as("pmi_score"))
+    if (ordered) out.orderAgg("doc_id") else out
+  }
+
   def quantileAudit(docs: DataFrame): DataFrame =
     docs.groupBy("lang")
       .agg(

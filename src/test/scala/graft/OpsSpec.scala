@@ -662,4 +662,69 @@ class OpsSpec extends GraftSuite {
     assert(got == truth, "broadcast-exact path must equal all-pairs ground truth")
     assert(got.nonEmpty, "test corpus must exercise the operator")
   }
+
+  test("substring dedup: spans are real word-equal substrings, match a local recompute") {
+    val width = 8
+    val byDoc = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    def fp60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    // Local recompute of the declared pipeline.
+    val posts = byDoc.toSeq.flatMap { case (id, w) =>
+      w.sliding(width).zipWithIndex.map { case (win, i) => (fp60(win.mkString(" ")), id, i.toLong) }
+    }
+    val dfOk = posts.groupBy(_._1).collect {
+      case (h, occ) if { val d = occ.map(_._2).distinct.size; d >= 2 && d <= 64 } => h
+    }.toSet
+    val good = posts.filter(p => dfOk(p._1))
+    val pairs = good.groupBy(_._1).values.flatMap { occ =>
+      for (a <- occ; b <- occ if a._2 < b._2) yield (a._2, b._2, a._3 - b._3, a._3)
+    }.toSeq
+    val local = pairs.groupBy(p => (p._1, p._2, p._3)).flatMap { case ((da, db, d), rows) =>
+      val sorted = rows.map(_._4).sorted
+      // gaps-and-islands: maximal runs of consecutive a_pos
+      val islands = sorted.foldLeft(List.empty[(Long, Long)]) {
+        case ((s, e) :: tl, p) if p == e + 1 => (s, p) :: tl
+        case (acc, p) => (p, p) :: acc
+      }
+      islands.map { case (s, e) => (da, db, s, s - d, e - s + width) }
+    }.toSet
+    val q = Dedup.substringDedup(docs)
+    val out = q.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(out == local)
+    assert(out.nonEmpty, "corpus must contain shared spans")
+    // Exactness beyond hash plumbing: every reported span is a genuinely
+    // word-equal substring of both documents.
+    out.foreach { case (da, db, as, bs, n) =>
+      val (wa, wb) = (byDoc(da), byDoc(db))
+      assert(wa.slice(as.toInt, (as + n).toInt).sameElements(
+        wb.slice(bs.toInt, (bs + n).toInt)), s"span mismatch $da/$db@$as/$bs+$n")
+    }
+    // AQE finalizes exchange reuse only after execution — q was collected
+    // above, so this is the final adaptive plan.
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "pair formation must stay key-partitioned")
+    assert(plan.contains("ReusedExchange"), "posting self-join must reuse the h exchange")
+  }
+
+  test("pmi quality: integer-PMI scores equal a local recompute") {
+    val byDoc = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val big = byDoc.toSeq.flatMap { case (id, w) =>
+      w.sliding(2).collect { case Array(a, b) => (id, a, b) }
+    }
+    val c12 = big.groupBy(x => (x._2, x._3)).view.mapValues(_.size.toLong).toMap
+    val c1 = big.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val c2 = big.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val n = big.size.toLong
+    val local = big.groupBy(_._1).map { case (id, rows) =>
+      val pmis = rows.map { case (_, a, b) => c12((a, b)) * 1000L * n / (c1(a) * c2(b)) }
+      id -> ((rows.size.toLong, pmis.sum / rows.size))
+    }
+    val out = TextAnalysis.pmiQuality(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == local)
+    // The score separates corpus-typical from rare-transition documents.
+    assert(out.values.map(_._2).toSet.size > 1, "score must discriminate")
+  }
 }
