@@ -282,6 +282,12 @@ object PlanAudit {
       "corpus-sized data crosses only the c12 and per-doc aggregate exchanges" ->
         (p => p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 4))
 
+    audit("t15_novelty", qs("t15_novelty")(spark, sfDir),
+      "no pair formation: postings join the df table, never themselves" ->
+        (p => !p.contains("CartesianProduct")),
+      "df aggregate and the join-back reuse the pinned h exchange" ->
+        (_.contains("ReusedExchange")))
+
     println(s"\nplan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

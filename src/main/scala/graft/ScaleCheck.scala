@@ -255,6 +255,29 @@ object ScaleCheck {
         println(s"E10TWOSTAGE $dir ${rows.mkString(" ")}")
       }
 
+      // d12: substring-dedup postings/pair/span growth across the decade,
+      // and what the stop-window df-cap buys. The join fan-out is
+      // Σ_h df_h² over KEPT fingerprints — the cap's job is to keep that
+      // sum linear when boilerplate windows appear (df > cap ⇒ dropped).
+      {
+        val wdf = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 8)
+          .select(col("doc_id"), explode(graft.functions.Expressions.md5ArrayHashes(expr(
+            "transform(sequence(0, size(w) - 8), i -> concat_ws(' ', slice(w, i + 1, 8)))"))).as("h"))
+        val dfs = wdf.groupBy("h").agg(countDistinct("doc_id").as("df"))
+        val fan = dfs.agg(count(lit(1)), max("df"),
+          sum(when(col("df").between(2, 64), expr("df*(df-1)/2")).otherwise(0L)),
+          sum(when(col("df") > 64, 1).otherwise(0))).head()
+        val spans = graft.ops.Dedup.substringDedup(docs, ordered = false)
+        val sp = spans.agg(count(lit(1)), max("span_words"),
+          sum(expr("span_words"))).head()
+        val tight = graft.ops.Dedup.substringDedup(docs, dfCap = 8, ordered = false).count()
+        println(s"D12SPANS $dir windows=${wdf.count()} fingerprints=${fan.get(0)} " +
+          s"max_df=${fan.get(1)} kept_pairs=${fan.get(2)} capped_out=${fan.get(3)} " +
+          s"spans=${sp.get(0)} max_span=${sp.get(1)} dup_words=${sp.get(2)} " +
+          s"spans_cap8=$tight")
+      }
+
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         val n = try fn(spark, dir).count() catch { case _: Throwable => -1L }
         println(s"ROWS $dir $name $n")

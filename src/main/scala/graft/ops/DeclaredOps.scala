@@ -100,7 +100,8 @@ object DeclaredOps {
     "s7_mixture_sample" -> ((s, dir) => Sampling.mixtureCounts(docs(s, dir))),
     "t13_quantile_audit" -> ((s, dir) => TextAnalysis.quantileAudit(docs(s, dir))),
     "d12_substring_dedup" -> ((s, dir) => Dedup.substringDedup(docs(s, dir))),
-    "t14_pmi_quality" -> ((s, dir) => TextAnalysis.pmiQuality(docs(s, dir))))
+    "t14_pmi_quality" -> ((s, dir) => TextAnalysis.pmiQuality(docs(s, dir))),
+    "t15_novelty" -> ((s, dir) => Dedup.noveltyScore(docs(s, dir))))
 
   // ---- DuckDB oracle SQL ----
 
@@ -759,5 +760,20 @@ object DeclaredOps {
         |SELECT b.doc_id, count(*) AS n_bigrams,
         |       CAST(sum(pmi_x1000) // count(*) AS BIGINT) AS pmi_score
         |FROM big b JOIN stats USING (w1, w2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Novelty / memorization risk: permille of a doc's 8-word windows
+    // repeated in >= 1 other document. Same 60-bit fingerprints as d12.
+    "t15_novelty" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wins AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(array_to_string(w[i+1:i+8], ' ')), 1, 15)) AS UBIGINT) AS h
+        |  FROM words, UNNEST(range(0, greatest(len(w) - 7, 0))) AS t(i)),
+        |dfs AS (SELECT h, count(DISTINCT doc_id) AS df FROM wins GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_windows,
+        |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS dup_permille
+        |FROM wins JOIN dfs USING (h)
         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -536,9 +536,11 @@ object Dedup {
     * Scale: postings are linear in corpus words; the self-join is
     * per-fingerprint with fan-out ≤ dfCap²; islands shuffle once on
     * (pair, diagonal). No stage is quadratic in the corpus. */
-  def substringDedup(docs: DataFrame, width: Int = 8, dfCap: Int = 64,
-      ordered: Boolean = true): DataFrame = {
-    val wins = docs
+  /** Stride-1 `width`-word window postings (doc_id, pos, 60-bit
+    * fingerprint) — shared by `substringDedup` and `noveltyScore` so the
+    * measured ScaleCheck growth is the pipeline's own. */
+  private[graft] def windowPostings(docs: DataFrame, width: Int): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= width)
       .select(col("doc_id"), posexplode(graft.functions.Expressions.md5ArrayHashes(expr(
@@ -546,6 +548,10 @@ object Dedup {
            |  i -> concat_ws(' ', slice(w, i + 1, $width)))""".stripMargin))))
       .toDF("doc_id", "pos", "h")
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+
+  def substringDedup(docs: DataFrame, width: Int = 8, dfCap: Int = 64,
+      ordered: Boolean = true): DataFrame = {
+    val wins = windowPostings(docs, width)
       // Pin ONE h-exchange: the df aggregate below and both sides of the
       // posting self-join all read it back as ReusedExchange.
       .repartition(col("h"))
@@ -566,6 +572,30 @@ object Dedup {
         (col("a_start") - col("d")).as("b_start"),
         (col("nw") + (width - 1)).as("span_words"))
     if (ordered) out.orderAgg("doc_a", "doc_b", "a_start", "b_start") else out
+  }
+
+  /** Per-document novelty / memorization-risk score: the permille of a
+    * document's stride-1 `width`-word windows that appear in at least
+    * one OTHER document. High dup_permille = the document is largely
+    * assembled from corpus-repeated passages (memorization risk /
+    * boilerplate); novelty filtering drops or downweights it. Integer
+    * output only (the log-free determinism rule).
+    *
+    * Unlike d12 this never forms pairs: window fingerprints → per-
+    * fingerprint distinct-doc count → join back → per-doc aggregate.
+    * Linear at any scale; the shuffles are the inverted-index build and
+    * one per-doc aggregate. */
+  def noveltyScore(docs: DataFrame, width: Int = 8,
+      ordered: Boolean = true): DataFrame = {
+    val wins = windowPostings(docs, width).repartition(col("h"))
+    val dfs = wins.groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
+    val out = wins.join(dfs, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        expr("n_dup * 1000 div n_windows").as("dup_permille"))
+    if (ordered) out.orderAgg("doc_id") else out
   }
 
   /** Top-k documents by 3-shingle Jaccard similarity to a query string —

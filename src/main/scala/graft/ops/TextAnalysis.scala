@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Out.SmallOrderOps
@@ -358,16 +359,16 @@ object TextAnalysis {
           .stripMargin)).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     // ONE corpus-side aggregate: c1/c2/N are rollups OF the bigram-type
-    // table (sum of c12 over w1 / over w2 / overall), not further corpus
-    // passes — the map-side-combined (w1,w2) aggregate is the only
-    // exchange that sees corpus-sized data.
+    // table (sum of c12 over w1 / over w2 / overall), computed as window
+    // sums on that tiny frame — not further corpus passes, and not
+    // separate aggregate+broadcast jobs (three fewer dispatches; the
+    // unbounded window is over bigram TYPES, never the corpus).
     val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
-    val c2 = c12.groupBy("w2").agg(sum(col("c12")).as("c2"))
-    val n = c12.agg(sum(col("c12")).as("n"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val stats = c12
-      .join(broadcast(c1), "w1").join(broadcast(c2), "w2")
-      .crossJoin(broadcast(n))
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy("w1")))
+      .withColumn("c2", sum(col("c12")).over(Window.partitionBy("w2")))
+      .withColumn("n", sum(col("c12")).over(wAll))
       .select(col("w1"), col("w2"), expr("c12 * 1000 * n div (c1 * c2)").as("pmi_x1000"))
     val out = big.join(broadcast(stats), Seq("w1", "w2"))
       .groupBy("doc_id")

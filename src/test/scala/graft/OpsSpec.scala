@@ -707,6 +707,30 @@ class OpsSpec extends GraftSuite {
     assert(plan.contains("ReusedExchange"), "posting self-join must reuse the h exchange")
   }
 
+  test("novelty score: dup-window permille equals a local recompute, no pair formation") {
+    val width = 8
+    val byDoc = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    def fp60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val posts = byDoc.toSeq.flatMap { case (id, w) =>
+      w.sliding(width).filter(_.length == width).map(win => (fp60(win.mkString(" ")), id))
+    }
+    val dfm = posts.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val local = posts.groupBy(_._2).map { case (id, occ) =>
+      val dup = occ.count(p => dfm(p._1) >= 2).toLong
+      id -> ((occ.size.toLong, dup, dup * 1000L / occ.size))
+    }
+    val q = Dedup.noveltyScore(docs)
+    val out = q.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == local)
+    assert(out.values.exists(_._3 > 0) && out.values.exists(_._3 < 1000),
+      "score must separate novel from repeated documents")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
+      "novelty is join+aggregate only — no pairs, no corpus window")
+  }
+
   test("pmi quality: integer-PMI scores equal a local recompute") {
     val byDoc = docs.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
