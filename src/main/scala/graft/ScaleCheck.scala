@@ -309,6 +309,14 @@ object ScaleCheck {
         .agg(count(lit(1)), max("df"), sum(expr("df*df"))).head()
       println(s"D7POSTINGS $dir shingles=${d7.get(0)} max_df=${d7.get(1)} " +
         s"join_rows=${d7.get(2)}")
+      // d12 on the third decade: near-dups here are ~12% token
+      // substitution, which breaks an 8-word window every ~8 words —
+      // spans should be MANY and SHORT (the regime the gaps-and-islands
+      // merge has to absorb), unlike the long exact spans at sf0.1.
+      val d12 = graft.ops.Dedup.substringDedup(docs, ordered = false)
+        .agg(count(lit(1)), max("span_words"), sum(expr("span_words"))).head()
+      println(s"D12SPANS $dir spans=${d12.get(0)} max_span=${d12.get(1)} " +
+        s"dup_words=${d12.get(2)}")
     }
     spark.stop()
   }

@@ -64,7 +64,18 @@ object LlmViews {
       // (VERDICT r6 #5) — a view query is one join + a 3-key aggregate
       // over a scanned parquet, never an inline re-clustering.
       "llm_cluster_split" -> graft.ops.Sampling.clusterSafeSplit(docs,
-        graft.ops.Sampling.clusterLabelsFor(spark, dir)))
+        graft.ops.Sampling.clusterLabelsFor(spark, dir)),
+      // Round-7 operators (unsorted composition plans, same contract).
+      "llm_substring_dedup" -> Dedup.substringDedup(docs, ordered = false),
+      "llm_novelty" -> Dedup.noveltyScore(docs, ordered = false),
+      "llm_pmi_quality" -> TextAnalysis.pmiQuality(docs, ordered = false),
+      "llm_quantile_audit" -> TextAnalysis.quantileAudit(docs),
+      "llm_weighted_sample" -> graft.ops.Sampling.weightedSample(
+        docs, col("doc_id"), expr("n_chars div 2")),
+      "llm_mixture_sample" -> graft.ops.Sampling.mixtureSample(
+        docs, col("doc_id"), col("lang"),
+        Seq("en" -> 500, "zh" -> 200, "de" -> 150, "es" -> 100, "fr" -> 50)),
+      "llm_twostage_topk" -> Similarity.twoStageTopK(emb, col("vec_id") < 5))
   }
 
   // One registration per session PER CURRENT (dir, data signature): view

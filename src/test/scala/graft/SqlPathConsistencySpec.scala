@@ -66,6 +66,27 @@ class SqlPathConsistencySpec extends GraftSuite {
     assert(sqlCos.nonEmpty)
   }
 
+  test("LLM operator views: SQL path equals the Scala API (round-7 ops)") {
+    query.LlmViews.register(spark, sf)
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val sqlSpans = viaSql(
+      "SELECT doc_a, doc_b, a_start, b_start, span_words FROM llm_substring_dedup ORDER BY doc_a, doc_b, a_start, b_start")
+    val apiSpans = graft.ops.Dedup.substringDedup(docs)
+      .collect().map(_.toString).toSeq
+    assert(sqlSpans == apiSpans && sqlSpans.nonEmpty)
+    val sqlNov = viaSql(
+      "SELECT doc_id, n_windows, n_dup, dup_permille FROM llm_novelty WHERE dup_permille > 0 ORDER BY doc_id")
+    val apiNov = graft.ops.Dedup.noveltyScore(docs)
+      .where(org.apache.spark.sql.functions.col("dup_permille") > 0)
+      .collect().map(_.toString).toSeq
+    assert(sqlNov == apiNov && sqlNov.nonEmpty)
+    val sqlPmi = viaSql(
+      "SELECT doc_id, n_bigrams, pmi_score FROM llm_pmi_quality ORDER BY doc_id LIMIT 20")
+    val apiPmi = graft.ops.TextAnalysis.pmiQuality(docs)
+      .limit(20).collect().map(_.toString).toSeq
+    assert(sqlPmi == apiPmi && sqlPmi.nonEmpty)
+  }
+
   test("SELECT * stays physical across joins, aliases, and qualified stars") {
     // events is time-series: the view carries a virtual `time` column that
     // must NOT leak into any star expansion (reference README.md:141-143).
