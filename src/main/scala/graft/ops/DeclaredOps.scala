@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.Out.SmallOrderOps
 import graft.core.Tables
 
 /** Declared LLM-data-pipeline queries over `documents` / `embeddings`
@@ -101,7 +102,18 @@ object DeclaredOps {
     "t13_quantile_audit" -> ((s, dir) => TextAnalysis.quantileAudit(docs(s, dir))),
     "d12_substring_dedup" -> ((s, dir) => Dedup.substringDedup(docs(s, dir))),
     "t14_pmi_quality" -> ((s, dir) => TextAnalysis.pmiQuality(docs(s, dir))),
-    "t15_novelty" -> ((s, dir) => Dedup.noveltyScore(docs(s, dir))))
+    "t15_novelty" -> ((s, dir) => Dedup.noveltyScore(docs(s, dir))),
+    // Incremental (cross-run) dedup: tonight's crawl (doc_id % 3 == 0)
+    // deduped against the digest index of everything already ingested —
+    // which includes doc_id < 100 wholesale, so the crawl's re-fetches
+    // of already-ingested pages (id%3==0 && id<100) genuinely drop.
+    "d13_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dedupAgainstIndex(d.where(col("doc_id") % 3 === 0),
+          Dedup.digestIndex(d.where(col("doc_id") % 3 =!= 0 || col("doc_id") < 100)))
+        .select(col("doc_id"), col("n_chars"))
+        .orderAgg("doc_id")
+    }))
 
   // ---- DuckDB oracle SQL ----
 
@@ -775,5 +787,16 @@ object DeclaredOps {
         |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
         |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS dup_permille
         |FROM wins JOIN dfs USING (h)
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Incremental dedup: anti-join against the history. The engine keys
+    // on the sha-256 digest (the persisted index form); the oracle keys
+    // on the text itself — same kept set, digests being injective on
+    // any real corpus, and the SEMANTIC is "text never seen before".
+    "d13_incremental_dedup" ->
+      """SELECT doc_id, n_chars FROM documents d
+        |WHERE doc_id % 3 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents h
+        |  WHERE (h.doc_id % 3 <> 0 OR h.doc_id < 100) AND h.text = d.text)
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -731,6 +731,26 @@ class OpsSpec extends GraftSuite {
       "novelty is join+aggregate only — no pairs, no corpus window")
   }
 
+  test("incremental dedup: kept set equals history-text anti-membership; index advances") {
+    val all = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // History = other residues PLUS doc_id < 100 (pages the crawl
+    // re-fetched), matching the declared d13 split.
+    val hist = all.filter { case (id, _) => id % 3 != 0 || id < 100 }.map(_._2).toSet
+    val crawl = docs.where(col("doc_id") % 3 === 0)
+    val idx = Dedup.digestIndex(
+      docs.where(col("doc_id") % 3 =!= 0 || col("doc_id") < 100))
+    val kept = Dedup.dedupAgainstIndex(crawl, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = all.filter { case (id, t) => id % 3 == 0 && !hist(t) }.map(_._1).toSet
+    assert(kept == expect)
+    assert(kept.nonEmpty && kept.size < all.count(_._1 % 3 == 0),
+      "corpus must exercise both kept and dropped")
+    // Advancing the index with the kept docs makes a re-run drop everything.
+    val advanced = idx.union(Dedup.digestIndex(crawl)).distinct()
+    assert(Dedup.dedupAgainstIndex(crawl, advanced).count() == 0)
+  }
+
   test("pmi quality: integer-PMI scores equal a local recompute") {
     val byDoc = docs.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
