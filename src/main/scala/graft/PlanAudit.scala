@@ -282,6 +282,13 @@ object PlanAudit {
       "corpus-sized data crosses only the c12 and per-doc aggregate exchanges" ->
         (p => p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 4))
 
+    audit("e11_ivfpq_topk", qs("e11_ivfpq_topk")(spark, sfDir),
+      "cell restriction is a broadcast equi-join, not a cartesian fan-out" ->
+        (p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")),
+      "no Exchange carries the embedding column (cell+codes computed in-scan)" ->
+        (p => !p.linesIterator.exists(l =>
+          l.contains("Exchange") && l.contains("embedding"))))
+
     audit("t15_novelty", qs("t15_novelty")(spark, sfDir),
       "no pair formation: postings join the df table, never themselves" ->
         (p => !p.contains("CartesianProduct")),

@@ -113,7 +113,12 @@ object DeclaredOps {
           Dedup.digestIndex(d.where(col("doc_id") % 3 =!= 0 || col("doc_id") < 100)))
         .select(col("doc_id"), col("n_chars"))
         .orderAgg("doc_id")
-    }))
+    }),
+    // IVF-PQ composed: coarse cell restriction × PQ LUT scoring, both
+    // codebooks the build-once artifacts e5/e7 already memoize.
+    "e11_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(emb(s, dir), col("vec_id") < 5,
+        centroidCodebook(s, dir), pqCodebooks(s, dir))))
 
   // ---- DuckDB oracle SQL ----
 
@@ -798,5 +803,64 @@ object DeclaredOps {
         |WHERE doc_id % 3 = 0 AND NOT EXISTS (
         |  SELECT 1 FROM documents h
         |  WHERE (h.doc_id % 3 <> 0 OR h.doc_id < 100) AND h.text = d.text)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    // e11: the e6 cell-restriction CTEs composed with the e7 code/LUT
+    // CTEs — candidates only where the corpus vector's cell equals the
+    // query's cell, scored by the PQ lookup table.
+    "e11_ivfpq_topk" ->
+      """WITH cent AS (
+        |  SELECT label AS clabel, list(m ORDER BY pos) AS c FROM (
+        |    SELECT label, i - 1 AS pos,
+        |      round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+        |            / count(*), 4) + 0 AS m
+        |    FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+        |    GROUP BY label, i)
+        |  GROUP BY label),
+        |cb AS (SELECT row_number() OVER (ORDER BY clabel) - 1 AS code, c FROM cent),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sub AS (SELECT unnest(range(0, 8)) AS s),
+        |ascored AS (
+        |  SELECT vec_id, clabel,
+        |    list_sum(list_transform(range(1, 65), i -> v[i] * c[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, 65), i -> c[i] * c[i])))) AS acos
+        |  FROM v CROSS JOIN cent),
+        |best AS (
+        |  SELECT vec_id, clabel AS cell FROM (
+        |    SELECT vec_id, clabel,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY acos DESC, clabel DESC) AS rn
+        |    FROM ascored)
+        |  WHERE rn = 1),
+        |dists AS (
+        |  SELECT v.vec_id, sub.s, cb.code,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (v.v[sub.s * 8 + i] - cb.c[sub.s * 8 + i])
+        |         * (v.v[sub.s * 8 + i] - cb.c[sub.s * 8 + i]))) AS dd
+        |  FROM v CROSS JOIN sub CROSS JOIN cb),
+        |codes AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT vec_id, s, code,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dd ASC, code ASC) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
+        |qcell AS (SELECT vec_id AS query_id, cell FROM best WHERE vec_id < 5),
+        |lut AS (
+        |  SELECT q.query_id, sub.s, cb.code,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> q.qv[sub.s * 8 + i] * cb.c[sub.s * 8 + i])) AS ldot
+        |  FROM q CROSS JOIN sub CROSS JOIN cb),
+        |scored AS (
+        |  SELECT l.query_id, c.vec_id AS neighbor_id,
+        |    CAST(round(list_sum(list(l.ldot ORDER BY l.s)) * 10000) AS BIGINT) AS pqdot_x10k
+        |  FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+        |  JOIN best bc ON bc.vec_id = c.vec_id
+        |  JOIN qcell qc ON qc.query_id = l.query_id AND qc.cell = bc.cell
+        |  WHERE c.vec_id <> l.query_id
+        |  GROUP BY l.query_id, c.vec_id)
+        |SELECT query_id, neighbor_id, pqdot_x10k FROM (
+        |  SELECT query_id, neighbor_id, pqdot_x10k,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY pqdot_x10k DESC, neighbor_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin)
 }

@@ -124,7 +124,7 @@ object Similarity {
     * real IVF keeps its coarse quantizer). The centroid doubles are exact
     * decimal means, so the literal round-trip preserves the precise bits
     * both engines compute. */
-  private[ops] def collectCodebook(cent: DataFrame): Seq[(Int, Seq[Double])] =
+  def collectCodebook(cent: DataFrame): Seq[(Int, Seq[Double])] =
     cent.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
       .sortBy(_._1)
 
@@ -456,6 +456,57 @@ object Similarity {
     import spark.implicits._
     val qDf = luts.toDF("query_id", "lut")
     val scored = coded.crossJoin(broadcast(qDf))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        round(graft.functions.Expressions.pqScore(col("codes"), col("lut"), kc) * 10000, 0))
+    rankTopKScaled(scored, "vec_id", k, "pqdot_x10k")
+  }
+
+  /** IVF-PQ composed retrieval (e11) — the production ANN shape at
+    * corpus scale: the coarse quantizer restricts each query's candidate
+    * set to its cell (e6's pruning, |cell| ≈ N/cells instead of N) and
+    * PQ LUT scoring cuts per-candidate cost to m table adds over m-byte
+    * codes (e7's compression, bandwidth 32× below float32). The two
+    * reductions MULTIPLY: per-query work drops from N·d float ops to
+    * (N/cells)·m adds, which is why this composition — not either piece
+    * alone — is what IVFPQ-style indexes deploy.
+    *
+    * Scale: ONE map-only corpus projection computes the coarse cell and
+    * the PQ codes inside the scan (both codebooks inlined; no Exchange
+    * ever carries `embedding`); the bounded query side broadcasts
+    * (cell, LUT); candidates form only inside (cell) via the equi-join;
+    * ranking is the bounded top-k aggregate. Determinism: the query's
+    * cell is computed by the SAME nearestCell expression as the corpus
+    * assignment, so query and corpus cannot disagree about a cell
+    * boundary, and LUT scores are the exact e7 arithmetic. */
+  def ivfPqTopK(emb: DataFrame, queryPred: Column,
+      coarse: Seq[(Int, Seq[Double])], cbs: Seq[Seq[(Int, Seq[Double])]],
+      k: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    val kc = cbs.head.size
+    val d = cbs.head.head._2.size
+    val coded = emb.select(col("vec_id"),
+      nearestCell(coarse, col("embedding")).as("cell"),
+      pqCodes(cbs, col("embedding"), d).as("codes"))
+    val qRows = emb.where(queryPred)
+      .select(col("vec_id"), nearestCell(coarse, col("embedding")).as("cell"),
+        col("embedding"))
+      .collect()
+    val luts = qRows.map { r =>
+      val q = r.getSeq[Float](2).map(_.toDouble)
+      val lut = cbs.zipWithIndex.flatMap { case (cb, s) =>
+        cb.map { case (_, c) =>
+          var dot = 0.0
+          var i = 0
+          while (i < d) { dot += q(s * d + i) * c(i); i += 1 }
+          dot
+        }
+      }
+      (r.getLong(0), r.getInt(1), lut)
+    }.toSeq
+    import spark.implicits._
+    val qDf = luts.toDF("query_id", "cell", "lut")
+    val scored = coded.join(broadcast(qDf), "cell")
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos",
         round(graft.functions.Expressions.pqScore(col("codes"), col("lut"), kc) * 10000, 0))

@@ -731,6 +731,31 @@ class OpsSpec extends GraftSuite {
       "novelty is join+aggregate only — no pairs, no corpus window")
   }
 
+  test("ivf-pq: equals PQ ranking restricted to the query's coarse cell") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val coarse = Similarity.collectCodebook(Similarity.centroidFrame(emb))
+    val cbs = Similarity.labelPqCodebooks(emb)
+    val got = Similarity.ivfPqTopK(emb, col("vec_id") < 5, coarse, cbs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // Cell membership: every returned neighbor shares the query's cell.
+    val cells = emb.select(col("vec_id"),
+        Similarity.nearestCell(coarse, col("embedding")).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (q, n, _) =>
+      assert(cells(q) == cells(n), s"neighbor $n not in query $q's cell")
+    }
+    // Composition: for each query, the result IS the full-PQ ranking
+    // (e7) filtered to the query's cell, truncated to k.
+    val full = Similarity.pqTopK(emb, col("vec_id") < 5, cbs, k = emb.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = full.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.toSeq.filter(r => cells(r._2) == cells(q))
+        .sortBy(r => (-r._3, r._2)).take(5)
+    }.toSet
+    assert(got.toSet == expect)
+  }
+
   test("incremental dedup: kept set equals history-text anti-membership; index advances") {
     val all = docs.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
