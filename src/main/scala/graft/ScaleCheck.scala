@@ -196,6 +196,24 @@ object ScaleCheck {
           f"scored_pairs=${dist.getLong(2)} recall5_vs_exact_dot=$rec%.3f")
       }
 
+      // e11: the composed IVF-PQ retrieval's recall@5 vs the exact
+      // dot-product answer — the two approximations STACK (cell
+      // restriction can drop a true neighbor from another cell; PQ
+      // distortion can misrank within the cell), so this honest number
+      // sits at/below both the e6 cell recall and the PQ recall above.
+      {
+        val coarse = graft.ops.Similarity.collectCodebook(
+          graft.ops.Similarity.centroidFrame(emb))
+        val pqcbs = graft.ops.Similarity.labelPqCodebooks(emb)
+        val e11 = pairSet(graft.ops.Similarity.ivfPqTopK(
+          emb, col("vec_id") < 5, coarse, pqcbs))
+        val exactDot = pairSet(graft.ops.Similarity.cosineTopK(emb,
+            col("vec_id") < 5, k = 5))
+        val rec = if (exactDot.isEmpty) 1.0
+          else e11.intersect(exactDot).size.toDouble / exactDot.size
+        println(f"E11IVFPQ $dir edges=${e11.size} recall5_vs_exact=$rec%.3f")
+      }
+
       // e8: recall of the cell-restricted KNN graph vs the brute-force
       // graph over ALL vectors (the declared operator is the restricted
       // one — this measures what the restriction costs on this corpus).

@@ -31,6 +31,10 @@ object LlmViews {
     // single-partition plan must NOT be baked into a view a server
     // could point at an arbitrarily large dir. Bounded-output operators
     // (top-k, pair lists, group counts) keep their canonical order.
+    // Build-once artifacts shared by several views — constructed ONCE
+    // per registration (which is itself cached per data signature).
+    val pqCbs = Similarity.labelPqCodebooks(emb)
+    val coarseCb = Similarity.collectCodebook(Similarity.centroidFrame(emb))
     Map(
       "llm_exact_dedup" -> Dedup.exact(docs, ordered = false),
       "llm_near_dup_pairs" -> Dedup.minhashLsh(docs),
@@ -56,8 +60,7 @@ object LlmViews {
       // inlined codebook means user predicates on vec_id still push into
       // the parquet scan under the coded projection (asserted in
       // SqlPathConsistencySpec).
-      "llm_pq_topk" -> Similarity.pqTopK(emb, col("vec_id") < 5,
-        Similarity.labelPqCodebooks(emb)),
+      "llm_pq_topk" -> Similarity.pqTopK(emb, col("vec_id") < 5, pqCbs),
       // Bounded-output graph/split reports (canonical order kept).
       "llm_knn_graph" -> Similarity.knnGraph(emb),
       // Cluster labels read the build-once materialized artifact
@@ -75,7 +78,13 @@ object LlmViews {
       "llm_mixture_sample" -> graft.ops.Sampling.mixtureSample(
         docs, col("doc_id"), col("lang"),
         Seq("en" -> 500, "zh" -> 200, "de" -> 150, "es" -> 100, "fr" -> 50)),
-      "llm_twostage_topk" -> Similarity.twoStageTopK(emb, col("vec_id") < 5))
+      "llm_twostage_topk" -> Similarity.twoStageTopK(emb, col("vec_id") < 5),
+      // IVF-PQ over the SAME build-once codebooks the e5/e7 views use.
+      "llm_ivfpq_topk" -> Similarity.ivfPqTopK(emb, col("vec_id") < 5,
+        coarseCb, pqCbs),
+      "llm_incremental_dedup" -> Dedup.dedupAgainstIndex(
+        docs.where(col("doc_id") % 3 === 0),
+        Dedup.digestIndex(docs.where(col("doc_id") % 3 =!= 0 || col("doc_id") < 100))))
   }
 
   // One registration per session PER CURRENT (dir, data signature): view
