@@ -481,18 +481,23 @@ object Similarity {
     * boundary, and LUT scores are the exact e7 arithmetic. */
   def ivfPqTopK(emb: DataFrame, queryPred: Column,
       coarse: Seq[(Int, Seq[Double])], cbs: Seq[Seq[(Int, Seq[Double])]],
-      k: Int = 5): DataFrame = {
+      k: Int = 5, probes: Int = 1): DataFrame = {
     val spark = emb.sparkSession
     val kc = cbs.head.size
     val d = cbs.head.head._2.size
     val coded = emb.select(col("vec_id"),
       nearestCell(coarse, col("embedding")).as("cell"),
       pqCodes(cbs, col("embedding"), d).as("codes"))
+    // `probes` is the recall knob exactly as in probeTopK: each query
+    // expands to its p nearest cells (corpus cells are disjoint, so the
+    // probed candidate sets union without dedup; probes = |coarse|
+    // degenerates to full-corpus PQ = e7, the OpsSpec pin).
     val qRows = emb.where(queryPred)
-      .select(col("vec_id"), nearestCell(coarse, col("embedding")).as("cell"),
+      .select(col("vec_id"),
+        nearestCells(coarse, col("embedding"), probes).as("cells"),
         col("embedding"))
       .collect()
-    val luts = qRows.map { r =>
+    val luts = qRows.flatMap { r =>
       val q = r.getSeq[Float](2).map(_.toDouble)
       val lut = cbs.zipWithIndex.flatMap { case (cb, s) =>
         cb.map { case (_, c) =>
@@ -502,7 +507,7 @@ object Similarity {
           dot
         }
       }
-      (r.getLong(0), r.getInt(1), lut)
+      r.getSeq[Int](1).map(cell => (r.getLong(0), cell, lut))
     }.toSeq
     import spark.implicits._
     val qDf = luts.toDF("query_id", "cell", "lut")

@@ -754,6 +754,14 @@ class OpsSpec extends GraftSuite {
         .sortBy(r => (-r._3, r._2)).take(5)
     }.toSet
     assert(got.toSet == expect)
+    // Full probe degenerates to unrestricted PQ: probes = |coarse| must
+    // equal e7's top-5 exactly (disjoint cells union to the whole corpus).
+    val allProbes = Similarity.ivfPqTopK(emb, col("vec_id") < 5, coarse, cbs,
+        k = 5, probes = coarse.size)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val e7 = Similarity.pqTopK(emb, col("vec_id") < 5, cbs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(allProbes == e7, "full multiprobe must equal unrestricted PQ")
   }
 
   test("incremental dedup: kept set equals history-text anti-membership; index advances") {
