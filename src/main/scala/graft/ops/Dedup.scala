@@ -551,13 +551,16 @@ object Dedup {
 
   def substringDedup(docs: DataFrame, width: Int = 8, dfCap: Int = 64,
       ordered: Boolean = true): DataFrame = {
+    require(width >= 2, s"substringDedup: width must be >= 2, got $width")
     val wins = windowPostings(docs, width)
       // Pin ONE h-exchange: the df aggregate below and both sides of the
       // posting self-join all read it back as ReusedExchange.
       .repartition(col("h"))
+    // dfCap <= 0 disables the stop-window cap (the e8 cellCap convention).
+    val dfOk = if (dfCap <= 0) col("df") >= 2 else col("df").between(2, dfCap)
     val stats = wins.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("df"))
-      .where(col("df").between(2, dfCap))
+      .where(dfOk)
     val good = wins.join(stats, "h").select("h", "doc_id", "pos")
     val pairs = good.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("a_pos"))
       .join(good.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("b_pos")), "h")

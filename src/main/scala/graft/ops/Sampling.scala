@@ -94,6 +94,12 @@ object Sampling {
     * map-only filtered pass of the corpus — the s2 shape exactly. */
   def mixtureSample(docs: DataFrame, id: Column, group: Column,
       targetsPermille: Seq[(String, Int)]): DataFrame = {
+    // Zero/negative weights fail fast here: Spark's integer `div 0`
+    // yields null where DuckDB errors — better one clear message than a
+    // cross-engine divergence. A group you want NONE of is simply
+    // omitted from the targets (the join drops it).
+    require(targetsPermille.forall(_._2 > 0),
+      s"mixtureSample: target weights must be positive, got $targetsPermille")
     val spark = docs.sparkSession
     import spark.implicits._
     val w = targetsPermille.toDF("g", "w")
