@@ -358,22 +358,32 @@ object TextAnalysis {
           |  i -> named_struct('w1', element_at(w, i + 1), 'w2', element_at(w, i + 2)))"""
           .stripMargin)).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    // ONE corpus-side aggregate: c1/c2/N are rollups OF the bigram-type
-    // table (sum of c12 over w1 / over w2 / overall), computed as window
-    // sums on that tiny frame — not further corpus passes, and not
-    // separate aggregate+broadcast jobs (three fewer dispatches; the
-    // unbounded window is over bigram TYPES, never the corpus).
-    val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // ONE corpus pass: aggregate occurrences to (doc, w1, w2, cn) first —
+    // that subtree appears in BOTH the stats branch and the score branch,
+    // so its exchange is computed once and read back as ReusedExchange
+    // (the former shape re-ran the explode for the join-back). c12 is a
+    // rollup of dwc; c1/c2/N are window sums on the bigram-TYPE frame
+    // (never the corpus); the per-doc score re-weights by cn:
+    // sum(cn·pmi) div sum(cn) ≡ the per-occurrence mean, same integers.
+    // Two corpus passes by design — the tf-idf shape shared by every
+    // corpus-statistics operator: the stats branch and the score branch
+    // cannot share an exchange because column pruning gives them
+    // different dwc schemas (verified: a pinned repartition between them
+    // still canonicalizes unequal). Both passes are map-side-combined
+    // aggregates, so what crosses each exchange is the aggregated
+    // (doc, bigram) frame, never raw occurrences.
+    val dwc = big.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cn"))
+    val c12 = dwc.groupBy("w1", "w2").agg(sum(col("cn")).as("c12"))
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val stats = c12
       .withColumn("c1", sum(col("c12")).over(Window.partitionBy("w1")))
       .withColumn("c2", sum(col("c12")).over(Window.partitionBy("w2")))
       .withColumn("n", sum(col("c12")).over(wAll))
       .select(col("w1"), col("w2"), expr("c12 * 1000 * n div (c1 * c2)").as("pmi_x1000"))
-    val out = big.join(broadcast(stats), Seq("w1", "w2"))
+    val out = dwc.join(broadcast(stats), Seq("w1", "w2"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        expr("sum(pmi_x1000) div count(1)").as("pmi_score"))
+      .agg(sum(col("cn")).as("n_bigrams"),
+        expr("sum(cn * pmi_x1000) div sum(cn)").as("pmi_score"))
     if (ordered) out.orderAgg("doc_id") else out
   }
 
