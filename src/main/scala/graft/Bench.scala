@@ -165,15 +165,18 @@ object Bench {
     for (_ <- 1 to passes) { sparkPass(); duckPass() }
 
     // Canary gate: d10_jaccard_join is the established window-quality
-    // probe (~1.05 s quiet after the round-7 candidate-pipeline cuts,
-    // 2–4 s degraded — wide stages straggle under a core-stealing
-    // neighbor while 1-thread probes stay flat). If its MIN never
-    // reached quiet territory, the whole window is suspect: take up
-    // to two extra interleaved pass pairs hoping to catch a quiet burst,
-    // and flag the artifact either way. (Threshold retightened from the
-    // pre-cut 1.5 so "ok" keeps meaning the same degradation headroom.)
+    // probe (quiet floor 0.96 s after the round-7 candidate-pipeline +
+    // split-tier cuts, 2–4 s degraded — wide stages straggle under a
+    // core-stealing neighbor while 1-thread probes stay flat). If its
+    // MIN never reached quiet territory, the whole window is suspect:
+    // take up to two extra interleaved pass pairs hoping to catch a
+    // quiet burst, and flag the artifact either way. (Retightened 1.5 →
+    // 1.3 → 1.15 as the floor dropped: a same-code window that passed at
+    // 1.30 measured a 1.36× median Spark inflation vs a 0.96-canary
+    // window while DuckDB moved 1.08× — "ok" must keep meaning the
+    // same ~20% degradation headroom over the CURRENT floor.)
     val canaryQ = "d10_jaccard_join"
-    val canaryMax = sys.env.getOrElse("SPARK_GRAFT_CANARY", "1.3").toDouble
+    val canaryMax = sys.env.getOrElse("SPARK_GRAFT_CANARY", "1.15").toDouble
     def canaryMin: Double =
       samples.get(canaryQ).filter(_.nonEmpty).map(_.min).getOrElse(-1.0)
     var extra = 0
