@@ -118,7 +118,8 @@ object DeclaredOps {
     // codebooks the build-once artifacts e5/e7 already memoize.
     "e11_ivfpq_topk" -> ((s, dir) =>
       Similarity.ivfPqTopK(emb(s, dir), col("vec_id") < 5,
-        centroidCodebook(s, dir), pqCodebooks(s, dir))))
+        centroidCodebook(s, dir), pqCodebooks(s, dir))),
+    "d14_edit_dedup"   -> ((s, dir) => Dedup.editDedup(docs(s, dir))))
 
   // ---- DuckDB oracle SQL ----
 
@@ -158,6 +159,28 @@ object DeclaredOps {
          |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Ground truth = exact all-pairs Jaccard gate (d2's oracle), then
+    // Levenshtein on the SURVIVORS only — the lev stage must sit in its
+    // own CTE after the Jaccard filter or DuckDB computes O(len²) DP for
+    // every one of the N²/2 raw pairs. Integer floor division on both
+    // engines (`div` / `//`) keeps ep_x1000 bit-identical.
+    "d14_edit_dedup" ->
+      s"""$ShingleCte,
+         |jp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         |lp AS (
+         |  SELECT doc_a, doc_b, CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev_edits,
+         |    greatest(len(ta.text), len(tb.text)) AS mx
+         |  FROM jp JOIN documents ta ON ta.doc_id = doc_a
+         |          JOIN documents tb ON tb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, lev_edits,
+         |  CAST(lev_edits * 1000 // mx AS BIGINT) AS ep_x1000
+         |FROM lp WHERE lev_edits * 1000 // mx <= 20
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Ground-truth components via recursive transitive closure over the
     // exact-Jaccard pair set (same pair oracle as d2).

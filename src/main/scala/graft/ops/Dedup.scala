@@ -86,6 +86,53 @@ object Dedup {
       .orderSmall("doc_a", "doc_b")
   }
 
+  /** Edit-distance (fuzzy) near-duplicate pairs: MinHash-LSH candidate
+    * generation + exact-Jaccard gate (the proven d2 pipeline), then a
+    * Levenshtein verify on the surviving pairs — the character-level
+    * confirmation pass a fuzzy-dedup pipeline runs when token-level
+    * similarity alone over-merges (e.g. shuffled boilerplate shares
+    * shingles but differs everywhere at the character level).
+    *
+    * Output per kept pair: raw edit count `lev_edits` and the integer
+    * edit ratio `ep_x1000` = floor(lev·1000 / max(len_a, len_b)) —
+    * integer floor division, so the hashed columns are bit-identical in
+    * any engine (the s7/t13 rule); a pair is kept when ep_x1000 ≤
+    * `maxEditPermille`.
+    *
+    * Scale: Levenshtein is O(len²) per pair — the ONE expensive stage —
+    * so it runs strictly last, on the LSH∩Jaccard survivors (≈ true
+    * near-dups, linear in corpus for scale-invariant dup rates), never
+    * on candidates. The verified pair set is tiny relative to the
+    * corpus, so both text-attachment joins broadcast the PAIR side:
+    * the corpus is only scanned (text projected), its text never
+    * crosses an exchange.
+    */
+  def editDedup(docs: DataFrame, threshold: Double = 0.5,
+      maxEditPermille: Int = 20, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val withSh = shingled(docs)
+    val banded = bandedSignatures(withSh, numHashes, bands)
+    val cands = banded.as("x")
+      .join(banded.as("y"), Seq("band", "key"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val shA = withSh.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+    val shB = withSh.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+    val jpairs = cands.join(shA, "doc_a").join(shB, "doc_b")
+      .where(graft.functions.Expressions.jaccardSim(col("sa"), col("sb")) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    val withA = ta.join(broadcast(jpairs), "doc_a") // corpus streams, pairs broadcast
+    tb.join(broadcast(withA), "doc_b")              // corpus streams again
+      .withColumn("lev", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .withColumn("ep_x1000",
+        expr("lev * 1000 div greatest(length(text_a), length(text_b))"))
+      .where(col("ep_x1000") <= maxEditPermille)
+      .select(col("doc_a"), col("doc_b"), col("lev").as("lev_edits"), col("ep_x1000"))
+      .orderSmall("doc_a", "doc_b")
+  }
+
   /** Shingled (doc_id, s) corpus — stage 1 of the LSH pipeline. The
     * explicit repartition puts an Exchange directly above the shingle
     * computation: every downstream consumer (both band-join sides, both

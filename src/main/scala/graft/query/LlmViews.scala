@@ -82,6 +82,8 @@ object LlmViews {
       // IVF-PQ over the SAME build-once codebooks the e5/e7 views use.
       "llm_ivfpq_topk" -> Similarity.ivfPqTopK(emb, col("vec_id") < 5,
         coarseCb, pqCbs),
+      // Pair list (bounded output): keeps its canonical order.
+      "llm_edit_dedup" -> Dedup.editDedup(docs),
       "llm_incremental_dedup" -> Dedup.dedupAgainstIndex(
         docs.where(col("doc_id") % 3 === 0),
         Dedup.digestIndex(docs.where(col("doc_id") % 3 =!= 0 || col("doc_id") < 100))))

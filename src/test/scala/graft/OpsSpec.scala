@@ -60,6 +60,39 @@ class OpsSpec extends GraftSuite {
     assert(viaLoop == clusters, "driver and distributed CC must agree")
   }
 
+  test("edit dedup = jaccard pairs verified by a local levenshtein recompute") {
+    def lev(a: String, b: String): Long = {
+      val prev = Array.range(0, b.length + 1)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length) {
+          val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        }
+        System.arraycopy(cur, 0, prev, 0, b.length + 1)
+      }
+      prev(b.length).toLong
+    }
+    val text = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val jp = Dedup.minhashLsh(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assume(jp.nonEmpty)
+    val expected = jp.flatMap { case (a, b) =>
+      val l = lev(text(a), text(b))
+      val ep = l * 1000 / math.max(text(a).length, text(b).length)
+      if (ep <= 20) Some((a, b, l, ep)) else None
+    }.sortBy(p => (p._1, p._2))
+    val got = Dedup.editDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq,
+      s"operator pairs ${got.toSeq} != local recompute ${expected.toSeq}")
+    // The corpus text must never cross an exchange: both attachment joins
+    // broadcast the pair side (the 100 TB contract of the verify stage).
+    val plan = Dedup.editDedup(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("simhash of near-dup pairs differs in few bits") {
     val fp = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val pairs = Dedup.minhashLsh(docs).collect()
