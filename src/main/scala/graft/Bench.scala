@@ -164,36 +164,51 @@ object Bench {
     duckSamples.clear()
     for (_ <- 1 to passes) { sparkPass(); duckPass() }
 
-    // Canary gate: d10_jaccard_join is the established window-quality
-    // probe (quiet floor 0.96 s after the round-7 candidate-pipeline +
-    // split-tier cuts, 2–4 s degraded — wide stages straggle under a
-    // core-stealing neighbor while 1-thread probes stay flat). If its
-    // MIN never reached quiet territory, the whole window is suspect:
-    // take up to two extra interleaved pass pairs hoping to catch a
-    // quiet burst, and flag the artifact either way. (Retightened 1.5 →
-    // 1.3 → 1.15 as the floor dropped: a same-code window that passed at
-    // 1.30 measured a 1.36× median Spark inflation vs a 0.96-canary
-    // window while DuckDB moved 1.08× — "ok" must keep meaning the
-    // same ~20% degradation headroom over the CURRENT floor.)
-    val canaryQ = "d10_jaccard_join"
+    // Window-quality gate: a BASKET of seven probe queries spanning the
+    // suite's execution shapes (shingle joins d10/d7/d12, inverted-index
+    // t15, tf-idf t10, embedding folds e8/e10), each query's per-run MIN
+    // divided by its pinned quiet-window floor (the committed d7af41e
+    // artifact, the best same-code window on record); the gate is the
+    // MEDIAN of those ratios. A single-query canary (rounds 4–7 used
+    // d10 alone) conflates one query's straggler sensitivity with host
+    // state, in BOTH directions — observed on identical code: a window
+    // whose 95-query floors all sat at historical bests while d10 alone
+    // read 1.44–1.51× (flagged "degraded", floors prove otherwise), and
+    // a window the d10 gate passed at 1.10 whose e-family floors were
+    // 75–80% inflated (graded ratio_min 2.21 vs 1.69 like-for-like —
+    // bursts are not uniform across stage widths). The median over
+    // seven shapes is robust to both failure modes; 1.15 keeps the
+    // established ~15% headroom discipline. Re-pin the floors whenever
+    // a code change drops a probe's quiet floor (the same retightening
+    // rule the single canary followed). d10's individual min stays in
+    // the artifact as a diagnostic.
+    val canaryFloors = Map(
+      "d10_jaccard_join" -> 0.958, "d7_source_overlap" -> 0.467,
+      "d12_substring_dedup" -> 0.629, "t15_novelty" -> 0.458,
+      "t10_tfidf_topk" -> 0.403, "e8_knn_graph" -> 0.390,
+      "e10_twostage_topk" -> 0.347)
     val canaryMax = sys.env.getOrElse("SPARK_GRAFT_CANARY", "1.15").toDouble
+    def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
+    def basketRatios: Seq[Double] = canaryFloors.toSeq.flatMap { case (q, f) =>
+      samples.get(q).filter(_.nonEmpty).map(_.min / f) }
+    def basket: Double = {
+      val rs = basketRatios
+      if (rs.size < 5) -1.0 else median(rs)
+    }
     def canaryMin: Double =
-      samples.get(canaryQ).filter(_.nonEmpty).map(_.min).getOrElse(-1.0)
+      samples.get("d10_jaccard_join").filter(_.nonEmpty).map(_.min).getOrElse(-1.0)
     var extra = 0
-    while (samples.contains(canaryQ) && !failed.contains(canaryQ) &&
-        canaryMin > canaryMax && extra < 2) {
-      System.err.println(f"[bench] d10 canary min $canaryMin%.2f s > $canaryMax%.2f s " +
+    while (basket > canaryMax && extra < 2) {
+      System.err.println(f"[bench] canary basket median ${basket}%.2f > $canaryMax%.2f " +
         s"(degraded window) - extra interleaved pass pair ${extra + 1}/2")
       sparkPass(); duckPass()
       extra += 1
     }
     duck.foreach(_.quit())
     val window =
-      if (!samples.contains(canaryQ) || failed.contains(canaryQ)) "no_canary"
-      else if (canaryMin > canaryMax) "degraded"
+      if (basket < 0) "no_canary"
+      else if (basket > canaryMax) "degraded"
       else "ok"
-
-    def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
     val results = qs.map { case (name, _) =>
       val times = samples(name).toSeq
       val sec = if (failed.contains(name) || times.isEmpty) -1.0 else median(times)
@@ -249,9 +264,9 @@ object Bench {
     // the very end of the line where the tail always preserves it.
     val pair =
       if (duckMed.isEmpty)
-        f""""duck_total":null,"ratio":null,"window":"$window","d10_canary_min":$canaryMin%.4f"""
+        f""""duck_total":null,"ratio":null,"window":"$window","canary_basket":$basket%.4f,"d10_canary_min":$canaryMin%.4f"""
       else
-        f""""spark_comparable":$sparkComp%.4f,"spark_comparable_min":$sparkCompMin%.4f,"duck_total":$duckTotal%.4f,"duck_total_min":$duckTotalMin%.4f,"duck_n":${duckMed.size},"ratio":$ratio%.4f,"ratio_min":$ratioMin%.4f,"window":"$window","d10_canary_min":$canaryMin%.4f"""
+        f""""spark_comparable":$sparkComp%.4f,"spark_comparable_min":$sparkCompMin%.4f,"duck_total":$duckTotal%.4f,"duck_total_min":$duckTotalMin%.4f,"duck_n":${duckMed.size},"ratio":$ratio%.4f,"ratio_min":$ratioMin%.4f,"window":"$window","canary_basket":$basket%.4f,"d10_canary_min":$canaryMin%.4f"""
     val duckQ = if (duckMed.isEmpty) ""
       else s""""duck_queries":$djson,"duck_queries_min":$dminJson,"""
     // Per-query Spark minima: the per-query side of ratio_min, so a
