@@ -119,7 +119,8 @@ object DeclaredOps {
     "e11_ivfpq_topk" -> ((s, dir) =>
       Similarity.ivfPqTopK(emb(s, dir), col("vec_id") < 5,
         centroidCodebook(s, dir), pqCodebooks(s, dir))),
-    "d14_edit_dedup"   -> ((s, dir) => Dedup.editDedup(docs(s, dir))))
+    "d14_edit_dedup"   -> ((s, dir) => Dedup.editDedup(docs(s, dir))),
+    "t16_bpe_pairs"    -> ((s, dir) => TextAnalysis.bpePairStats(docs(s, dir))))
 
   // ---- DuckDB oracle SQL ----
 
@@ -181,6 +182,16 @@ object DeclaredOps {
          |  CAST(lev_edits * 1000 // mx AS BIGINT) AS ep_x1000
          |FROM lp WHERE lev_edits * 1000 // mx <= 20
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Adjacent char pairs: substr(w, i, 2) for i in [1, len) is the pair
+    // directly — same expression both engines, total order (cnt desc,
+    // pair asc) makes the top-k deterministic.
+    "t16_bpe_pairs" ->
+      """WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair
+        |      FROM words WHERE len(w) >= 2)
+        |SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
 
     // Ground-truth components via recursive transitive closure over the
     // exact-Jaccard pair set (same pair oracle as d2).

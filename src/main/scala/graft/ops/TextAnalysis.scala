@@ -404,4 +404,98 @@ object TextAnalysis {
         (col("a50").cast("double").between(col("lo50"), col("hi50")) &&
          col("a75").cast("double").between(col("lo75"), col("hi75"))).as("approx_ok"))
       .orderAgg("lang")
+
+  /** Corpus-weighted adjacent character-pair frequencies — the statistic
+    * a byte-pair-encoding (BPE) tokenizer trainer maximizes at every
+    * merge step; the declared top-k IS the first merge's candidate
+    * ranking (count desc, pair asc — the deterministic tie-break
+    * `trainBpe` uses).
+    *
+    * Scale: map-only explode to one row per in-word character pair
+    * (≤ chars per doc), then one map-side-combined hash aggregate whose
+    * shuffle is PAIR-VOCABULARY-sized (bounded by alphabet², never
+    * corpus-sized), collapsing to TakeOrderedAndProject — the t7 shape
+    * one level below tokens. */
+  def bpePairStats(docs: DataFrame, k: Int = 20): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+
+  /** BPE merge training. The corpus-sized work is ONE pass — the word-
+    * frequency aggregate (t7's vocabulary table, the canonical build
+    * artifact tokenizer training starts from); the merge loop itself
+    * runs driver-side over that weighted vocabulary, which is
+    * VOCABULARY-sized (a few million entries at web scale — the same
+    * bounded-artifact argument as the PQ codebooks; `maxVocab`
+    * fail-fast guards the collect like `trainingSample`).
+    *
+    * Classic BPE over word types weighted by frequency: each iteration
+    * counts adjacent SYMBOL pairs (symbols start as single characters),
+    * merges the (count desc, pair lexicographic) argmax into one symbol,
+    * and repeats — fully deterministic, so retrains are bit-identical.
+    * Returns the ordered merge list; [[bpeSegment]] applies it. */
+  def trainBpe(docs: DataFrame, merges: Int = 10,
+      maxVocab: Int = 1000000): Seq[(String, String)] = {
+    val vocabDf = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val vocabN = vocabDf.limit(maxVocab + 1).count()
+    require(vocabN <= maxVocab,
+      s"vocabulary exceeds maxVocab=$maxVocab; raise the cap or pre-prune")
+    var vocab: Seq[(Vector[String], Long)] = vocabDf.collect()
+      .map(r => (r.getString(0).map(_.toString).toVector, r.getLong(1))).toSeq
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    while (i < merges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          counts(p) = counts.getOrElse(p, 0L) + n
+          j += 1
+        }
+      }
+      if (counts.isEmpty) i = merges
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        out += best
+        vocab = vocab.map { case (syms, n) =>
+          val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == best._1 && syms(j + 1) == best._2) {
+              merged += syms(j) + syms(j + 1); j += 2
+            } else { merged += syms(j); j += 1 }
+          }
+          (merged.toVector, n)
+        }
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Greedy left-to-right application of an ordered merge list to one
+    * word (driver-side reference implementation; the per-doc token
+    * count over a corpus would inline the same loop in a codegen'd
+    * expression). */
+  def bpeSegment(word: String, merges: Seq[(String, String)]): Vector[String] = {
+    var syms = word.map(_.toString).toVector
+    merges.foreach { case (a, b) =>
+      val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+      var j = 0
+      while (j < syms.length) {
+        if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+          merged += a + b; j += 2
+        } else { merged += syms(j); j += 1 }
+      }
+      syms = merged.toVector
+    }
+    syms
+  }
 }

@@ -84,6 +84,8 @@ object LlmViews {
         coarseCb, pqCbs),
       // Pair list (bounded output): keeps its canonical order.
       "llm_edit_dedup" -> Dedup.editDedup(docs),
+      // Bounded top-k (canonical order kept).
+      "llm_bpe_pairs" -> TextAnalysis.bpePairStats(docs),
       "llm_incremental_dedup" -> Dedup.dedupAgainstIndex(
         docs.where(col("doc_id") % 3 === 0),
         Dedup.digestIndex(docs.where(col("doc_id") % 3 =!= 0 || col("doc_id") < 100))))

@@ -837,4 +837,29 @@ class OpsSpec extends GraftSuite {
     // The score separates corpus-typical from rare-transition documents.
     assert(out.values.map(_._2).toSet.size > 1, "score must discriminate")
   }
+
+  test("bpe: first merge is the declared top pair; merges deterministic and compressive") {
+    val merges = TextAnalysis.trainBpe(docs, merges = 8)
+    assert(merges.size == 8)
+    // The declared pair-stats ranking IS merge #1's candidate ranking
+    // (at step 1 every symbol is a single char, so the symbol pair
+    // concatenates to exactly the 2-char substring pair).
+    val top = TextAnalysis.bpePairStats(docs, 1).collect()(0).getString(0)
+    assert(merges.head._1 + merges.head._2 == top,
+      s"first merge ${merges.head} != declared top pair $top")
+    // Bit-identical retrain (the build-artifact contract).
+    assert(TextAnalysis.trainBpe(docs, merges = 8) == merges)
+    // Applying the merges never lengthens a segmentation, strictly
+    // shortens at least one vocab word, and concatenates back losslessly.
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .distinct().collect().map(_.getString(0)).filter(_.nonEmpty)
+    var shrunk = false
+    words.foreach { w =>
+      val segs = TextAnalysis.bpeSegment(w, merges)
+      assert(segs.mkString == w)
+      assert(segs.size <= w.length)
+      if (segs.size < w.length) shrunk = true
+    }
+    assert(shrunk, "8 merges must compress at least one vocabulary word")
+  }
 }
