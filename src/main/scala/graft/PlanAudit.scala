@@ -295,6 +295,29 @@ object PlanAudit {
       "df aggregate and the join-back reuse the pinned h exchange" ->
         (_.contains("ReusedExchange")))
 
+    audit("d14_edit_dedup", qs("d14_edit_dedup")(spark, sfDir),
+      "no cartesian product (candidates only from LSH buckets)" ->
+        (p => !p.contains("CartesianProduct")),
+      "both text-attachment joins broadcast the pair side" ->
+        (p => "BroadcastHashJoin".r.findAllIn(p).length >= 2),
+      "corpus text never crosses a shuffle exchange (broadcast carries only pairs)" ->
+        (p => !p.linesIterator.exists(l =>
+          l.contains("Exchange hashpartitioning") && l.contains("text"))))
+
+    audit("e12_mmr_topk", qs("e12_mmr_topk")(spark, sfDir),
+      "no cartesian product (corpus joins only broadcast the bounded sides)" ->
+        (p => !p.contains("CartesianProduct")),
+      "query set broadcast over one corpus scan (stage-1 shortlist)" ->
+        (p => p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange")),
+      "greedy steps rank via windows on shortlist-keyed partitions, never a global sort" ->
+        (p => !p.linesIterator.exists(l => l.contains("Window") && l.contains("SinglePartition"))))
+
+    audit("t16_bpe_pairs", qs("t16_bpe_pairs")(spark, sfDir),
+      "pair aggregate is map-side partial before its exchange" ->
+        (_.contains("HashAggregate")),
+      "top-k collapses to TakeOrderedAndProject" ->
+        (_.contains("TakeOrderedAndProject")))
+
     println(s"\nplan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

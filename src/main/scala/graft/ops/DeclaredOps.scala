@@ -120,7 +120,8 @@ object DeclaredOps {
       Similarity.ivfPqTopK(emb(s, dir), col("vec_id") < 5,
         centroidCodebook(s, dir), pqCodebooks(s, dir))),
     "d14_edit_dedup"   -> ((s, dir) => Dedup.editDedup(docs(s, dir))),
-    "t16_bpe_pairs"    -> ((s, dir) => TextAnalysis.bpePairStats(docs(s, dir))))
+    "t16_bpe_pairs"    -> ((s, dir) => TextAnalysis.bpePairStats(docs(s, dir))),
+    "e12_mmr_topk"     -> ((s, dir) => Similarity.mmrTopK(emb(s, dir), col("vec_id") < 5)))
 
   // ---- DuckDB oracle SQL ----
 
@@ -144,6 +145,14 @@ object DeclaredOps {
     """CAST(round(list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) /
       |  (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
       |   sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))) * 10000) AS BIGINT)""".stripMargin
+
+  // DuckCos generalized to arbitrary (already DOUBLE[]) column names —
+  // identical fold order, identical rounding.
+  private def duckCosX(a: String, b: String): String =
+    s"""CAST(round(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) /
+       |  (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i]))) *
+       |   sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i])))) * 10000) AS BIGINT)"""
+      .stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" ->
@@ -275,6 +284,52 @@ object DeclaredOps {
          |    row_number() OVER (PARTITION BY q.query_id ORDER BY $DuckCos DESC, c.vec_id) AS rn
          |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id)
          |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+
+    // MMR unrolled: shortlist by relevance rank, pairwise shortlist
+    // sims, then three greedy steps — each an anti-join against the
+    // selected set, a max-sim aggregate, and a (score desc, did) rank-1.
+    // Same scaled-integer arithmetic as the Spark side: rel/sim are
+    // round(cos·10⁴) BIGINTs, score = rel·700 − maxsim·300.
+    "e12_mmr_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT qid, e.vec_id AS did, ${duckCosX("v", "qv")} AS rel
+         |      FROM e CROSS JOIN q WHERE e.vec_id <> qid),
+         |short AS (SELECT qid, did, rel FROM (
+         |  SELECT qid, did, rel, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, did) AS rn
+         |  FROM c) WHERE rn <= 20),
+         |sims AS (SELECT s1.qid, s1.did AS da, s2.did AS db, ${duckCosX("ea.v", "eb.v")} AS sim
+         |  FROM short s1 JOIN short s2 ON s1.qid = s2.qid AND s1.did <> s2.did
+         |  JOIN e ea ON ea.vec_id = s1.did JOIN e eb ON eb.vec_id = s2.did),
+         |p1 AS (SELECT qid, did, rel * 700 AS score FROM (
+         |  SELECT qid, did, rel, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, did) AS rn
+         |  FROM short) WHERE rn = 1),
+         |m2 AS (SELECT sh.qid, sh.did, sh.rel, max(s.sim) AS ms
+         |  FROM short sh
+         |  JOIN sims s ON s.qid = sh.qid AND s.da = sh.did
+         |  JOIN p1 ON p1.qid = s.qid AND p1.did = s.db
+         |  LEFT JOIN p1 x ON x.qid = sh.qid AND x.did = sh.did
+         |  WHERE x.did IS NULL GROUP BY 1, 2, 3),
+         |p2 AS (SELECT qid, did, score FROM (
+         |  SELECT qid, did, rel * 700 - ms * 300 AS score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY (rel * 700 - ms * 300) DESC, did) AS rn
+         |  FROM m2) WHERE rn = 1),
+         |sel2 AS (SELECT qid, did FROM p1 UNION ALL SELECT qid, did FROM p2),
+         |m3 AS (SELECT sh.qid, sh.did, sh.rel, max(s.sim) AS ms
+         |  FROM short sh
+         |  JOIN sims s ON s.qid = sh.qid AND s.da = sh.did
+         |  JOIN sel2 ON sel2.qid = s.qid AND sel2.did = s.db
+         |  LEFT JOIN sel2 x ON x.qid = sh.qid AND x.did = sh.did
+         |  WHERE x.did IS NULL GROUP BY 1, 2, 3),
+         |p3 AS (SELECT qid, did, score FROM (
+         |  SELECT qid, did, rel * 700 - ms * 300 AS score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY (rel * 700 - ms * 300) DESC, did) AS rn
+         |  FROM m3) WHERE rn = 1)
+         |SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank, did AS neighbor_id, score AS mmr_score
+         |FROM (SELECT qid, did, 1 AS rank, score FROM p1
+         |      UNION ALL SELECT qid, did, 2, score FROM p2
+         |      UNION ALL SELECT qid, did, 3, score FROM p3)
+         |ORDER BY query_id, rank""".stripMargin,
 
     "e2_ivf_topk" ->
       s"""WITH cells AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

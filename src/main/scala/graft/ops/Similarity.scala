@@ -64,6 +64,82 @@ object Similarity {
     rankTopKScaled(scored, "vec_id", k, "cos_x10k")
   }
 
+  /** MMR (maximal-marginal-relevance) diversified top-k: greedy
+    * selection maximizing λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s)
+    * — retrieval that refuses to return k near-copies of the same
+    * document (the diversity-aware sampling step a dedup-aware training
+    * pipeline runs after ANN).
+    *
+    * Shape (the e10 two-stage idiom): stage 1 cuts the corpus to a
+    * per-query top-`m` RELEVANCE shortlist via the bounded top-k
+    * aggregate (corpus scanned once, queries broadcast, O(queries·m)
+    * past the shuffle); stage 2 unrolls the greedy selection over the
+    * shortlist — each of the k−1 steps is a broadcast-bounded join +
+    * (query, candidate)-keyed max + rank-1 window on frames of
+    * O(queries·m²) rows TOTAL, never corpus-sized. k is the unroll
+    * depth of the plan: small by construction (it is the answer size).
+    *
+    * All arithmetic is scaled-integer: rel/sim are round(cos·10⁴)
+    * BIGINTs (the e1 contract) and the MMR score is
+    * rel·λ₁₀₀₀ − maxsim·(1000−λ₁₀₀₀) — exact integers, deterministic
+    * (score desc, id asc) tie-break, bit-identical in any engine. */
+  def mmrTopK(emb: DataFrame, queryPred: Column, k: Int = 3, m: Int = 20,
+      lambdaX1000: Int = 700): DataFrame = {
+    require(k >= 1 && m >= k, "need k >= 1 and shortlist m >= k")
+    require(lambdaX1000 > 0 && lambdaX1000 < 1000, "lambda must be in (0,1)")
+    val q = emb.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("embedding"), col("qv")) * 10000, 0))
+    // rankTopK without its presentation sort (this is a mid-pipeline
+    // building block): bounded top-m aggregate, (rel desc, id asc) rank.
+    val short = scored.groupBy("query_id")
+      .agg(graft.functions.TopKByScoreAgg.column(m, col("cos"), col("vec_id")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("nb"))
+      .select(col("query_id"), col("nb._2").as("did"),
+        col("nb._1").cast("long").as("rel_x10k"))
+    // Attach shortlist embeddings: broadcast the bounded shortlist, the
+    // corpus only streams (the d14 text-attachment idiom).
+    val withEmb = emb.select(col("vec_id").as("did"), col("embedding").as("dv"))
+      .join(broadcast(short.select("query_id", "did")), "did")
+    // Pairwise shortlist similarities: queries·m² rows, broadcast self-join.
+    val a = withEmb.select(col("query_id"), col("did").as("da"), col("dv").as("va"))
+    val b = withEmb.select(col("query_id"), col("did").as("db"), col("dv").as("vb"))
+    val sims = a.join(broadcast(b), Seq("query_id"))
+      .where(col("da") =!= col("db"))
+      .select(col("query_id"), col("da"), col("db"),
+        round(cosine(col("va"), col("vb")) * 10000, 0).cast("long").as("sim_x10k"))
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+    var selected = short
+      .withColumn("rn", row_number().over(wq.orderBy(col("rel_x10k").desc, col("did"))))
+      .where(col("rn") === 1)
+      .select(col("query_id"), col("did"), lit(1).as("rank"),
+        (col("rel_x10k") * lambdaX1000).as("mmr_score"))
+    for (r <- 2 to k) {
+      val selIds = selected.select(col("query_id"), col("did").as("db"))
+      val cand = short.join(selected.select("query_id", "did"),
+        Seq("query_id", "did"), "left_anti")
+      // max similarity to the selected set, per remaining candidate —
+      // every candidate pairs with every selected doc, so inner is total.
+      val maxSim = sims.join(broadcast(selIds), Seq("query_id", "db"))
+        .groupBy(col("query_id"), col("da").as("did"))
+        .agg(max(col("sim_x10k")).as("maxsim"))
+      val next = cand.join(maxSim, Seq("query_id", "did"))
+        .withColumn("score",
+          col("rel_x10k") * lambdaX1000 - col("maxsim") * (1000 - lambdaX1000))
+        .withColumn("rn", row_number().over(wq.orderBy(col("score").desc, col("did"))))
+        .where(col("rn") === 1)
+        .select(col("query_id"), col("did"), lit(r).as("rank"),
+          col("score").as("mmr_score"))
+      selected = selected.unionByName(next)
+    }
+    selected
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("did").as("neighbor_id"), col("mmr_score"))
+      .orderSmall("query_id", "rank")
+  }
+
   /** Deterministic IVF-style coarse cell: sign bits of the first `bits`
     * components. Exact float sign — reproducible across engines.
     * Spelled as a flat sum of CASEs, not aggregate(sequence(...)): the

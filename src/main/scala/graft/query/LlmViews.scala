@@ -79,6 +79,7 @@ object LlmViews {
         docs, col("doc_id"), col("lang"),
         Seq("en" -> 500, "zh" -> 200, "de" -> 150, "es" -> 100, "fr" -> 50)),
       "llm_twostage_topk" -> Similarity.twoStageTopK(emb, col("vec_id") < 5),
+      "llm_mmr_topk" -> Similarity.mmrTopK(emb, col("vec_id") < 5),
       // IVF-PQ over the SAME build-once codebooks the e5/e7 views use.
       "llm_ivfpq_topk" -> Similarity.ivfPqTopK(emb, col("vec_id") < 5,
         coarseCb, pqCbs),

@@ -838,6 +838,46 @@ class OpsSpec extends GraftSuite {
     assert(out.values.map(_._2).toSet.size > 1, "score must discriminate")
   }
 
+  test("mmr top-k equals a local greedy recompute and never repeats a selection") {
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    // Same sequential ascending fold as the CosineSim expression, same
+    // HALF_UP integer rounding as round(col, 0).
+    def cosX(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val (kSel, m, lam) = (3, 20, 700L)
+    val expected = vecs.keys.filter(_ < 5).toSeq.sorted.flatMap { qid =>
+      val qv = vecs(qid)
+      val short = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cosX(v, qv)) }
+        .sortBy { case (id, rel) => (-rel, id) }.take(m)
+      var selected = Vector.empty[(Long, Long, Long, Long)] // (qid, rank, did, score)
+      for (r <- 1 to kSel) {
+        val chosen = short.filter(c => !selected.exists(_._3 == c._1))
+          .map { case (id, rel) =>
+            val score =
+              if (r == 1) rel * lam
+              else rel * lam - selected.map(s => cosX(vecs(id), vecs(s._3))).max * (1000 - lam)
+            (id, score)
+          }
+          .minBy { case (id, score) => (-score, id) }
+        selected :+= ((qid, r.toLong, chosen._1, chosen._2))
+      }
+      selected
+    }
+    val got = Similarity.mmrTopK(emb, col("vec_id") < 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, s"operator $got != local greedy $expected")
+    // Diversity contract: no document selected twice for the same query.
+    got.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._3).distinct.size == rows.size)
+    }
+  }
+
   test("bpe: first merge is the declared top pair; merges deterministic and compressive") {
     val merges = TextAnalysis.trainBpe(docs, merges = 8)
     assert(merges.size == 8)
