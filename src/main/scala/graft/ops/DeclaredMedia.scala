@@ -25,7 +25,8 @@ object DeclaredMedia {
     "m1_media_decode"  -> ((s, _) => Multimodal.decodeDims(media(s))),
     "m2_media_sim"     -> ((s, _) => Multimodal.similarByHistogram(media(s))),
     "m3_frame_sample"  -> ((s, _) => Multimodal.frameSampleStats(media(s))),
-    "m4_audio_decode"  -> ((s, _) => Multimodal.decodeAudio(media(s))))
+    "m4_audio_decode"  -> ((s, _) => Multimodal.decodeAudio(media(s))),
+    "m5_phash_pairs"   -> ((s, _) => Multimodal.phashPairs(media(s))))
 
   private val Fixture = MediaFixture.DefaultPath
 
@@ -74,5 +75,26 @@ object DeclaredMedia {
       s"""SELECT media_id, meta.format AS format, meta.sample_rate AS rate,
          |CAST(meta.n_samples AS BIGINT) AS n_samples
          |FROM read_parquet('$Fixture') WHERE kind = 'audio'
-         |ORDER BY media_id""".stripMargin)
+         |ORDER BY media_id""".stripMargin,
+
+    // Ground truth = all-pairs Hamming over the same integer phash
+    // (count·16 > n bit rule re-derived byte-by-byte from the payload
+    // hex); the Spark side's 4-nibble banding is pigeonhole-complete at
+    // tau = 3, so banded ≡ all-pairs exactly.
+    "m5_phash_pairs" ->
+      s"""WITH img AS (SELECT media_id, substr(hex(payload), 17) AS hs,
+         |    octet_length(payload) - 8 AS n
+         |  FROM read_parquet('$Fixture') WHERE kind = 'image' AND meta.format = 'gimg'),
+         |cnt AS (SELECT media_id, n, list_transform(range(0, 16), b ->
+         |    len(list_filter(range(0, n),
+         |      i -> CAST(concat('0x', substr(hs, CAST(2*i + 1 AS INT), 2)) AS INT) // 16 = b))) AS c
+         |  FROM img),
+         |ph AS (SELECT media_id, CAST(list_sum(list_transform(range(0, 16),
+         |    b -> CASE WHEN c[CAST(b + 1 AS INT)] * 16 > n THEN 1 << (15 - b) ELSE 0 END)) AS BIGINT) AS phash
+         |  FROM cnt)
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         |FROM ph a JOIN ph b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin)
 }

@@ -54,6 +54,34 @@ object Multimodal {
       copy(child = c)
   }
 
+  /** 16-bit perceptual hash of a binary column: bit b (MSB = bin 0) is
+    * set iff byte-histogram bin b holds MORE than its uniform share —
+    * the integer rule count·16 > n, never a float threshold, so the
+    * hash is bit-identical in any engine regardless of float rounding.
+    * One pass over the bytes, INT out. */
+  case class Phash16(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      val counts = new Array[Int](16)
+      var i = 0
+      while (i < bytes.length) {
+        counts((bytes(i) & 0xff) >>> 4) += 1
+        i += 1
+      }
+      var hash = 0
+      var b = 0
+      while (b < 16) {
+        if (counts(b) * 16 > bytes.length) hash |= 1 << (15 - b)
+        b += 1
+      }
+      hash
+    }
+    override protected def withNewChildInternal(c: Expression): Phash16 =
+      copy(child = c)
+  }
+
   /** Keep every `stride`-th frame of `frameLen` bytes — the "video"
     * frame-sampling primitive, as real binary slicing. */
   case class FrameSample(first: Expression, second: Expression, third: Expression)
@@ -169,6 +197,8 @@ object Multimodal {
 
   def mediaHeader(c: Column): Column = column(MediaHeader(expression(c)))
 
+  def phash16(c: Column): Column = column(Phash16(expression(c)))
+
   def byteHistogram(c: Column, bins: Int = 16): Column =
     column(ByteHistogram(expression(c), bins))
   def frameSample(data: Column, frameLen: Column, stride: Column): Column =
@@ -232,6 +262,42 @@ object Multimodal {
     // Bounded top-k aggregate, not a window rank — the scored set never
     // shuffles whole (see TopKByScoreAgg).
     Similarity.rankTopKScaled(scored, "media_id", k, "cos_x10k")
+  }
+
+  /** m5 — perceptual-hash near-duplicate pairs: 16-bit histogram-sign
+    * phash per image (integer bit rule, see [[Phash16]]), candidate
+    * pairs via a 4-nibble band join, exact Hamming ≤ `tau` verify.
+    *
+    * The banding is EXACT, not approximate: two hashes within Hamming
+    * distance 3 differ in at most 3 of the 4 nibbles, so by pigeonhole
+    * they share at least one — every qualifying pair reaches the verify
+    * (the Manku simhash-dedup construction). Requires tau < 4; raising
+    * tau means more/smaller bands, the standard trade.
+    *
+    * Scale: pairs form ONLY inside (band, nibble) buckets — an
+    * equi-join, never all-pairs; payloads stay in the scan (only the
+    * 4-byte hash shuffles). */
+  def phashPairs(media: DataFrame, tau: Int = 3): DataFrame = {
+    require(tau < 4, "4-band pigeonhole completeness requires tau < 4")
+    val ph = media
+      .where(col("kind") === "image" &&
+        mediaHeader(col("payload")).getField("format") === "gimg")
+      .select(col("media_id"),
+        phash16(expr("substring(payload, 9, 2147483647)")).as("phash"))
+      .repartition(col("media_id"))
+    val banded = ph.select(col("media_id"), col("phash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftright(phash, b * 4) % 16)"))
+        .as(Seq("band", "key")))
+    banded.as("x").join(banded.as("y"), Seq("band", "key"))
+      .where(col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        col("x.phash").as("pa"), col("y.phash").as("pb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
+      .where(col("hamming") <= tau)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderSmall("id_a", "id_b")
   }
 
   /** m3 — frame sampling: treat each image body as `h` frames of `w`

@@ -80,6 +80,35 @@ class MultimodalSpec extends GraftSuite {
     }
   }
 
+  test("phash pairs: banded join equals a local all-pairs recompute") {
+    val rows = media
+      .where(org.apache.spark.sql.functions.expr(
+        "kind = 'image' AND meta.format = 'gimg'"))
+      .select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    def phash(bytes: Array[Byte]): Int = {
+      val body = bytes.drop(8)
+      val counts = new Array[Int](16)
+      body.foreach(b => counts((b & 0xff) >>> 4) += 1)
+      (0 until 16).foldLeft(0) { (h, b) =>
+        if (counts(b) * 16 > body.length) h | (1 << (15 - b)) else h
+      }
+    }
+    val ph = rows.map { case (id, bytes) => id -> phash(bytes) }.sortBy(_._1)
+    val expected = for {
+      (a, pa) <- ph; (b, pb) <- ph if a < b
+      h = Integer.bitCount(pa ^ pb) if h <= 3
+    } yield (a, b, h.toLong)
+    val got = Multimodal.phashPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected.toSeq,
+      s"banded pairs ${got.toSeq} != all-pairs ${expected.toSeq}")
+    assert(got.nonEmpty, "fixture must contain at least one phash near-pair")
+    // No all-pairs in the plan: pairs may only form inside nibble buckets.
+    val plan = Multimodal.phashPairs(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("media queries and oracles stay in sync") {
     assert(DeclaredMedia.queries.keySet -- DeclaredMedia.oracleSql.keySet == Set.empty)
   }
