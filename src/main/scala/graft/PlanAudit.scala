@@ -304,11 +304,21 @@ object PlanAudit {
         (p => !p.linesIterator.exists(l =>
           l.contains("Exchange hashpartitioning") && l.contains("text"))))
 
-    audit("e12_mmr_topk", qs("e12_mmr_topk")(spark, sfDir),
-      "no cartesian product (corpus joins only broadcast the bounded sides)" ->
-        (p => !p.contains("CartesianProduct")),
-      "query set broadcast over one corpus scan (stage-1 shortlist)" ->
+    audit("e12_mmr_shortlist",
+      graft.ops.Similarity.mmrShortlist(
+        graft.core.Tables.load(spark, sfDir, "embeddings"),
+        org.apache.spark.sql.functions.col("vec_id") < 5, 20),
+      "query set broadcast over one corpus scan (bounded top-m aggregate)" ->
         (p => p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange")),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")),
+      "embedding attach broadcasts the shortlist (corpus never shuffles)" ->
+        (_.contains("BroadcastHashJoin")))
+
+    audit("e12_mmr_topk", qs("e12_mmr_topk")(spark, sfDir),
+      "greedy phase is corpus-free: selection plan reads only the checkpointed shortlist" ->
+        (p => !p.contains("Scan parquet")),
+      "no cartesian product (all joins broadcast the bounded sides)" ->
+        (p => !p.contains("CartesianProduct")),
       "greedy steps rank via windows on shortlist-keyed partitions, never a global sort" ->
         (p => !p.linesIterator.exists(l => l.contains("Window") && l.contains("SinglePartition"))))
 

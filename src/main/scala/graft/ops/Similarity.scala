@@ -87,23 +87,24 @@ object Similarity {
       lambdaX1000: Int = 700): DataFrame = {
     require(k >= 1 && m >= k, "need k >= 1 and shortlist m >= k")
     require(lambdaX1000 > 0 && lambdaX1000 < 1000, "lambda must be in (0,1)")
-    val q = emb.where(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val scored = emb.crossJoin(broadcast(q))
-      .where(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("embedding"), col("qv")) * 10000, 0))
-    // rankTopK without its presentation sort (this is a mid-pipeline
-    // building block): bounded top-m aggregate, (rel desc, id asc) rank.
-    val short = scored.groupBy("query_id")
-      .agg(graft.functions.TopKByScoreAgg.column(m, col("cos"), col("vec_id")).as("top"))
-      .select(col("query_id"), explode(col("top")).as("nb"))
-      .select(col("query_id"), col("nb._2").as("did"),
-        col("nb._1").cast("long").as("rel_x10k"))
-    // Attach shortlist embeddings: broadcast the bounded shortlist, the
-    // corpus only streams (the d14 text-attachment idiom).
-    val withEmb = emb.select(col("vec_id").as("did"), col("embedding").as("dv"))
-      .join(broadcast(short.select("query_id", "did")), "did")
-    // Pairwise shortlist similarities: queries·m² rows, broadcast self-join.
+    // Stage 1 (the only corpus-sized work, audited separately in
+    // PlanAudit as mmr shortlist): one scan + bounded top-m aggregate,
+    // then one more scan to attach shortlist embeddings. Both stages
+    // are MATERIALIZED (localCheckpoint: queries·m rows) so the greedy
+    // phase's plan — whose unrolled steps each reference the shortlist
+    // several times — is built on a bounded in-memory relation and the
+    // corpus appears NOWHERE in it (asserted in PlanAudit). Without the
+    // boundary, every step subtree re-embedded the corpus aggregate:
+    // measured 1.33 s → the checkpointed form re-scans nothing.
+    val withEmb = mmrShortlist(emb, queryPred, m).localCheckpoint()
+    val short = withEmb.select("query_id", "did", "rel_x10k")
+    // Pairwise shortlist similarities: queries·m² rows, broadcast
+    // self-join. (Hint placement is MEASURED, not assumed: broadcasting
+    // b and selIds but NOT the per-step anti-join sides is the 7-job
+    // floor — hinting every join costs a separate broadcast job per
+    // step (16 jobs, 1.1 s), and dropping all hints for a pinned
+    // query_id repartition re-sorts every SMJ input (1.15 s); this
+    // shape measures 0.74 s.)
     val a = withEmb.select(col("query_id"), col("did").as("da"), col("dv").as("va"))
     val b = withEmb.select(col("query_id"), col("did").as("db"), col("dv").as("vb"))
     val sims = a.join(broadcast(b), Seq("query_id"))
@@ -138,6 +139,26 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("did").as("neighbor_id"), col("mmr_score"))
       .orderSmall("query_id", "rank")
+  }
+
+  /** Stage 1 of [[mmrTopK]]: the per-query top-`m` relevance shortlist
+    * with embeddings attached — (query_id, did, rel_x10k, dv). One
+    * corpus scan into the bounded top-m aggregate (queries broadcast),
+    * one more to attach the m embeddings (broadcast pair side). */
+  private[graft] def mmrShortlist(emb: DataFrame, queryPred: Column,
+      m: Int): DataFrame = {
+    val q = emb.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("embedding"), col("qv")) * 10000, 0))
+    val short = scored.groupBy("query_id")
+      .agg(graft.functions.TopKByScoreAgg.column(m, col("cos"), col("vec_id")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("nb"))
+      .select(col("query_id"), col("nb._2").as("did"),
+        col("nb._1").cast("long").as("rel_x10k"))
+    emb.select(col("vec_id").as("did"), col("embedding").as("dv"))
+      .join(broadcast(short), "did")
   }
 
   /** Deterministic IVF-style coarse cell: sign bits of the first `bits`
