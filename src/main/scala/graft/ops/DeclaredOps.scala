@@ -121,7 +121,8 @@ object DeclaredOps {
         centroidCodebook(s, dir), pqCodebooks(s, dir))),
     "d14_edit_dedup"   -> ((s, dir) => Dedup.editDedup(docs(s, dir))),
     "t16_bpe_pairs"    -> ((s, dir) => TextAnalysis.bpePairStats(docs(s, dir))),
-    "e12_mmr_topk"     -> ((s, dir) => Similarity.mmrTopK(emb(s, dir), col("vec_id") < 5)))
+    "e12_mmr_topk"     -> ((s, dir) => Similarity.mmrTopK(emb(s, dir), col("vec_id") < 5)),
+    "d15_semantic_clusters" -> ((s, dir) => Similarity.semanticClusters(emb(s, dir))))
 
   // ---- DuckDB oracle SQL ----
 
@@ -263,6 +264,24 @@ object DeclaredOps {
          |    (len(s) + ${ngramShingles.size} - len(list_intersect(s, $ngramList))) AS j
          |  FROM sh)
          |WHERE j > 0 ORDER BY j DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Ground-truth components: recursive transitive closure over the
+    // EXACT all-pairs cosine pair set (the d5 closure shape on d9's
+    // pair oracle).
+    "d15_semantic_clusters" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) >= 0.5),
+        |edges AS (SELECT va AS a, vb AS b FROM pairs UNION ALL SELECT vb, va FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS vec_id, least(a, min(b)) AS cluster FROM reach GROUP BY a
+        |ORDER BY vec_id""".stripMargin,
 
     // Oracle = EXACT all-pairs cosine at the declared threshold (ground
     // truth for the sign-band LSH path; see embeddingNearDup's scaladoc).

@@ -174,9 +174,17 @@ object Dedup {
     * pair participate; the corpus never joins in.
     */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.5,
-      maxIter: Int = 20, driverCcMaxEdges: Long = 1000000): DataFrame = {
-    val pairsDf = minhashLsh(docs, threshold).select(col("doc_a"), col("doc_b"))
+      maxIter: Int = 20, driverCcMaxEdges: Long = 1000000): DataFrame =
+    ccLabels(minhashLsh(docs, threshold).select(col("doc_a"), col("doc_b")),
+      maxIter, driverCcMaxEdges)
+      .orderSmall("doc_id")
 
+  /** Connected-component labels over an arbitrary (doc_a, doc_b) edge
+    * frame — the CC core shared by text near-dup clustering (d5) and
+    * embedding semantic clustering (d15). Returns (doc_id, cluster =
+    * min member), unordered. */
+  private[ops] def ccLabels(pairsDf: DataFrame,
+      maxIter: Int = 20, driverCcMaxEdges: Long = 1000000): DataFrame = {
     // Size-adaptive strategy, same idea as a broadcast-join threshold:
     // the verified pair set is a few-percent-of-corpus artifact (exact
     // dups are removed first, candidates were LSH-pruned and
@@ -186,7 +194,7 @@ object Dedup {
     // driver-local, so downstream consumers (dedupApply) broadcast it
     // instead of re-executing the LSH chain. Above the threshold the
     // Pregel-style loop below handles arbitrarily large edge sets.
-    val spark = docs.sparkSession
+    val spark = pairsDf.sparkSession
     val pairsLocal = pairsDf
       .limit(math.min(driverCcMaxEdges + 1, Int.MaxValue.toLong).toInt).collect()
     if (pairsLocal.length <= driverCcMaxEdges) {
@@ -208,7 +216,7 @@ object Dedup {
       // point to smaller ids), matching the distributed labeling.
       val labels = parent.keys.toSeq.sorted.map(d => (d, find(d)))
       import spark.implicits._
-      return labels.toDF("doc_id", "cluster").orderSmall("doc_id")
+      return labels.toDF("doc_id", "cluster")
     }
 
     val pairs = pairsDf
@@ -239,7 +247,6 @@ object Dedup {
       labels = merged.select(col("doc"), col("lab2").as("lab"))
     }
     labels.select(col("doc").as("doc_id"), col("lab").as("cluster"))
-      .orderSmall("doc_id")
   }
 
   /** Apply dedup: drop every cluster member except the canonical (min id)

@@ -683,6 +683,22 @@ object Similarity {
       .orderSmall("vec_a", "vec_b")
   }
 
+  /** Semantic (embedding-space) duplicate clusters — the SemDeDup
+    * grouping step: connected components over the exact-cosine near-dup
+    * pair set (d9), labeled by min member. Paraphrase clusters that
+    * token-level dedup cannot see collapse here; `clusterKeep` style
+    * application then drops all but one representative per cluster.
+    *
+    * Scale: pair formation is d9's sign-band bucketing (never
+    * all-pairs); the CC core is Dedup.ccLabels — size-adaptive
+    * union-find below the edge threshold, Pregel-style label
+    * propagation above it. */
+  def semanticClusters(emb: DataFrame, threshold: Double = 0.5): DataFrame =
+    Dedup.ccLabels(embeddingNearDup(emb, threshold)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster"))
+      .orderSmall("vec_id")
+
   /** Cross-corpus embedding decontamination — the embedding-modality
     * analogue of d11's text decontaminate: TRAIN vectors whose cosine to
     * any EVAL vector reaches the threshold (the leakage a semantic

@@ -80,6 +80,7 @@ object LlmViews {
         Seq("en" -> 500, "zh" -> 200, "de" -> 150, "es" -> 100, "fr" -> 50)),
       "llm_twostage_topk" -> Similarity.twoStageTopK(emb, col("vec_id") < 5),
       "llm_mmr_topk" -> Similarity.mmrTopK(emb, col("vec_id") < 5),
+      "llm_semantic_clusters" -> Similarity.semanticClusters(emb),
       // IVF-PQ over the SAME build-once codebooks the e5/e7 views use.
       "llm_ivfpq_topk" -> Similarity.ivfPqTopK(emb, col("vec_id") < 5,
         coarseCb, pqCbs),
@@ -144,11 +145,29 @@ object DeclaredLlmSql {
       """SELECT doc_id, n_tokens, quality_x10k FROM llm_quality
         |WHERE quality_x10k >= 5000 ORDER BY doc_id LIMIT 100""".stripMargin)
 
+  /** A round-7 view through the SQL entry path: user-level predicate
+    * (rank ≤ 2) composed over the MMR operator plan. */
+  def h7(spark: SparkSession, dir: String): DataFrame =
+    service(spark, dir).execute(
+      """SELECT query_id, rank, neighbor_id, mmr_score FROM llm_mmr_topk
+        |WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h5_llm_sql_dedup"   -> (h5 _),
-    "h6_llm_sql_quality" -> (h6 _))
+    "h6_llm_sql_quality" -> (h6 _),
+    "h7_llm_sql_mmr"     -> (h7 _))
+
+  // e12's oracle with the user-level rank predicate composed on top —
+  // the SQL-path row must hash against the same ground truth as the
+  // Scala-path operator it wraps.
+  private val mmrOracleInner =
+    graft.ops.DeclaredOps.oracleSql("e12_mmr_topk")
+      .replace("ORDER BY query_id, rank", "")
 
   val oracleSql: Map[String, String] = Map(
+    "h7_llm_sql_mmr" ->
+      s"""SELECT query_id, rank, neighbor_id, mmr_score FROM ($mmrOracleInner)
+         |WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin,
     // Exact all-pairs ground truth (the d2 oracle shape) at the composed
     // threshold: view-level j >= 0.5, user-level x10k >= 6000.
     "h5_llm_sql_dedup" ->

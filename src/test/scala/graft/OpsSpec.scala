@@ -838,6 +838,23 @@ class OpsSpec extends GraftSuite {
     assert(out.values.map(_._2).toSet.size > 1, "score must discriminate")
   }
 
+  test("semantic clusters collapse embedding near-dup pairs transitively") {
+    // Threshold 0.15: the declared 0.5 yields no pairs on the tiny
+    // sf0.001 slice (oracle-covered at sf0.01); the CC contract is
+    // threshold-independent.
+    val pairs = Similarity.embeddingNearDup(emb, threshold = 0.15).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "test threshold must produce pairs")
+    val clusters = Similarity.semanticClusters(emb, threshold = 0.15).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+      assert(clusters(a) <= math.min(a, b), "label must be the min member")
+    }
+    // Exactly the vectors appearing in some pair participate.
+    assert(clusters.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
+
   test("mmr top-k equals a local greedy recompute and never repeats a selection") {
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap

@@ -24,7 +24,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 NOT_BASELINES = {"d2_minhash_lsh", "d5_dedup_clusters", "d6_dedup_apply",
                  "d9_embedding_dedup", "d10_jaccard_join", "h5_llm_sql_dedup",
-                 "s5_cluster_split", "d14_edit_dedup"}
+                 "s5_cluster_split", "d14_edit_dedup", "d15_semantic_clusters"}
 
 
 def connect(sf_dir):
