@@ -85,8 +85,7 @@ object Similarity {
     * (score desc, id asc) tie-break, bit-identical in any engine. */
   def mmrTopK(emb: DataFrame, queryPred: Column, k: Int = 3, m: Int = 20,
       lambdaX1000: Int = 700): DataFrame = {
-    require(k >= 1 && m >= k, "need k >= 1 and shortlist m >= k")
-    require(lambdaX1000 > 0 && lambdaX1000 < 1000, "lambda must be in (0,1)")
+    require(m >= k, "shortlist m must cover k selections")
     // Stage 1 (the only corpus-sized work, audited separately in
     // PlanAudit as mmr shortlist): one scan + bounded top-m aggregate,
     // then one more scan to attach shortlist embeddings. Both stages
@@ -95,8 +94,19 @@ object Similarity {
     // several times — is built on a bounded in-memory relation and the
     // corpus appears NOWHERE in it (asserted in PlanAudit). Without the
     // boundary, every step subtree re-embedded the corpus aggregate:
-    // measured 1.33 s → the checkpointed form re-scans nothing.
-    val withEmb = mmrShortlist(emb, queryPred, m).localCheckpoint()
+    // measured 1.33 s → the checkpointed form re-scans nothing. The
+    // checkpointed shortlist is itself a build-once artifact — callers
+    // serving a fixed query set (DeclaredOps, views) memoize it per
+    // data signature and pass it to [[mmrSelect]] directly.
+    mmrSelect(mmrShortlist(emb, queryPred, m).localCheckpoint(), k, lambdaX1000)
+  }
+
+  /** Greedy MMR selection over a (materialized) shortlist from
+    * [[mmrShortlist]] — corpus-free by construction. */
+  def mmrSelect(withEmb: DataFrame, k: Int = 3,
+      lambdaX1000: Int = 700): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(lambdaX1000 > 0 && lambdaX1000 < 1000, "lambda must be in (0,1)")
     val short = withEmb.select("query_id", "did", "rel_x10k")
     // Pairwise shortlist similarities: queries·m² rows, broadcast
     // self-join. (Hint placement is MEASURED, not assumed: broadcasting
