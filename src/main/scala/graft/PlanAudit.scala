@@ -304,6 +304,13 @@ object PlanAudit {
         (p => !p.linesIterator.exists(l =>
           l.contains("Exchange hashpartitioning") && l.contains("text"))))
 
+    audit("d16_containment", qs("d16_containment")(spark, sfDir),
+      "probe-side postings broadcast (corpus never reshuffles for the join)" ->
+        (_.contains("BroadcastHashJoin")),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")),
+      "corpus is map-only into the pair count: only the (a, b) aggregate shuffles" ->
+        (p => "hashpartitioning\\(".r.findAllIn(p).length == 1))
+
     audit("e12_mmr_shortlist",
       graft.ops.Similarity.mmrShortlist(
         graft.core.Tables.load(spark, sfDir, "embeddings"),

@@ -132,7 +132,9 @@ object DeclaredOps {
     // on the unrolled tree; that is the honest per-query price.
     "e12_mmr_topk"     -> ((s, dir) => Similarity.mmrSelect(mmrShort(s, dir)(
       Similarity.mmrShortlist(emb(s, dir), col("vec_id") < 5, 20).localCheckpoint()))),
-    "d15_semantic_clusters" -> ((s, dir) => Similarity.semanticClusters(emb(s, dir))))
+    "d15_semantic_clusters" -> ((s, dir) => Similarity.semanticClusters(emb(s, dir))),
+    "d16_containment"  -> ((s, dir) =>
+      Dedup.containment(docs(s, dir), col("doc_id") % 5 === 0)))
 
   // ---- DuckDB oracle SQL ----
 
@@ -201,6 +203,21 @@ object DeclaredOps {
          |SELECT doc_a, doc_b, lev_edits,
          |  CAST(lev_edits * 1000 // mx AS BIGINT) AS ep_x1000
          |FROM lp WHERE lev_edits * 1000 // mx <= 20
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Exact directed containment: same inverted-index join both
+    // engines (distinct shingle sets → join-row count = intersection).
+    "d16_containment" ->
+      s"""$ShingleCte,
+         |qe AS (SELECT doc_id AS doc_a, unnest(s) AS g FROM sh
+         |       WHERE doc_id % 5 = 0 AND len(s) > 0),
+         |qs AS (SELECT doc_id AS doc_a, CAST(len(s) AS BIGINT) AS na FROM sh
+         |       WHERE doc_id % 5 = 0 AND len(s) > 0),
+         |ce AS (SELECT doc_id AS doc_b, unnest(s) AS g FROM sh WHERE doc_id % 5 <> 0),
+         |i AS (SELECT doc_a, doc_b, count(*) AS shared FROM ce JOIN qe USING (g) GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared, CAST(shared * 1000 // na AS BIGINT) AS cont_x1000
+         |FROM i JOIN qs USING (doc_a)
+         |WHERE shared * 1000 // na >= 600
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Adjacent char pairs: substr(w, i, 2) for i in [1, len) is the pair

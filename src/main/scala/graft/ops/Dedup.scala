@@ -271,6 +271,37 @@ object Dedup {
       .select((col("total") - col("removed")).as("survivors"), col("removed"))
   }
 
+  /** Directed shingle containment — "is document A quoted/embedded in
+    * document B": cont(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|, the asymmetric
+    * measure resemblance (Jaccard) misses when B is much larger than A
+    * (a fully-quoted paragraph inside a long page has low Jaccard but
+    * containment 1.0 — the Broder distinction).
+    *
+    * The probe side is small by declaration (the quote-candidates /
+    * eval-set side — d11's premise), so its exploded postings broadcast
+    * and the corpus streams map-only into one (a, b) count; shingle
+    * sets are distinct per doc, so the join-row count per pair IS the
+    * exact intersection. Integer permille floor division keeps the
+    * hashed ratio engine-exact. */
+  def containment(docs: DataFrame, probePred: Column,
+      minContainPermille: Int = 600): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingles(col("text")).as("s"))
+      .where(size(col("s")) > 0)
+    val qe = sh.where(probePred)
+      .select(col("doc_id").as("doc_a"), explode(col("s")).as("g"))
+    val qs = sh.where(probePred)
+      .select(col("doc_id").as("doc_a"), size(col("s")).cast("long").as("na"))
+    val ce = sh.where(!probePred)
+      .select(col("doc_id").as("doc_b"), explode(col("s")).as("g"))
+    ce.join(broadcast(qe), "g")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(broadcast(qs), "doc_a")
+      .withColumn("cont_x1000", expr("shared * 1000 div na"))
+      .where(col("cont_x1000") >= minContainPermille)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("cont_x1000"))
+      .orderSmall("doc_a", "doc_b")
+  }
+
   /** Pairwise dataset overlap (contamination check): exact shingle-set
     * Jaccard between document SOURCES — the "is my eval set inside the
     * training crawl" question, at dataset granularity.

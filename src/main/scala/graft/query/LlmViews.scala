@@ -81,6 +81,7 @@ object LlmViews {
       "llm_twostage_topk" -> Similarity.twoStageTopK(emb, col("vec_id") < 5),
       "llm_mmr_topk" -> Similarity.mmrTopK(emb, col("vec_id") < 5),
       "llm_semantic_clusters" -> Similarity.semanticClusters(emb),
+      "llm_containment" -> Dedup.containment(docs, col("doc_id") % 5 === 0),
       // IVF-PQ over the SAME build-once codebooks the e5/e7 views use.
       "llm_ivfpq_topk" -> Similarity.ivfPqTopK(emb, col("vec_id") < 5,
         coarseCb, pqCbs),

@@ -838,6 +838,26 @@ class OpsSpec extends GraftSuite {
     assert(out.values.map(_._2).toSet.size > 1, "score must discriminate")
   }
 
+  test("containment equals a local set recompute and is asymmetric by construction") {
+    def shingleSet(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set.empty else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingleSet(r.getString(1)))
+      .filter(_._2.nonEmpty).toMap
+    val probe = texts.filter(_._1 % 5 == 0)
+    val corpus = texts.filter(_._1 % 5 != 0)
+    val expected = (for {
+      (a, sa) <- probe.toSeq; (b, sb) <- corpus.toSeq
+      shared = (sa & sb).size.toLong if shared > 0
+      cont = shared * 1000 / sa.size if cont >= 600
+    } yield (a, b, shared, cont)).sortBy(p => (p._1, p._2))
+    val got = Dedup.containment(docs, col("doc_id") % 5 === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, s"operator $got != local $expected")
+  }
+
   test("semantic clusters collapse embedding near-dup pairs transitively") {
     // Threshold 0.15: the declared 0.5 yields no pairs on the tiny
     // sf0.001 slice (oracle-covered at sf0.01); the CC contract is
