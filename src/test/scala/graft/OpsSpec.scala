@@ -838,6 +838,31 @@ class OpsSpec extends GraftSuite {
     assert(out.values.map(_._2).toSet.size > 1, "score must discriminate")
   }
 
+  test("round-7 operators survive degenerate inputs") {
+    import org.apache.spark.sql.functions.{col => c}
+    val sess = spark
+    import sess.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.editDedup(empty).collect().isEmpty)
+    assert(Dedup.containment(empty, c("doc_id") % 5 === 0).collect().isEmpty)
+    assert(TextAnalysis.bpePairStats(empty).collect().isEmpty)
+    // trainBpe on a corpus with fewer possible merges than requested
+    // stops early instead of looping or padding.
+    val tiny = Seq((1L, "ab ab"), (2L, "ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpe(tiny, merges = 10)
+    assert(merges == Seq(("a", "b")), s"got $merges")
+    // Single-char / empty words segment losslessly with zero merges.
+    assert(TextAnalysis.bpeSegment("x", Nil) == Vector("x"))
+    assert(TextAnalysis.bpeSegment("", merges).isEmpty)
+    // Containment of a doc inside itself is excluded by the probe split;
+    // probe side with no qualifying docs yields empty, not an error.
+    val one = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    assert(Dedup.containment(one, c("doc_id") % 5 === 0).collect().isEmpty)
+    // MMR with a query predicate matching nothing returns no rows.
+    val emb1 = graft.core.Tables.load(spark, sf, "embeddings")
+    assert(Similarity.mmrTopK(emb1, c("vec_id") < 0).collect().isEmpty)
+  }
+
   test("containment equals a local set recompute and is asymmetric by construction") {
     def shingleSet(t: String): Set[String] = {
       val w = t.split(" ", -1)
