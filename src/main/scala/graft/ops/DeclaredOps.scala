@@ -134,7 +134,9 @@ object DeclaredOps {
       Similarity.mmrShortlist(emb(s, dir), col("vec_id") < 5, 20).localCheckpoint()))),
     "d15_semantic_clusters" -> ((s, dir) => Similarity.semanticClusters(emb(s, dir))),
     "d16_containment"  -> ((s, dir) =>
-      Dedup.containment(docs(s, dir), col("doc_id") % 5 === 0)))
+      Dedup.containment(docs(s, dir), col("doc_id") % 5 === 0)),
+    "t17_backoff_lm"   -> ((s, dir) =>
+      TextAnalysis.backoffLm(docs(s, dir), col("doc_id") % 4 === 0)))
 
   // ---- DuckDB oracle SQL ----
 
@@ -204,6 +206,35 @@ object DeclaredOps {
          |  CAST(lev_edits * 1000 // mx AS BIGINT) AS ep_x1000
          |FROM lp WHERE lev_edits * 1000 // mx <= 20
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Stupid-backoff trigram LM on held-out docs: train-slice n-gram
+    // type tables (window/group sums), LEFT joins fire the backoff
+    // chain on novel n-grams, all-integer floor arithmetic. The
+    // HUGEINT-avoidance cast on sum(v) is deliberate (oracle type
+    // lint).
+    "t17_backoff_lm" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tr AS (SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i + 1 AS INT)] AS w2,
+        |         w[CAST(i + 2 AS INT)] AS w3
+        |       FROM toks, UNNEST(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3),
+        |c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM tr WHERE doc_id % 4 <> 0 GROUP BY 1, 2, 3),
+        |triw AS (SELECT *, sum(c123) OVER (PARTITION BY w1, w2) AS c12 FROM c123),
+        |big AS (SELECT w2, w3, sum(c123) AS c23 FROM c123 GROUP BY 1, 2),
+        |bigw AS (SELECT *, sum(c23) OVER (PARTITION BY w2) AS c2 FROM big),
+        |uni AS (SELECT w3, sum(c123) AS c3 FROM c123 GROUP BY 1),
+        |tot AS (SELECT sum(c3) AS n FROM uni),
+        |sc AS (SELECT tr.doc_id,
+        |    CASE WHEN t.c123 IS NOT NULL THEN CAST(t.c123 * 1000 // t.c12 AS BIGINT)
+        |         WHEN b.c23 IS NOT NULL THEN CAST(400 * b.c23 // b.c2 AS BIGINT)
+        |         ELSE CAST(160 * coalesce(u.c3, 0) // n AS BIGINT) END AS v
+        |  FROM tr LEFT JOIN triw t USING (w1, w2, w3)
+        |          LEFT JOIN bigw b USING (w2, w3)
+        |          LEFT JOIN uni u USING (w3)
+        |          CROSS JOIN tot
+        |  WHERE tr.doc_id % 4 = 0)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        |  CAST(CAST(sum(v) AS BIGINT) // count(*) AS BIGINT) AS lm_x1000
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Exact directed containment: same inverted-index join both
     // engines (distinct shingle sets → join-row count = intersection).

@@ -405,6 +405,60 @@ object TextAnalysis {
          col("a75").cast("double").between(col("lo75"), col("hi75"))).as("approx_ok"))
       .orderAgg("lang")
 
+  /** Stupid-backoff trigram LM score of HELD-OUT documents against
+    * statistics built from the TRAIN slice — the t14 coherence gate
+    * upgraded to the real perplexity-filter shape: scoring data the
+    * model has not seen, so the backoff chain (trigram → bigram →
+    * unigram → zero) genuinely fires on novel n-grams instead of being
+    * dead code. Per position: S = c123·1000 div c12 if the trigram was
+    * seen in train, else 0.4·(c23/c2), else 0.4²·(c3/N), else 0 — all
+    * INTEGER floor arithmetic (the t14 rule: nested floors are
+    * deterministic in any engine even where the real-valued backoff is
+    * not representable); doc score = floor mean over positions.
+    * Count conventions (documented because several are defensible):
+    * c12/c23/c2/c3/N are all window/group sums OVER THE TRAIN
+    * TRIGRAM-TYPE TABLE (c12 = Σ_w3 c123, c23 = Σ_w1 c123, c2 = Σ c23
+    * over w2-as-first, c3 = Σ c23 over w3, N = Σ c3).
+    *
+    * Scale: two corpus passes (train explode → type aggregate;
+    * held-out explode → score join); every stats frame is n-gram-TYPE
+    * sized and broadcast at declared scale (prune to top types
+    * stupid-backoff-style at web scale, the t14 note); the per-doc
+    * aggregate is the only corpus-sized shuffle. */
+  def backoffLm(docs: DataFrame, heldOutPred: Column,
+      ordered: Boolean = true): DataFrame = {
+    def tris(d: DataFrame) = d
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(w) - 3),
+          |  i -> named_struct('w1', element_at(w, i + 1),
+          |                    'w2', element_at(w, i + 2),
+          |                    'w3', element_at(w, i + 3)))""".stripMargin)).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
+    val c123 = tris(docs.where(!heldOutPred))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+    val triW = c123
+      .withColumn("c12", sum(col("c123")).over(Window.partitionBy("w1", "w2")))
+    val big = c123.groupBy("w2", "w3").agg(sum(col("c123")).as("c23"))
+      .withColumn("c2", sum(col("c23")).over(Window.partitionBy("w2")))
+    val uni = c123.groupBy("w3").agg(sum(col("c123")).as("c3"))
+    val tot = uni.agg(sum(col("c3")).as("n"))
+    val scored = tris(docs.where(heldOutPred))
+      .join(broadcast(triW), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(big), Seq("w2", "w3"), "left")
+      .join(broadcast(uni), Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("v", expr(
+        """CASE WHEN c123 IS NOT NULL THEN c123 * 1000 div c12
+          |     WHEN c23 IS NOT NULL THEN 400 * c23 div c2
+          |     ELSE 160 * coalesce(c3, 0) div n END""".stripMargin))
+    val out = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        expr("sum(v) div count(1)").as("lm_x1000"))
+    if (ordered) out.orderAgg("doc_id") else out
+  }
+
   /** Corpus-weighted adjacent character-pair frequencies — the statistic
     * a byte-pair-encoding (BPE) tokenizer trainer maximizes at every
     * merge step; the declared top-k IS the first merge's candidate

@@ -82,6 +82,8 @@ object LlmViews {
       "llm_mmr_topk" -> Similarity.mmrTopK(emb, col("vec_id") < 5),
       "llm_semantic_clusters" -> Similarity.semanticClusters(emb),
       "llm_containment" -> Dedup.containment(docs, col("doc_id") % 5 === 0),
+      "llm_backoff_lm" -> TextAnalysis.backoffLm(docs, col("doc_id") % 4 === 0,
+        ordered = false),
       // IVF-PQ over the SAME build-once codebooks the e5/e7 views use.
       "llm_ivfpq_topk" -> Similarity.ivfPqTopK(emb, col("vec_id") < 5,
         coarseCb, pqCbs),

@@ -940,6 +940,37 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("backoff LM: held-out scores equal a local recompute; backoff fires") {
+    val byDoc = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    def trigrams(w: Array[String]) =
+      if (w.length < 3) Seq.empty else w.sliding(3).map(a => (a(0), a(1), a(2))).toSeq
+    val train = byDoc.filter(_._1 % 4 != 0).values.flatMap(trigrams).toSeq
+    val c123 = train.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c12 = train.groupBy(t => (t._1, t._2)).view.mapValues(_.size.toLong).toMap
+    val c23 = train.groupBy(t => (t._2, t._3)).view.mapValues(_.size.toLong).toMap
+    val c2 = train.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val c3 = train.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val n = train.size.toLong
+    var backoffs = 0
+    val local = byDoc.filter(_._1 % 4 == 0).flatMap { case (id, w) =>
+      val ts = trigrams(w)
+      if (ts.isEmpty) None else {
+        val vs = ts.map { t =>
+          if (c123.contains(t)) c123(t) * 1000 / c12((t._1, t._2))
+          else { backoffs += 1
+            if (c23.contains((t._2, t._3))) 400 * c23((t._2, t._3)) / c2(t._2)
+            else 160 * c3.getOrElse(t._3, 0L) / n }
+        }
+        Some(id -> ((ts.size.toLong, vs.sum / vs.size)))
+      }
+    }
+    val got = TextAnalysis.backoffLm(docs, col("doc_id") % 4 === 0).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == local)
+    assert(backoffs > 0, "held-out slice must contain novel trigrams or the chain is dead code")
+  }
+
   test("bpe: first merge is the declared top pair; merges deterministic and compressive") {
     val merges = TextAnalysis.trainBpe(docs, merges = 8)
     assert(merges.size == 8)
