@@ -221,16 +221,16 @@ object DeclaredOps {
         |triw AS (SELECT *, sum(c123) OVER (PARTITION BY w1, w2) AS c12 FROM c123),
         |big AS (SELECT w2, w3, sum(c123) AS c23 FROM c123 GROUP BY 1, 2),
         |bigw AS (SELECT *, sum(c23) OVER (PARTITION BY w2) AS c2 FROM big),
-        |uni AS (SELECT w3, sum(c123) AS c3 FROM c123 GROUP BY 1),
-        |tot AS (SELECT sum(c3) AS n FROM uni),
+        |uni AS (SELECT w3, sum(c123) AS c3,
+        |        sum(sum(c123)) OVER () AS n FROM c123 GROUP BY 1),
         |sc AS (SELECT tr.doc_id,
         |    CASE WHEN t.c123 IS NOT NULL THEN CAST(t.c123 * 1000 // t.c12 AS BIGINT)
         |         WHEN b.c23 IS NOT NULL THEN CAST(400 * b.c23 // b.c2 AS BIGINT)
-        |         ELSE CAST(160 * coalesce(u.c3, 0) // n AS BIGINT) END AS v
+        |         WHEN u.c3 IS NOT NULL THEN CAST(160 * u.c3 // u.n AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS v
         |  FROM tr LEFT JOIN triw t USING (w1, w2, w3)
         |          LEFT JOIN bigw b USING (w2, w3)
         |          LEFT JOIN uni u USING (w3)
-        |          CROSS JOIN tot
         |  WHERE tr.doc_id % 4 = 0)
         |SELECT doc_id, count(*) AS n_trigrams,
         |  CAST(CAST(sum(v) AS BIGINT) // count(*) AS BIGINT) AS lm_x1000

@@ -427,32 +427,43 @@ object TextAnalysis {
     * aggregate is the only corpus-sized shuffle. */
   def backoffLm(docs: DataFrame, heldOutPred: Column,
       ordered: Boolean = true): DataFrame = {
-    def tris(d: DataFrame) = d
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    // ONE corpus explode for both slices (train flag carried through;
+    // the repartition pins an exchange both branches resolve to as
+    // ReusedExchange — the d2 shingled idiom), and the explode is
+    // arrays_zip over three slices — builtin codegen'd array ops, not
+    // a per-row interpreted transform→struct lambda (the t10 lesson).
+    val tri = docs.withColumn("held", heldOutPred)
+      .select(col("doc_id"), col("held"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, size(w) - 3),
-          |  i -> named_struct('w1', element_at(w, i + 1),
-          |                    'w2', element_at(w, i + 2),
-          |                    'w3', element_at(w, i + 3)))""".stripMargin)).as("t"))
-      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
-    val c123 = tris(docs.where(!heldOutPred))
+      .select(col("doc_id"), col("held"), explode(expr(
+        "arrays_zip(slice(w, 1, size(w) - 2), slice(w, 2, size(w) - 2), slice(w, 3, size(w) - 2))"))
+        .as("t"))
+      .select(col("doc_id"), col("held"), col("t.0").as("w1"),
+        col("t.1").as("w2"), col("t.2").as("w3"))
+      .repartition(col("doc_id"))
+    // The trigram-TYPE table feeds three broadcast stats builds; its
+    // aggregate exchange is reused across them (a localCheckpoint here
+    // was measured change-nothing — reuse already does the work).
+    val c123 = tri.where(!col("held"))
       .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
     val triW = c123
       .withColumn("c12", sum(col("c123")).over(Window.partitionBy("w1", "w2")))
     val big = c123.groupBy("w2", "w3").agg(sum(col("c123")).as("c23"))
       .withColumn("c2", sum(col("c23")).over(Window.partitionBy("w2")))
+    // N rides the unigram rows (one window over the TYPE table): an
+    // unseen w3 scores 0 regardless of N, so no scalar crossJoin job.
     val uni = c123.groupBy("w3").agg(sum(col("c123")).as("c3"))
-    val tot = uni.agg(sum(col("c3")).as("n"))
-    val scored = tris(docs.where(heldOutPred))
+      .withColumn("n", sum(col("c3")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val scored = tri.where(col("held"))
       .join(broadcast(triW), Seq("w1", "w2", "w3"), "left")
       .join(broadcast(big), Seq("w2", "w3"), "left")
       .join(broadcast(uni), Seq("w3"), "left")
-      .crossJoin(broadcast(tot))
       .withColumn("v", expr(
         """CASE WHEN c123 IS NOT NULL THEN c123 * 1000 div c12
           |     WHEN c23 IS NOT NULL THEN 400 * c23 div c2
-          |     ELSE 160 * coalesce(c3, 0) div n END""".stripMargin))
+          |     WHEN c3 IS NOT NULL THEN 160 * c3 div n
+          |     ELSE 0 END""".stripMargin))
     val out = scored.groupBy("doc_id")
       .agg(count(lit(1)).as("n_trigrams"),
         expr("sum(v) div count(1)").as("lm_x1000"))
