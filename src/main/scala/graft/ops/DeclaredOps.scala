@@ -136,7 +136,8 @@ object DeclaredOps {
     "d16_containment"  -> ((s, dir) =>
       Dedup.containment(docs(s, dir), col("doc_id") % 5 === 0)),
     "t17_backoff_lm"   -> ((s, dir) =>
-      TextAnalysis.backoffLm(docs(s, dir), col("doc_id") % 4 === 0)))
+      TextAnalysis.backoffLm(docs(s, dir), col("doc_id") % 4 === 0)),
+    "s8_alpha_mixture" -> ((s, dir) => Sampling.alphaCounts(docs(s, dir))))
 
   // ---- DuckDB oracle SQL ----
 
@@ -648,6 +649,22 @@ object DeclaredOps {
         |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS UBIGINT) % 1000
         |      < th.permille
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // α = 0.5 temperature mixture: w = floor(sqrt(n)) is exact integer
+    // sqrt in both engines for n < 2^52 (double sqrt crosses integer
+    // boundaries only at perfect squares); the rest is the s7 integer
+    // planner with dynamic weights.
+    "s8_alpha_mixture" ->
+      """WITH sizes AS (SELECT lang AS g, count(*) AS n_g FROM documents GROUP BY 1),
+        |ws AS (SELECT g, n_g, CAST(floor(sqrt(CAST(n_g AS DOUBLE))) AS BIGINT) AS w FROM sizes),
+        |w1 AS (SELECT *, sum(w) OVER () AS wtot FROM ws),
+        |w2 AS (SELECT *, min(n_g * wtot // w) OVER () AS tstar FROM w1),
+        |th AS (SELECT g, CAST(1000 * (w * tstar // wtot) // n_g AS INT) AS permille FROM w2)
+        |SELECT d.lang, th.permille, count(*) AS n
+        |FROM documents d JOIN th ON d.lang = th.g
+        |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS UBIGINT) % 1000
+        |      < th.permille
+        |GROUP BY 1, 2 ORDER BY d.lang""".stripMargin,
 
     "s1_hash_split" ->
       """SELECT lang, CASE

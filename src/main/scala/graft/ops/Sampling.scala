@@ -126,6 +126,43 @@ object Sampling {
       .groupBy("lang", "permille").agg(count(lit(1)).as("n"))
       .orderAgg("lang")
 
+  /** Temperature-scaled (α = 0.5) mixture sampling — the UniMax /
+    * alpha-sampling shape of multilingual pretraining: target share of
+    * group g ∝ n_g^α, flattening the head without starving the tail
+    * (α = 1 is natural proportions, α = 0 is s2's uniform). Weights are
+    * w_g = floor(sqrt(n_g)) — EXACT integers in both engines: for
+    * n < 2⁵², the correctly-rounded double sqrt of an integer can only
+    * cross an integer boundary at a perfect square, so floor(sqrt(n))
+    * is the true integer square root (the one α for which temperature
+    * scaling needs no transcendental arithmetic). Then the s7 planner
+    * verbatim with dynamic weights: Tstar = min_g floor(n_g·wtot/w_g)
+    * is the largest total servable without oversampling any group,
+    * realized by per-group id-hash keep thresholds.
+    *
+    * Scale: group sizes are a groups-sized aggregate, weights/Tstar are
+    * windows over that tiny frame, thresholds broadcast onto ONE
+    * map-only filtered corpus pass — the s2/s7 shape. */
+  def alphaSample(docs: DataFrame, id: Column, group: Column): DataFrame = {
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val sizes = docs.groupBy(group.as("g")).agg(count(lit(1)).as("n_g"))
+      .withColumn("w", expr("CAST(floor(sqrt(CAST(n_g AS DOUBLE))) AS BIGINT)"))
+      .withColumn("wtot", sum(col("w")).over(all))
+    val thresholds = sizes
+      .withColumn("tstar", min(expr("n_g * wtot div w")).over(all))
+      .withColumn("kept", expr("w * tstar div wtot"))
+      .select(col("g"), expr("CAST(1000 * kept div n_g AS INT)").as("permille"))
+    docs.join(broadcast(thresholds), group === col("g"))
+      .where(hashBucket(id) % 1000 < col("permille"))
+      .drop("g")
+  }
+
+  /** Declared query: realized per-language counts and rates under the
+    * α = 0.5 temperature mixture. */
+  def alphaCounts(docs: DataFrame): DataFrame =
+    alphaSample(docs, col("doc_id"), col("lang"))
+      .groupBy("lang", "permille").agg(count(lit(1)).as("n"))
+      .orderAgg("lang")
+
   /** Deterministic per-ROW weighted (importance) sampling: keep a row
     * with probability `weightPermille`/1000 where the weight is a pure
     * function of the row itself — the importance-mixing primitive (s2's

@@ -78,6 +78,8 @@ object LlmViews {
       "llm_mixture_sample" -> graft.ops.Sampling.mixtureSample(
         docs, col("doc_id"), col("lang"),
         Seq("en" -> 500, "zh" -> 200, "de" -> 150, "es" -> 100, "fr" -> 50)),
+      "llm_alpha_sample" -> graft.ops.Sampling.alphaSample(
+        docs, col("doc_id"), col("lang")),
       "llm_twostage_topk" -> Similarity.twoStageTopK(emb, col("vec_id") < 5),
       "llm_mmr_topk" -> Similarity.mmrTopK(emb, col("vec_id") < 5),
       "llm_semantic_clusters" -> Similarity.semanticClusters(emb),

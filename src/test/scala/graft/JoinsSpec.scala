@@ -145,6 +145,38 @@ class JoinsSpec extends GraftSuite {
     assert(again == kept)
   }
 
+  test("alphaSample: local integer planner parity; rates flatten the head") {
+    val docs = Tables.load(spark, sf, "documents")
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Local recompute of the exact integer planner.
+    val w = sizes.view.mapValues(n => math.sqrt(n.toDouble).toLong).toMap
+    val wtot = w.values.sum
+    val tstar = sizes.map { case (g, n) => n * wtot / w(g) }.min
+    val permille = sizes.map { case (g, n) =>
+      g -> (1000L * (w(g) * tstar / wtot) / n).toInt }
+    val got = Sampling.alphaCounts(docs).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    permille.foreach { case (g, p) =>
+      assert(got(g)._1 == p, s"$g permille ${got(g)._1} != local $p")
+      assert(got(g)._2 <= sizes(g), s"$g oversampled")
+    }
+    // Flattening: keep RATE decreases with group size — but only
+    // assertable across CLEARLY separated sizes: floor(sqrt)
+    // quantization legitimately inverts rates between near-equal groups
+    // (n=80 → w=8 vs n=82 → w=9 is a 10% rate step the real-valued
+    // n^(α−1) does not have). n2 ≥ 2·n1 (n1 ≥ 12) guarantees
+    // w2/n2 < w1/n1 despite the floors.
+    val bySize = sizes.toSeq.sortBy(_._2)
+    var checked = 0
+    for ((g1, n1) <- bySize; (g2, n2) <- bySize if n2 >= 2 * n1 && n1 >= 12) {
+      checked += 1
+      assert(permille(g1) >= permille(g2),
+        s"rate must not increase with size: $g1($n1)=${permille(g1)} $g2($n2)=${permille(g2)}")
+    }
+    assert(checked > 0, "corpus must contain clearly separated group sizes")
+  }
+
   test("quantileAudit: exact quantiles match driver-side sort, sketch flag holds") {
     val docs = Tables.load(spark, sf, "documents")
     val byLang = docs.select("lang", "n_chars").collect()
