@@ -329,6 +329,14 @@ object PlanAudit {
       "greedy steps rank via windows on shortlist-keyed partitions, never a global sort" ->
         (p => !p.linesIterator.exists(l => l.contains("Window") && l.contains("SinglePartition"))))
 
+    audit("e13_binary_topk", qs("e13_binary_topk")(spark, sfDir),
+      "signatures computed in-scan: no Exchange carries the embedding column" ->
+        (p => !p.linesIterator.exists(l =>
+          l.contains("Exchange") && l.contains("embedding"))),
+      "query signatures broadcast over one corpus scan" ->
+        (p => p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange")),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+
     audit("t16_bpe_pairs", qs("t16_bpe_pairs")(spark, sfDir),
       "pair aggregate is map-side partial before its exchange" ->
         (_.contains("HashAggregate")),

@@ -137,7 +137,9 @@ object DeclaredOps {
       Dedup.containment(docs(s, dir), col("doc_id") % 5 === 0)),
     "t17_backoff_lm"   -> ((s, dir) =>
       TextAnalysis.backoffLm(docs(s, dir), col("doc_id") % 4 === 0)),
-    "s8_alpha_mixture" -> ((s, dir) => Sampling.alphaCounts(docs(s, dir))))
+    "s8_alpha_mixture" -> ((s, dir) => Sampling.alphaCounts(docs(s, dir))),
+    "e13_binary_topk"  -> ((s, dir) =>
+      Similarity.binaryTopK(emb(s, dir), col("vec_id") < 5)))
 
   // ---- DuckDB oracle SQL ----
 
@@ -408,6 +410,24 @@ object DeclaredOps {
          |      UNION ALL SELECT qid, did, 2, score FROM p2
          |      UNION ALL SELECT qid, did, 3, score FROM p3)
          |ORDER BY query_id, rank""".stripMargin,
+
+    // Integer-only Hamming ranking over 63-bit sign signatures: the
+    // xor/bit_count arithmetic is identical by construction; 63 bits
+    // keeps every weight a positive BIGINT (1::BIGINT << 63 errors in
+    // DuckDB, wraps in Spark — neither is wanted).
+    "e13_binary_topk" ->
+      s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sig AS (SELECT vec_id, CAST(list_sum(list_transform(range(0, 63),
+         |    i -> CASE WHEN v[CAST(i + 1 AS INT)] >= 0 THEN (1::BIGINT << CAST(62 - i AS INT))
+         |              ELSE 0::BIGINT END)) AS BIGINT) AS sg FROM s),
+         |q AS (SELECT vec_id AS query_id, sg AS qs FROM sig WHERE vec_id < 5)
+         |SELECT query_id, neighbor_id, hamming FROM (
+         |  SELECT q.query_id, s2.vec_id AS neighbor_id,
+         |    CAST(bit_count(xor(s2.sg, q.qs)) AS BIGINT) AS hamming,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY bit_count(xor(s2.sg, q.qs)), s2.vec_id) AS rn
+         |  FROM sig s2 CROSS JOIN q WHERE s2.vec_id <> q.query_id)
+         |WHERE rn <= 10 ORDER BY query_id, hamming, neighbor_id""".stripMargin,
 
     "e2_ivf_topk" ->
       s"""WITH cells AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -182,6 +182,40 @@ object Similarity {
       when(element_at(v, i + 1) >= 0f, lit(1 << (bits - 1 - i))).otherwise(lit(0)))
       .reduce(_ + _)
 
+  /** 63-bit sign signature (one bit per component, first component =
+    * MSB): signBucket widened to a full binary code in a BIGINT. 63
+    * bits, not 64, keeps every weight a positive Long in BOTH engines
+    * (1L << 63 is the sign bit here and an overflow error in DuckDB). */
+  def signSig(v: Column): Column =
+    (0 until 63).map(i =>
+      when(element_at(v, i + 1) >= 0f, lit(1L << (62 - i))).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Binary-code Hamming top-k — the 8-bytes-per-vector scan tier of
+    * ANN (below even PQ's m bytes): each vector collapses to its
+    * 63-bit sign signature, queries broadcast, and ranking is
+    * bit_count(xor) — pure integer ops, NO float arithmetic anywhere in
+    * the ranking, so the declared row is hash-exact by construction
+    * (ties broken by vec_id). The standard production use is as the
+    * cheap prefilter whose survivors e10's exact re-rank refines.
+    *
+    * Scale: at 100 TB the signature is a precomputed 8-byte column, so
+    * this tier scans 1/32 of the float bytes; here it is computed
+    * in-scan (map-only — PlanAudit asserts no Exchange carries
+    * `embedding`), and the per-query result is the bounded top-k
+    * aggregate. */
+  def binaryTopK(emb: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+    val sigs = emb.select(col("vec_id"), signSig(col("embedding")).as("sg"))
+    val q = sigs.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("sg").as("qs"))
+    val scored = sigs.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", -expr("CAST(bit_count(sg ^ qs) AS DOUBLE)"))
+    rankTopK(scored, "vec_id", k)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("cos")).cast("long").as("hamming"))
+  }
+
   /** Per-label centroids: element-wise mean of the embedding vectors in
     * each label group — the training step a real IVF quantizer runs.
     *

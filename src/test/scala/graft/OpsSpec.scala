@@ -883,6 +883,23 @@ class OpsSpec extends GraftSuite {
     assert(got == expected, s"operator $got != local $expected")
   }
 
+  test("binary hamming top-k equals a local signature recompute") {
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sig(v: Array[Float]): Long =
+      (0 until 63).foldLeft(0L)((s, i) => if (v(i) >= 0f) s | (1L << (62 - i)) else s)
+    val sigs = vecs.view.mapValues(sig).toMap
+    val expected = sigs.keys.filter(_ < 5).toSeq.sorted.flatMap { qid =>
+      sigs.toSeq.filter(_._1 != qid)
+        .map { case (id, s) => (id, java.lang.Long.bitCount(s ^ sigs(qid)).toLong) }
+        .sortBy { case (id, h) => (h, id) }.take(10)
+        .map { case (id, h) => (qid, id, h) }
+    }
+    val got = Similarity.binaryTopK(emb, col("vec_id") < 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"operator $got != local $expected")
+  }
+
   test("semantic clusters collapse embedding near-dup pairs transitively") {
     // Threshold 0.15: the declared 0.5 yields no pairs on the tiny
     // sf0.001 slice (oracle-covered at sf0.01); the CC contract is
