@@ -139,7 +139,9 @@ object DeclaredOps {
       TextAnalysis.backoffLm(docs(s, dir), col("doc_id") % 4 === 0)),
     "s8_alpha_mixture" -> ((s, dir) => Sampling.alphaCounts(docs(s, dir))),
     "e13_binary_topk"  -> ((s, dir) =>
-      Similarity.binaryTopK(emb(s, dir), col("vec_id") < 5)))
+      Similarity.binaryTopK(emb(s, dir), col("vec_id") < 5)),
+    "e14_binary_rerank" -> ((s, dir) =>
+      Similarity.binaryRerankTopK(emb(s, dir), col("vec_id") < 5)))
 
   // ---- DuckDB oracle SQL ----
 
@@ -428,6 +430,28 @@ object DeclaredOps {
          |      ORDER BY bit_count(xor(s2.sg, q.qs)), s2.vec_id) AS rn
          |  FROM sig s2 CROSS JOIN q WHERE s2.vec_id <> q.query_id)
          |WHERE rn <= 10 ORDER BY query_id, hamming, neighbor_id""".stripMargin,
+
+    // e13's Hamming shortlist composed with the exact-cosine re-rank:
+    // both stages deterministic, so the composition is the oracle.
+    "e14_binary_rerank" ->
+      s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sig AS (SELECT vec_id, CAST(list_sum(list_transform(range(0, 63),
+         |    i -> CASE WHEN v[CAST(i + 1 AS INT)] >= 0 THEN (1::BIGINT << CAST(62 - i AS INT))
+         |              ELSE 0::BIGINT END)) AS BIGINT) AS sg FROM s),
+         |q AS (SELECT vec_id AS query_id, sg AS qs FROM sig WHERE vec_id < 5),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.query_id, s2.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY bit_count(xor(s2.sg, q.qs)), s2.vec_id) AS rn
+         |  FROM sig s2 CROSS JOIN q WHERE s2.vec_id <> q.query_id) WHERE rn <= 50),
+         |qv AS (SELECT vec_id AS query_id, v AS qv FROM s WHERE vec_id < 5),
+         |ex AS (SELECT c.query_id, c.neighbor_id, ${duckCosX("nv.v", "qv.qv")} AS cos_x10k
+         |  FROM cand c JOIN s nv ON nv.vec_id = c.neighbor_id
+         |              JOIN qv ON qv.query_id = c.query_id)
+         |SELECT query_id, neighbor_id, cos_x10k FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_x10k DESC, neighbor_id) AS rn FROM ex)
+         |WHERE rn <= 10 ORDER BY query_id, cos_x10k DESC, neighbor_id""".stripMargin,
 
     "e2_ivf_topk" ->
       s"""WITH cells AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

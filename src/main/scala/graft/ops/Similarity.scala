@@ -925,4 +925,34 @@ object Similarity {
       .withColumn("cos", round(cosine(col("nv"), col("qv")) * 10000, 0))
     rankTopKScaled(exact, "neighbor_id", k, "cos_x10k")
   }
+
+  /** Binary-prefilter + exact re-rank — e13's 8-byte Hamming tier
+    * composed with e10's exact second stage: stage 1 ranks by
+    * bit_count(xor) on 63-bit sign signatures (integer-only, reads
+    * 1/32 of the vector bytes when the signature is a stored column),
+    * stage 2 re-scores the top-`m` survivors by exact full-dim cosine
+    * via ONE broadcast candidate join. Both stages deterministic
+    * (integer scores, id tiebreaks), so the DECLARED operator is the
+    * composition itself — hash-equal in both engines; recall vs exact
+    * is the measured ScaleCheck property, as with e10/e11. */
+  def binaryRerankTopK(emb: DataFrame, queryPred: Column, m: Int = 50,
+      k: Int = 10): DataFrame = {
+    val q = emb.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        signSig(col("embedding")).as("qs"))
+    val coarse = emb.select(col("vec_id"), signSig(col("embedding")).as("sg"))
+      .crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", -expr("CAST(bit_count(sg ^ qs) AS DOUBLE)"))
+    val cand = coarse.groupBy("query_id")
+      .agg(graft.functions.TopKByScoreAgg.column(m, col("cos"), col("vec_id")).as("top"),
+        first(col("qv")).as("qv"))
+      .select(col("query_id"), col("qv"), explode(col("top")).as("nb"))
+      .select(col("query_id"), col("qv"), col("nb._2").as("neighbor_id"))
+    val exact = broadcast(cand)
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+        "neighbor_id")
+      .withColumn("cos", round(cosine(col("nv"), col("qv")) * 10000, 0))
+    rankTopKScaled(exact, "neighbor_id", k, "cos_x10k")
+  }
 }

@@ -900,6 +900,25 @@ class OpsSpec extends GraftSuite {
     assert(got == expected, s"operator $got != local $expected")
   }
 
+  test("binary rerank with a full-corpus shortlist equals exact cosine top-k") {
+    val n = emb.count().toInt
+    val full = Similarity.binaryRerankTopK(emb, col("vec_id") < 5, m = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exact = Similarity.cosineTopK(emb, col("vec_id") < 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(full == exact, "with m >= corpus the prefilter must be a no-op")
+    // Recall is monotone in the candidate budget (superset property).
+    val exactSet = exact.map(t => (t._1, t._2)).toSet
+    def recall(m: Int): Double = {
+      val got = Similarity.binaryRerankTopK(emb, col("vec_id") < 5, m = m).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exactSet).size.toDouble / exactSet.size
+    }
+    val rs = Seq(10, 50, n).map(recall)
+    assert(rs == rs.sorted, s"recall must be monotone in m: $rs")
+    assert(rs.last == 1.0)
+  }
+
   test("semantic clusters collapse embedding near-dup pairs transitively") {
     // Threshold 0.15: the declared 0.5 yields no pairs on the tiny
     // sf0.001 slice (oracle-covered at sf0.01); the CC contract is
