@@ -273,6 +273,29 @@ object ScaleCheck {
         println(s"E10TWOSTAGE $dir ${rows.mkString(" ")}")
       }
 
+      // e13/e14: recall of the binary-Hamming tier vs the exact answer —
+      // bare Hamming ranking (e13) and Hamming-shortlist + exact re-rank
+      // (e14) swept over the candidate budget m. Sign bits keep ~1 bit
+      // of each component's signal, so like E10 the absolute numbers are
+      // honest isotropic-corpus floors; monotonicity in m is the
+      // contract (and e14 ≥ e13-at-k by construction: the re-rank can
+      // only fix Hamming's ordering mistakes inside the candidate set).
+      {
+        val exact = pairSet(graft.ops.Similarity.cosineTopK(emb, col("vec_id") < 10)
+          .select("query_id", "neighbor_id"))
+        def rec(s: Set[(Long, Long)]) =
+          if (exact.isEmpty) 1.0 else s.intersect(exact).size.toDouble / exact.size
+        val e13 = rec(pairSet(graft.ops.Similarity.binaryTopK(emb, col("vec_id") < 10)
+          .select("query_id", "neighbor_id")))
+        val rows = for (m <- Seq(25, 50, 100, 200)) yield {
+          val r = rec(pairSet(graft.ops.Similarity.binaryRerankTopK(
+              emb, col("vec_id") < 10, m = m)
+            .select("query_id", "neighbor_id")))
+          f"m$m=$r%.3f"
+        }
+        println(f"E14BINARY $dir e13_hamming=$e13%.3f ${rows.mkString(" ")}")
+      }
+
       // d12: substring-dedup postings/pair/span growth across the decade,
       // and what the stop-window df-cap buys. The join fan-out is
       // Σ_h df_h² over KEPT fingerprints — the cap's job is to keep that
