@@ -191,9 +191,14 @@ object Bench {
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
     def basketRatios: Seq[Double] = canaryFloors.toSeq.flatMap { case (q, f) =>
       samples.get(q).filter(_.nonEmpty).map(_.min / f) }
+    // A FAILED probe voids the certificate: a window cannot be graded
+    // "ok" while one of its probes is throwing (the old single-canary
+    // gate reported no_canary on a failed d10; the basket must not be
+    // weaker). < 5 present (dev ONLY-filtered runs) likewise → no_canary.
     def basket: Double = {
       val rs = basketRatios
-      if (rs.size < 5) -1.0 else median(rs)
+      if (canaryFloors.keys.exists(failed.contains) || rs.size < 5) -1.0
+      else median(rs)
     }
     def canaryMin: Double =
       samples.get("d10_jaccard_join").filter(_.nonEmpty).map(_.min).getOrElse(-1.0)

@@ -67,7 +67,18 @@ object Dedup {
     * (the reference pipeline order for web-scale dedup).
     */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.5,
-      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16): DataFrame =
+    jaccardPairs(docs, threshold, numHashes, bands)
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.StableAgg.scaledLong(col("jacc"), 10000).as("j_x10k"))
+      .orderSmall("doc_a", "doc_b")
+
+  /** The LSH∩Jaccard verified pair set (doc_a, doc_b, jacc), unsorted —
+    * the ONE candidate pipeline shared by minhashLsh (attaches the
+    * score) and editDedup (attaches texts for the Levenshtein verify):
+    * band-bucket candidates, exact-Jaccard gate, nothing else. */
+  private[ops] def jaccardPairs(docs: DataFrame, threshold: Double,
+      numHashes: Int, bands: Int): DataFrame = {
     val withSh = shingled(docs)
     val banded = bandedSignatures(withSh, numHashes, bands)
     val cands = banded.as("x")
@@ -75,15 +86,11 @@ object Dedup {
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-
     val shA = withSh.select(col("doc_id").as("doc_a"), col("s").as("sa"))
     val shB = withSh.select(col("doc_id").as("doc_b"), col("s").as("sb"))
     cands.join(shA, "doc_a").join(shB, "doc_b")
       .withColumn("jacc", graft.functions.Expressions.jaccardSim(col("sa"), col("sb")))
       .where(col("jacc") >= threshold)
-      .select(col("doc_a"), col("doc_b"),
-        graft.functions.StableAgg.scaledLong(col("jacc"), 10000).as("j_x10k"))
-      .orderSmall("doc_a", "doc_b")
   }
 
   /** Edit-distance (fuzzy) near-duplicate pairs: MinHash-LSH candidate
@@ -109,17 +116,7 @@ object Dedup {
     */
   def editDedup(docs: DataFrame, threshold: Double = 0.5,
       maxEditPermille: Int = 20, numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val withSh = shingled(docs)
-    val banded = bandedSignatures(withSh, numHashes, bands)
-    val cands = banded.as("x")
-      .join(banded.as("y"), Seq("band", "key"))
-      .where(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val shA = withSh.select(col("doc_id").as("doc_a"), col("s").as("sa"))
-    val shB = withSh.select(col("doc_id").as("doc_b"), col("s").as("sb"))
-    val jpairs = cands.join(shA, "doc_a").join(shB, "doc_b")
-      .where(graft.functions.Expressions.jaccardSim(col("sa"), col("sb")) >= threshold)
+    val jpairs = jaccardPairs(docs, threshold, numHashes, bands)
       .select(col("doc_a"), col("doc_b"))
     val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))

@@ -58,7 +58,14 @@ object Multimodal {
     * set iff byte-histogram bin b holds MORE than its uniform share —
     * the integer rule count·16 > n, never a float threshold, so the
     * hash is bit-identical in any engine regardless of float rounding.
-    * One pass over the bytes, INT out. */
+    * One pass over the bytes, INT out.
+    *
+    * Deliberately NOT composed over [[ByteHistogram]]: that primitive
+    * emits count/n FLOATS, and thresholding a float fraction against
+    * 1/16 reintroduces exactly the rounding-boundary class the integer
+    * rule exists to exclude. The binning convention must stay in
+    * lockstep with ByteHistogram's ((b & 0xff)·bins/256 ≡ high nibble
+    * at bins = 16) — change them together. */
   case class Phash16(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = IntegerType

@@ -103,18 +103,13 @@ object Sampling {
     val spark = docs.sparkSession
     import spark.implicits._
     val w = targetsPermille.toDF("g", "w")
+    // All divisions in the shared planner are integer `div` floors
+    // (Spark `/` is double division); static targets are permille, so
+    // the share denominator s is the constant 1000.
     val sizes = docs.groupBy(group.as("g")).agg(count(lit(1)).as("n_g"))
       .join(broadcast(w), "g")
-    // All divisions are integer `div` floors (Spark `/` is double division).
-    val tstar = min(expr("n_g * 1000 div w")).over(Window.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing))
-    val thresholds = sizes
-      .withColumn("tstar", tstar)
-      .withColumn("kept", expr("w * tstar div 1000"))
-      .select(col("g"), expr("CAST(1000 * kept div n_g AS INT)").as("permille"))
-    docs.join(broadcast(thresholds), group === col("g"))
-      .where(hashBucket(id) % 1000 < col("permille"))
-      .drop("g")
+      .withColumn("s", lit(1000L))
+    keepByPlan(docs, id, group, sizes)
   }
 
   /** Declared query: realized per-language counts and rates under a
@@ -146,10 +141,21 @@ object Sampling {
     val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val sizes = docs.groupBy(group.as("g")).agg(count(lit(1)).as("n_g"))
       .withColumn("w", expr("CAST(floor(sqrt(CAST(n_g AS DOUBLE))) AS BIGINT)"))
-      .withColumn("wtot", sum(col("w")).over(all))
+      .withColumn("s", sum(col("w")).over(all))
+    keepByPlan(docs, id, group, sizes)
+  }
+
+  /** The shared integer mixture planner (s7/s8): given per-group rows
+    * (g, n_g, w, s) where w/s is group g's TARGET share, compute
+    * Tstar = min_g floor(n_g·s/w) — the largest total servable without
+    * oversampling any group — derive each group's keep permille, and
+    * realize it as one broadcast-thresholds id-hash filter pass. */
+  private def keepByPlan(docs: DataFrame, id: Column, group: Column,
+      sizes: DataFrame): DataFrame = {
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val thresholds = sizes
-      .withColumn("tstar", min(expr("n_g * wtot div w")).over(all))
-      .withColumn("kept", expr("w * tstar div wtot"))
+      .withColumn("tstar", min(expr("n_g * s div w")).over(all))
+      .withColumn("kept", expr("w * tstar div s"))
       .select(col("g"), expr("CAST(1000 * kept div n_g AS INT)").as("permille"))
     docs.join(broadcast(thresholds), group === col("g"))
       .where(hashBucket(id) % 1000 < col("permille"))

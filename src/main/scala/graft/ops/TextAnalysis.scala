@@ -505,13 +505,16 @@ object TextAnalysis {
     * Returns the ordered merge list; [[bpeSegment]] applies it. */
   def trainBpe(docs: DataFrame, merges: Int = 10,
       maxVocab: Int = 1000000): Seq[(String, String)] = {
-    val vocabDf = docs.select(explode(split(col("text"), " ")).as("w"))
+    // ONE job: the fail-fast cap rides the collect itself (limit
+    // maxVocab+1 bounds what the driver can receive; an over-cap corpus
+    // is detected from the row count without a second aggregate pass).
+    val rows = docs.select(explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-    val vocabN = vocabDf.limit(maxVocab + 1).count()
-    require(vocabN <= maxVocab,
+      .limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
       s"vocabulary exceeds maxVocab=$maxVocab; raise the cap or pre-prune")
-    var vocab: Seq[(Vector[String], Long)] = vocabDf.collect()
+    var vocab: Seq[(Vector[String], Long)] = rows
       .map(r => (r.getString(0).map(_.toString).toVector, r.getLong(1))).toSeq
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var i = 0

@@ -24,7 +24,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 NOT_BASELINES = {"d2_minhash_lsh", "d5_dedup_clusters", "d6_dedup_apply",
                  "d9_embedding_dedup", "d10_jaccard_join", "h5_llm_sql_dedup",
-                 "s5_cluster_split", "d14_edit_dedup", "d15_semantic_clusters"}
+                 "s5_cluster_split", "d14_edit_dedup", "d15_semantic_clusters",
+                 "m5_phash_pairs"}
 
 
 def connect(sf_dir):
