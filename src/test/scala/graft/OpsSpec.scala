@@ -87,10 +87,15 @@ class OpsSpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == expected.toSeq,
       s"operator pairs ${got.toSeq} != local recompute ${expected.toSeq}")
-    // The corpus text must never cross an exchange: both attachment joins
-    // broadcast the pair side (the 100 TB contract of the verify stage).
-    val plan = Dedup.editDedup(docs).queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"))
+    // 100 TB contract of the verify stage: broadcasts carry ONLY id
+    // pairs — never text (VERDICT r7 #4's unbounded-memory shape); text
+    // rides the pair-sized shuffled (doc_a, doc_b) join.
+    val exec = Dedup.editDedup(docs).queryExecution.executedPlan
+    assert(!exec.toString.contains("CartesianProduct"))
+    val textBroadcast = exec.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }.exists(_.output.exists(_.name.contains("text")))
+    assert(!textBroadcast, "no broadcast exchange may carry a text column")
   }
 
   test("simhash of near-dup pairs differs in few bits") {
