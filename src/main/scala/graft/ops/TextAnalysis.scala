@@ -17,6 +17,23 @@ object TextAnalysis {
   private def wordCount(text: Column, word: String): Column =
     size(filter(split(text, " "), w => w === word))
 
+  /** Corpus-size ceiling for BROADCASTING n-gram-TYPE stats frames
+    * (t14's bigram stats, t17's trigram/bigram/unigram stats): type
+    * tables grow near-linearly with corpus tokens, so the broadcast is
+    * a small-corpus convenience that breaks at 100 TB (VERDICT r7 #1).
+    * Above this estimated input size the stats path flips to shuffled
+    * equi-joins keyed by the n-gram — the ccLabels size-adaptive idiom.
+    * 1 GiB of scanned text ⇒ at most low-hundreds of MB of type rows,
+    * the outer edge of a sane executor broadcast. */
+  val StatsBroadcastMaxCorpusBytes: Long = 1L << 30
+
+  /** Auto strategy: decide from the CATALOG's size estimate of the input
+    * plan — file-stats based, costs no job (unlike counting the type
+    * table, which would add a corpus pass to every scored query). */
+  private def statsShouldBroadcast(docs: DataFrame): Boolean =
+    docs.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(StatsBroadcastMaxCorpusBytes)
+
   /** Marker-stopword language guess. The heuristic itself is the operator
     * under test (the corpus is synthetic); the oracle mirrors the exact
     * same decision tree. */
@@ -349,7 +366,16 @@ object TextAnalysis {
     * backoff style) and the join stays an equi-join on (w1, w2); at
     * declared scale it is broadcast-sized and the plan is one corpus
     * pass + one corpus-side aggregate. */
-  def pmiQuality(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+  def pmiQuality(docs: DataFrame, ordered: Boolean = true,
+      broadcastStats: Option[Boolean] = None): DataFrame = {
+    // Size-adaptive stats strategy (VERDICT r7 #1): below the corpus
+    // threshold the bigram-TYPE stats broadcast (one map-only score
+    // pass); above it — or when forced by the caller — the occurrence
+    // side shuffles to (w1, w2)-keyed stats in an equi-join, and the
+    // scalar N attaches via a 1-row broadcast instead of an
+    // unpartitioned window (which would funnel the type table through
+    // one task). Identical integers on both paths (OpsSpec-pinned).
+    val useBc = broadcastStats.getOrElse(statsShouldBroadcast(docs))
     val big = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 2)
@@ -373,13 +399,23 @@ object TextAnalysis {
     // c1/c2/N are window sums ON the bigram-TYPE frame — never further
     // corpus passes or separate aggregate+broadcast jobs.
     val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val stats = c12
+    // c1/c2 stay per-key windows ON the type frame (scalable: they
+    // shuffle type rows by w1/w2); only N's global total differs by
+    // path — unpartitioned window when the frame is broadcast-small,
+    // 1-row broadcast crossJoin when it is not.
+    val withMargins = c12
       .withColumn("c1", sum(col("c12")).over(Window.partitionBy("w1")))
       .withColumn("c2", sum(col("c12")).over(Window.partitionBy("w2")))
-      .withColumn("n", sum(col("c12")).over(wAll))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withN =
+      if (useBc) withMargins.withColumn("n", sum(col("c12")).over(wAll))
+      else withMargins.crossJoin(broadcast(c12.agg(sum(col("c12")).as("n"))))
+    val stats = withN
       .select(col("w1"), col("w2"), expr("c12 * 1000 * n div (c1 * c2)").as("pmi_x1000"))
-    val out = big.join(broadcast(stats), Seq("w1", "w2"))
+    val joined =
+      if (useBc) big.join(broadcast(stats), Seq("w1", "w2"))
+      else big.join(stats, Seq("w1", "w2"))
+    val out = joined
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(pmi_x1000) div count(1)").as("pmi_score"))
