@@ -192,14 +192,21 @@ object Bench {
     // was an ABSOLUTE d10 seconds cap, and r7 silently reinterpreted the
     // same name as a ratio — an external script pinning the old seconds
     // value would be misread (ADVICE r7). New name = new unit, explicit.
-    val canaryMax = sys.env.get("SPARK_GRAFT_CANARY_RATIO")
+    val canaryMax = sys.env.get("SPARK_GRAFT_CANARY_RATIO").map(_.toDouble)
       .orElse(sys.env.get("SPARK_GRAFT_CANARY").map { v =>
-        System.err.println("[bench] SPARK_GRAFT_CANARY is deprecated (pre-r7 it " +
-          "was an absolute d10 seconds cap; it is now the basket RATIO cap) - " +
+        val d = v.toDouble
+        // Pre-r7 this name was an ABSOLUTE d10 seconds cap; it is now the
+        // basket RATIO cap. A script still pinning the old seconds value
+        // (e.g. 30) read as a ratio would silently disable the gate, so
+        // implausible ratios fail fast instead of warning (ADVICE r8).
+        require(d > 0 && d < 5,
+          s"SPARK_GRAFT_CANARY=$v is not a plausible basket RATIO cap (pre-r7 " +
+            "this name was an absolute d10 seconds cap) - set SPARK_GRAFT_CANARY_RATIO")
+        System.err.println("[bench] SPARK_GRAFT_CANARY is deprecated - " +
           "set SPARK_GRAFT_CANARY_RATIO instead")
-        v
+        d
       })
-      .getOrElse("1.15").toDouble
+      .getOrElse(1.15)
     // Probe names are asserted against the declared query set up front: a
     // renamed/dropped probe must fail the run loudly, not silently shrink
     // the basket (ADVICE r7).

@@ -282,6 +282,49 @@ object PlanAudit {
       "corpus-sized data crosses only the c12 and per-doc aggregate exchanges" ->
         (p => p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 4))
 
+    audit("t17_backoff_lm", qs("t17_backoff_lm")(spark, sfDir),
+      "broadcast regime: the three n-gram stats joins broadcast (corpus never shuffles for them)" ->
+        (p => p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3),
+      // Two FILTERED corpus passes by design (pushdown specializes each
+      // slice's scan); the held-out side crosses exactly one corpus-sized
+      // exchange — the per-doc aggregate's.
+      "held-out side shuffles once: the per-doc aggregate's doc_id exchange only" ->
+        (p => p.linesIterator.count(_.contains("hashpartitioning(doc_id")) == 1),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+
+    // Size-adaptive stats regimes (VERDICT r8 #1): at fixture scale the
+    // auto path broadcasts, but the 100 TB plan is the SHUFFLED regime —
+    // force it (and kill static auto-broadcast, which at 100 TB the size
+    // estimates kill on their own) and audit the shape the scale claim
+    // is about (the e8 forced-regime lesson). The only broadcast allowed
+    // anywhere is the deliberate 1-row scalar N.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def onlyScalarNBroadcast(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val bs = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          b.output.map(_.name)
+      }
+      bs.nonEmpty && bs.forall(_ == Seq("n"))
+    }
+    val docsDf = graft.core.Tables.load(spark, sfDir, "documents")
+    val t14j = graft.ops.TextAnalysis.pmiQuality(docsDf, broadcastStats = Some(false))
+    audit("t14_pmi_quality (forced shuffled-stats regime)", t14j,
+      "occurrences meet stats in a shuffled equi-join, never a type-table broadcast" ->
+        (p => p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")),
+      "the only broadcast is the 1-row scalar N" ->
+        (_ => onlyScalarNBroadcast(t14j)),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    val t17j = graft.ops.TextAnalysis.backoffLm(docsDf,
+      org.apache.spark.sql.functions.col("doc_id") % 4 === 0,
+      broadcastStats = Some(false))
+    audit("t17_backoff_lm (forced shuffled-stats regime)", t17j,
+      "held-out trigrams meet all three stats frames in shuffled equi-joins" ->
+        (p => p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")),
+      "the only broadcast is the 1-row scalar N" ->
+        (_ => onlyScalarNBroadcast(t17j)),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+
     audit("e11_ivfpq_topk", qs("e11_ivfpq_topk")(spark, sfDir),
       "cell restriction is a broadcast equi-join, not a cartesian fan-out" ->
         (p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")),
