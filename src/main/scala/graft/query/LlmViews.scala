@@ -95,6 +95,11 @@ object LlmViews {
       "llm_edit_dedup" -> Dedup.editDedup(docs),
       // Bounded top-k (canonical order kept).
       "llm_bpe_pairs" -> TextAnalysis.bpePairStats(docs),
+      // Distributed BPE apply over registration-time trained merges (a
+      // build-once artifact like the codebooks; the inlined-expression
+      // plan keeps user predicates pushing into the scan).
+      "llm_bpe_tokens" -> TextAnalysis.bpeTokenCounts(docs,
+        TextAnalysis.trainBpe(docs), ordered = false),
       "llm_incremental_dedup" -> Dedup.dedupAgainstIndex(
         docs.where(col("doc_id") % 3 === 0),
         Dedup.digestIndex(docs.where(col("doc_id") % 3 =!= 0 || col("doc_id") < 100))))
