@@ -385,6 +385,23 @@ object PlanAudit {
         (p => p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange")),
       "no cartesian product" -> (p => !p.contains("CartesianProduct")))
 
+    val e15 = qs("e15_ivf_binary_rerank")(spark, sfDir)
+    audit("e15_ivf_binary_rerank", e15,
+      "cell restriction is a broadcast equi-join; no cartesian product" ->
+        (p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")),
+      "no shuffle Exchange carries the embedding column (cell+sig computed in-scan)" ->
+        (_ => !shuffleCarries(e15, "embedding")),
+      "shortlist and re-rank are bounded aggregates, not window ranks" ->
+        (p => p.contains("ObjectHashAggregate") && !p.contains("Window")))
+
+    audit("t18_bpe_tokens", qs("t18_bpe_tokens")(spark, sfDir),
+      "BPE apply is map-only: inlined merges, no join anywhere" ->
+        (p => !p.contains("Join")),
+      "no corpus shuffle (the only exchange is the presentation sort's)" ->
+        (p => !p.contains("hashpartitioning")),
+      "scan reads only doc_id and text" ->
+        (p => !p.contains("n_chars") && !p.contains("source")))
+
     audit("t16_bpe_pairs", qs("t16_bpe_pairs")(spark, sfDir),
       "pair aggregate is map-side partial before its exchange" ->
         (_.contains("HashAggregate")),

@@ -151,7 +151,13 @@ object DeclaredOps {
     // tokenizer (merges memoized per data signature, inlined codegen'd
     // expression — map-only over the corpus).
     "t18_bpe_tokens" -> ((s, dir) =>
-      TextAnalysis.bpeTokenCounts(docs(s, dir), bpeMerges(s, dir))))
+      TextAnalysis.bpeTokenCounts(docs(s, dir), bpeMerges(s, dir))),
+    // Composed retrieval: coarse centroid cell (e6's build-once
+    // codebook) ∩ binary Hamming shortlist (e13) → exact re-rank
+    // (e10/e14) — the four production-ANN stages in one declared plan.
+    "e15_ivf_binary_rerank" -> ((s, dir) =>
+      Similarity.ivfBinaryRerankTopK(emb(s, dir), centroidCodebook(s, dir),
+        col("vec_id") < 5)))
 
   // ---- DuckDB oracle SQL ----
 
@@ -493,6 +499,51 @@ object DeclaredOps {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos_x10k DESC, neighbor_id) AS rn FROM ex)
          |WHERE rn <= 10 ORDER BY query_id, cos_x10k DESC, neighbor_id""".stripMargin,
+
+    // The e6/e13/e14 composition verbatim: centroid cells (e6's CTEs),
+    // 63-bit signatures (e13's), cell-restricted Hamming shortlist,
+    // exact re-rank (e14's tail) — composition-is-the-oracle.
+    "e15_ivf_binary_rerank" ->
+      s"""WITH cent AS (
+         |  SELECT label AS clabel, list(m ORDER BY pos) AS c FROM (
+         |    SELECT label, i - 1 AS pos,
+         |      round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+         |            / count(*), 4) + 0 AS m
+         |    FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+         |    GROUP BY label, i)
+         |  GROUP BY label),
+         |vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ascored AS (
+         |  SELECT vec_id, clabel,
+         |    list_sum(list_transform(range(1, 65), i -> v[i] * c[i])) /
+         |    (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
+         |     sqrt(list_sum(list_transform(range(1, 65), i -> c[i] * c[i])))) AS acos
+         |  FROM vv CROSS JOIN cent),
+         |best AS (
+         |  SELECT vec_id, clabel AS cell FROM (
+         |    SELECT vec_id, clabel,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY acos DESC, clabel DESC) AS rn
+         |    FROM ascored)
+         |  WHERE rn = 1),
+         |sig AS (SELECT vec_id, CAST(list_sum(list_transform(range(0, 63),
+         |    i -> CASE WHEN v[CAST(i + 1 AS INT)] >= 0 THEN (1::BIGINT << CAST(62 - i AS INT))
+         |              ELSE 0::BIGINT END)) AS BIGINT) AS sg FROM vv),
+         |cells AS (SELECT vv.vec_id, vv.v, b.cell, sig.sg
+         |  FROM vv JOIN best b USING (vec_id) JOIN sig USING (vec_id)),
+         |q AS (SELECT vec_id AS query_id, v AS qv, cell, sg AS qs FROM cells WHERE vec_id < 5),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY bit_count(xor(c.sg, q.qs)), c.vec_id) AS rn
+         |  FROM cells c JOIN q USING (cell) WHERE c.vec_id <> q.query_id) WHERE rn <= 20),
+         |qv AS (SELECT vec_id AS query_id, v AS qv FROM vv WHERE vec_id < 5),
+         |ex AS (SELECT c.query_id, c.neighbor_id, ${duckCosX("nv.v", "qv.qv")} AS cos_x10k
+         |  FROM cand c JOIN vv nv ON nv.vec_id = c.neighbor_id
+         |              JOIN qv ON qv.query_id = c.query_id)
+         |SELECT query_id, neighbor_id, cos_x10k FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_x10k DESC, neighbor_id) AS rn FROM ex)
+         |WHERE rn <= 5 ORDER BY query_id, cos_x10k DESC, neighbor_id""".stripMargin,
 
     "e2_ivf_topk" ->
       s"""WITH cells AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -83,6 +83,10 @@ object LlmViews {
       "llm_twostage_topk" -> Similarity.twoStageTopK(emb, col("vec_id") < 5),
       "llm_binary_topk" -> Similarity.binaryTopK(emb, col("vec_id") < 5),
       "llm_binary_rerank" -> Similarity.binaryRerankTopK(emb, col("vec_id") < 5),
+      // Composed IVF ∩ binary-prefilter ∩ exact-rerank retrieval over
+      // the registration-time coarse codebook.
+      "llm_ivf_binary_rerank" -> Similarity.ivfBinaryRerankTopK(
+        emb, coarseCb, col("vec_id") < 5),
       "llm_mmr_topk" -> Similarity.mmrTopK(emb, col("vec_id") < 5),
       "llm_semantic_clusters" -> Similarity.semanticClusters(emb),
       "llm_containment" -> Dedup.containment(docs, col("doc_id") % 5 === 0),

@@ -962,6 +962,49 @@ class OpsSpec extends GraftSuite {
     assert(rs.last == 1.0)
   }
 
+  test("composed ivf-binary-rerank equals the local stage composition") {
+    val cb = Similarity.collectCodebook(Similarity.centroidFrame(emb))
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def x10k(c: Double): Long = BigDecimal(c * 10000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def sig(v: Array[Double]): Long =
+      (0 until 63).foldLeft(0L)((s, i) => if (v(i) >= 0) s | (1L << (62 - i)) else s)
+    // Stage composition in driver code: nearest centroid cell (argmax by
+    // (cos, label) — the struct-greatest tie-break), cell-restricted
+    // Hamming shortlist (h asc, id asc), exact-cosine re-rank.
+    val cells = vecs.view.mapValues(v =>
+      cb.map { case (lab, c) => (cos(v, c.toArray), lab) }.max._2).toMap
+    val sigs = vecs.view.mapValues(sig).toMap
+    val expected = vecs.keys.filter(_ < 5).toSeq.sorted.flatMap { qid =>
+      val short = vecs.keys.toSeq
+        .filter(id => id != qid && cells(id) == cells(qid))
+        .map(id => (id, java.lang.Long.bitCount(sigs(id) ^ sigs(qid))))
+        .sortBy { case (id, h) => (h, id) }.take(20)
+      short.map { case (id, _) => (id, x10k(cos(vecs(id), vecs(qid)))) }
+        .sortBy { case (id, c) => (-c, id) }.take(5)
+        .map { case (id, c) => (qid, id, c) }
+    }
+    val df = Similarity.ivfBinaryRerankTopK(emb, cb, col("vec_id") < 5)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"operator $got != local $expected")
+    // 100 TB contract: candidates only inside cells (no cartesian), and
+    // the float vectors never cross a shuffle (cell+sig are in-scan).
+    val exec = df.queryExecution.executedPlan
+    assert(!exec.toString.contains("CartesianProduct"))
+    val shuffled = collectPlan(exec) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output.map(_.name)
+    }
+    assert(!shuffled.exists(_.exists(_.contains("embedding"))),
+      "no shuffle exchange may carry the embedding column")
+  }
+
   test("semantic clusters collapse embedding near-dup pairs transitively") {
     // Threshold 0.15: the declared 0.5 yields no pairs on the tiny
     // sf0.001 slice (oracle-covered at sf0.01); the CC contract is
