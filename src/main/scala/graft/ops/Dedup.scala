@@ -561,6 +561,17 @@ object Dedup {
       .withColumn("p", row_number().over(wOrd) - 1)
       .where(col("p") < col("n") - expr(s"(n * $num + ${den - 1}) div $den") + 1)
       .repartition(w, col("g"))
+    // PPJoin's remaining companion filters, both evaluated here in r9:
+    // the LENGTH filter is the two-sided na/nb cross-multiplication in
+    // the join condition below (pairs with incompatible sizes never
+    // reach the aggregate); the asymmetric INDEX prefix (midprefix —
+    // cut the indexed side to n - ceil(2τn/(1+τ)) + 1 postings) was
+    // implemented and MEASURED-REJECTED: it shrank enumerated join rows
+    // ~30% but weakened the aggregated positional bound below (smaller
+    // ov, larger nb-1-max_pb tail), yielding MORE surviving candidates
+    // (196,630 → 202,852 at sf0.1) and a slower end-to-end query. The
+    // per-pair bound, not posting enumeration, is what kills the
+    // candidate bulk on this workload.
     // Aggregated positional filter (PPJoin): both lists are sorted by the
     // SAME global order, so every shared prefix token is counted by the
     // join (`ov`), and any shared token NOT counted is missing from at
