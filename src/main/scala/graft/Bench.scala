@@ -237,10 +237,21 @@ object Bench {
     }
     def canaryMin: Double =
       samples.get("d10_jaccard_join").filter(_.nonEmpty).map(_.min).getOrElse(-1.0)
+    // Retry-on-degraded (VERDICT r8 #6): the driver runs this main ONCE,
+    // so the bench itself must wait out a bad window rather than publish
+    // a degraded artifact (r7 and r8 both shipped window:"degraded"
+    // drivers while same-code quiet runs passed). Host noise arrives in
+    // MULTI-MINUTE bursts, so back-to-back retries land in the same
+    // burst — the first two extra pass pairs run immediately (cheap, and
+    // enough when the burst ends mid-run), later ones sleep 45 s first
+    // to let the burst pass. Bounded: default 5 extra pairs (~4 min of
+    // sleep worst-case); SPARK_GRAFT_RETRY_DEGRADED overrides.
+    val maxExtra = sys.env.getOrElse("SPARK_GRAFT_RETRY_DEGRADED", "5").toInt
     var extra = 0
-    while (basket > canaryMax && extra < 2) {
+    while (basket > canaryMax && extra < maxExtra) {
       System.err.println(f"[bench] canary basket median ${basket}%.2f > $canaryMax%.2f " +
-        s"(degraded window) - extra interleaved pass pair ${extra + 1}/2")
+        s"(degraded window) - extra interleaved pass pair ${extra + 1}/$maxExtra")
+      if (extra >= 2) Thread.sleep(45000)
       sparkPass(); duckPass()
       extra += 1
     }

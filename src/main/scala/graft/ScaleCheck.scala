@@ -296,6 +296,73 @@ object ScaleCheck {
         println(f"E14BINARY $dir e13_hamming=$e13%.3f ${rows.mkString(" ")}")
       }
 
+      // e15: the fully-composed retrieval (coarse cell -> binary Hamming
+      // shortlist -> exact re-rank) — THREE approximations stack, so its
+      // recall sits at/below e14's at every budget m; what must hold is
+      // monotonicity in m and e15 <= e14 (the cell restriction can only
+      // drop candidates e14 would have scored).
+      {
+        val exact = pairSet(graft.ops.Similarity.cosineTopK(emb, col("vec_id") < 10)
+          .select("query_id", "neighbor_id"))
+        def rec(s: Set[(Long, Long)]) =
+          if (exact.isEmpty) 1.0 else s.intersect(exact).size.toDouble / exact.size
+        val coarseCb = graft.ops.Similarity.collectCodebook(
+          graft.ops.Similarity.centroidFrame(emb))
+        val rows = for (m <- Seq(25, 50, 100, 200)) yield {
+          val r = rec(pairSet(graft.ops.Similarity.ivfBinaryRerankTopK(
+              emb, coarseCb, col("vec_id") < 10, m = m)
+            .select("query_id", "neighbor_id")))
+          f"m$m=$r%.3f"
+        }
+        println(s"E15IVFBINARY $dir ${rows.mkString(" ")}")
+      }
+
+      // t15: novelty's inverted index — the linear-at-scale internals.
+      // Postings grow with corpus words; fingerprints with distinct
+      // windows; NO stage forms pairs, so the only skew exposure is the
+      // per-fingerprint df distribution (max_df bounds the join-back
+      // fan-in for one key).
+      {
+        val wins = graft.ops.Dedup.windowPostings(docs, 8)
+        val dfs = wins.groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
+        val agg = dfs.agg(count(lit(1)), max("df"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L))).head()
+        println(s"T15NOVELTY $dir postings=${wins.count()} " +
+          s"fingerprints=${agg.get(0)} max_df=${agg.get(1)} dup_fps=${agg.get(2)}")
+      }
+
+      // t17: n-gram TYPE-table growth — the quantity that decides the
+      // size-adaptive stats regime (broadcast below the 1 GiB catalog
+      // estimate, shuffled equi-joins above). Type counts vs trigram
+      // occurrences give the growth exponent; the regime column shows
+      // where THIS corpus lands.
+      {
+        val tri = docs.select(split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 3)
+          .select(explode(expr(
+            "arrays_zip(slice(w, 1, size(w) - 2), slice(w, 2, size(w) - 2), slice(w, 3, size(w) - 2))")).as("t"))
+          .select(col("t.0").as("w1"), col("t.1").as("w2"), col("t.2").as("w3"))
+        val occ = tri.count()
+        val triT = tri.distinct().count()
+        val bigT = tri.select("w2", "w3").distinct().count()
+        val uniT = tri.select("w3").distinct().count()
+        val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+        val regime = if (est <= BigInt(graft.ops.TextAnalysis.StatsBroadcastMaxCorpusBytes))
+          "broadcast" else "shuffled"
+        println(s"T17LMSTATS $dir trigram_occ=$occ tri_types=$triT " +
+          s"big_types=$bigT uni_types=$uniT corpus_est_bytes=$est regime=$regime")
+      }
+
+      // e12: the MMR shortlist is m rows PER QUERY however large the
+      // corpus — the iterative re-rank's input is corpus-size-
+      // independent by construction; only stage 1 (bounded top-m
+      // aggregate over the scan) sees the corpus.
+      {
+        val short = graft.ops.Similarity.mmrShortlist(emb, col("vec_id") < 5, 20)
+        println(s"E12MMR $dir vecs=${emb.count()} shortlist_rows=${short.count()} " +
+          s"(m=20 x queries, corpus-size-independent)")
+      }
+
       // d12: substring-dedup postings/pair/span growth across the decade,
       // and what the stop-window df-cap buys. The join fan-out is
       // Σ_h df_h² over KEPT fingerprints — the cap's job is to keep that
@@ -358,6 +425,51 @@ object ScaleCheck {
         .agg(count(lit(1)), max("span_words"), sum(expr("span_words"))).head()
       println(s"D12SPANS $dir spans=${d12.get(0)} max_span=${d12.get(1)} " +
         s"dup_words=${d12.get(2)}")
+      // t15 on the third decade: postings/fingerprint growth exponent.
+      val wins = graft.ops.Dedup.windowPostings(docs, 8)
+      val t15 = wins.groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
+        .agg(count(lit(1)), max("df"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L))).head()
+      println(s"T15NOVELTY $dir postings=${wins.count()} " +
+        s"fingerprints=${t15.get(0)} max_df=${t15.get(1)} dup_fps=${t15.get(2)}")
+      // t17 on the third decade: type-table growth exponent (the
+      // adaptive-regime driver; the synthetic corpus draws words
+      // independently, so trigram types grow ~linearly with occurrences
+      // — the worst case for the broadcast regime).
+      val tri = docs.select(split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 3)
+        .select(explode(expr(
+          "arrays_zip(slice(w, 1, size(w) - 2), slice(w, 2, size(w) - 2), slice(w, 3, size(w) - 2))")).as("t"))
+        .select(col("t.0").as("w1"), col("t.1").as("w2"), col("t.2").as("w3"))
+      val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+      println(s"T17LMSTATS $dir trigram_occ=${tri.count()} " +
+        s"tri_types=${tri.distinct().count()} corpus_est_bytes=$est " +
+        s"regime=${if (est <= BigInt(graft.ops.TextAnalysis.StatsBroadcastMaxCorpusBytes)) "broadcast" else "shuffled"}")
+    }
+
+    // m5: distinct-phash saturation curve on synthetic GIMG corpora —
+    // the banding's scale claim is that pair-formation work is bounded
+    // by DISTINCT VALUES (<= 2^16 by construction of a 16-bit hash),
+    // not by media rows: distinct_phash must SATURATE as rows grow
+    // 10x while the value-pair candidate set stays value-bounded.
+    // Honestly synthetic (random byte bodies, the fixture's GIMG
+    // container), deterministic via splitmix.
+    if (args.contains("--sf1")) {
+      import spark.implicits._
+      for (n <- Seq(2000, 20000)) {
+        val rows = (0 until n).map { id =>
+          val w = 8 + id % 9; val h = 6 + id % 7
+          val body = Array.tabulate(w * h)(i => (splitmix(id * 1009L + i) & 0xFF).toByte)
+          (id.toLong, "image",
+            "GIMG".getBytes ++ Array((w >> 8).toByte, w.toByte, (h >> 8).toByte, h.toByte) ++ body)
+        }
+        val media = rows.toDF("media_id", "kind", "payload")
+        val ph = media.select(graft.ops.Multimodal.phash16(
+          expr("substring(payload, 9, 2147483647)")).as("phash"))
+        val distinctVals = ph.distinct().count()
+        val pairs = graft.ops.Multimodal.phashPairs(media).count()
+        println(s"M5PHASH rows=$n distinct_phash=$distinctVals qualifying_pairs=$pairs")
+      }
     }
     spark.stop()
   }
