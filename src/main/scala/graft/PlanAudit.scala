@@ -402,6 +402,14 @@ object PlanAudit {
       "scan reads only doc_id and text" ->
         (p => !p.contains("n_chars") && !p.contains("source")))
 
+    audit("t19_pii_scrub", qs("t19_pii_scrub")(spark, sfDir),
+      "PII scrub is map-only: regexp chain in-scan, no join anywhere" ->
+        (p => !p.contains("Join")),
+      "no corpus shuffle (the only exchange is the presentation sort's)" ->
+        (p => !p.contains("hashpartitioning")),
+      "scan reads only doc_id and text" ->
+        (p => !p.contains("n_chars") && !p.contains("source")))
+
     audit("t16_bpe_pairs", qs("t16_bpe_pairs")(spark, sfDir),
       "pair aggregate is map-side partial before its exchange" ->
         (_.contains("HashAggregate")),

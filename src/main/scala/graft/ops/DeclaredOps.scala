@@ -157,7 +157,12 @@ object DeclaredOps {
     // (e10/e14) — the four production-ANN stages in one declared plan.
     "e15_ivf_binary_rerank" -> ((s, dir) =>
       Similarity.ivfBinaryRerankTopK(emb(s, dir), centroidCodebook(s, dir),
-        col("vec_id") < 5)))
+        col("vec_id") < 5)),
+    // Structured-PII detect + redact over the deterministic PII-bearing
+    // augmentation (the synthetic corpus is digit-free; both engines
+    // build the identical string, so counts AND every redacted char are
+    // hash-checked).
+    "t19_pii_scrub" -> ((s, dir) => TextAnalysis.piiScrub(docs(s, dir))))
 
   // ---- DuckDB oracle SQL ----
 
@@ -1123,6 +1128,39 @@ object DeclaredOps {
         |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS dup_permille
         |FROM wins JOIN dfs USING (h)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Structured-PII scrub: the augmentation arithmetic (pure integer
+    // % / * / + plus lpad — identical in both engines) rebuilds the
+    // char-identical pii_text; the regex patterns are the byte-identical
+    // RE2-and-Java-compatible subset (TextAnalysis.Pii*Pattern), so
+    // n_* counts and the full redacted string hash-match. Replace order
+    // email -> SSN -> phone -> IP mirrors the Spark chain (the formats
+    // are mutually non-matching, so order is belt-and-braces).
+    "t19_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 2 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+        |            || '@mail-example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |            || '-' || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |            || '.' || CAST(doc_id * 3 % 256 AS VARCHAR) || '.25' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' ref ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+        |            || '-' || CAST(doc_id % 90 + 10 AS VARCHAR)
+        |            || '-' || lpad(CAST(doc_id * 11 % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    AS pii_text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(pii_text, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+        |  len(regexp_extract_all(pii_text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(pii_text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(pii_text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
+        |FROM aug ORDER BY doc_id""".stripMargin,
 
     // Incremental dedup: anti-join against the history. The engine keys
     // on the sha-256 digest (the persisted index form); the oracle keys

@@ -631,6 +631,76 @@ object TextAnalysis {
     if (ordered) out.orderSmall("doc_id") else out
   }
 
+  /** PII patterns (t19). RE2-and-Java-compatible subset on purpose —
+    * no backreferences, no lookaround — so the DuckDB oracle runs the
+    * byte-identical pattern text. `\b` and `\d` mean the same thing in
+    * both engines over this ASCII surface. */
+  val PiiEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiSsnPattern = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val PiiPhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val PiiIpPattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** t19 — structured-PII detection + redaction: per-document match
+    * counts for email / NANP phone / IPv4 / SSN-shaped identifiers plus
+    * the fully redacted text (`<EMAIL>`/`<SSN>`/`<PHONE>`/`<IP>`
+    * markers). The reference pipeline's scrub stage is term-denylist
+    * only (t9); structured-PII removal is the curation step every
+    * pretraining pipeline adds on top.
+    *
+    * The synthetic corpus is digit-free vocabulary text, so the
+    * operator input is a deterministic PII-bearing augmentation derived
+    * from doc_id — the oracle builds the char-identical string and runs
+    * the byte-identical patterns, making every count and every redacted
+    * character hash-checked. The four formats are mutually non-matching
+    * (3-3-4 phone vs 3-2-4 SSN digit grouping, dotted IP vs dashed
+    * ids), so per-pattern counts on the original text equal matches
+    * redacted and the replace order is immaterial; the fixed
+    * email→SSN→phone→IP order pins the semantics anyway.
+    *
+    * Scale: map-only — four codegen'd regexp counts and one four-deep
+    * regexp_replace chain inside the scan stage, no shuffle beyond the
+    * declared presentation sort. At 100 TB this is the ideal operator
+    * shape: embarrassingly parallel, no state, no join. */
+  def piiScrub(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+    val id = col("doc_id")
+    def tagWhen(pred: Column, parts: Column*): Column =
+      when(pred, concat(parts: _*)).otherwise(lit(""))
+    val aug = concat(
+      col("text"),
+      tagWhen(id % 2 === 0,
+        lit(" contact user"), id.cast("string"), lit("@mail-example.com")),
+      tagWhen(id % 3 === 0,
+        lit(" call 555-"), lpad((id % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((id * 7 % 10000).cast("string"), 4, "0")),
+      tagWhen(id % 5 === 0,
+        lit(" host 10."), (id % 256).cast("string"), lit("."),
+        (id * 3 % 256).cast("string"), lit(".25")),
+      tagWhen(id % 7 === 0,
+        lit(" ref "), (id % 900 + 100).cast("string"), lit("-"),
+        (id % 90 + 10).cast("string"), lit("-"),
+        lpad((id * 11 % 10000).cast("string"), 4, "0")))
+    val out = docs
+      .select(id, aug.as("pii_text"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("pii_text"), lit(PiiEmailPattern), lit(0)))
+          .as("n_email"),
+        size(regexp_extract_all(col("pii_text"), lit(PiiPhonePattern), lit(0)))
+          .as("n_phone"),
+        size(regexp_extract_all(col("pii_text"), lit(PiiIpPattern), lit(0)))
+          .as("n_ip"),
+        size(regexp_extract_all(col("pii_text"), lit(PiiSsnPattern), lit(0)))
+          .as("n_ssn"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("pii_text"), PiiEmailPattern, "<EMAIL>"),
+              PiiSsnPattern, "<SSN>"),
+            PiiPhonePattern, "<PHONE>"),
+          PiiIpPattern, "<IP>").as("scrubbed"))
+    if (ordered) out.orderSmall("doc_id") else out
+  }
+
   def bpeSegment(word: String, merges: Seq[(String, String)]): Vector[String] = {
     var syms = word.map(_.toString).toVector
     merges.foreach { case (a, b) =>

@@ -104,6 +104,8 @@ object LlmViews {
       // plan keeps user predicates pushing into the scan).
       "llm_bpe_tokens" -> TextAnalysis.bpeTokenCounts(docs,
         TextAnalysis.trainBpe(docs), ordered = false),
+      // Structured-PII detect/redact (map-only regexp chain).
+      "llm_pii_scrub" -> TextAnalysis.piiScrub(docs, ordered = false),
       "llm_incremental_dedup" -> Dedup.dedupAgainstIndex(
         docs.where(col("doc_id") % 3 === 0),
         Dedup.digestIndex(docs.where(col("doc_id") % 3 =!= 0 || col("doc_id") < 100))))

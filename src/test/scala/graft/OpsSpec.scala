@@ -554,6 +554,51 @@ class OpsSpec extends GraftSuite {
     assert(hits == expected, "redaction count must equal the corpus term count")
   }
 
+  test("pii scrub: counts and redaction match a driver java.util.regex recompute") {
+    import java.util.regex.Pattern
+    val pats = Seq(
+      "n_email" -> Pattern.compile(TextAnalysis.PiiEmailPattern),
+      "n_phone" -> Pattern.compile(TextAnalysis.PiiPhonePattern),
+      "n_ip" -> Pattern.compile(TextAnalysis.PiiIpPattern),
+      "n_ssn" -> Pattern.compile(TextAnalysis.PiiSsnPattern))
+    def count(p: Pattern, s: String): Int = {
+      val m = p.matcher(s); var n = 0; while (m.find()) n += 1; n
+    }
+    val base = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def expectedAug(id: Long, text: String): String = {
+      val sb = new StringBuilder(text)
+      if (id % 2 == 0) sb.append(s" contact user$id@mail-example.com")
+      if (id % 3 == 0) sb.append(f" call 555-${id % 1000}%03d-${id * 7 % 10000}%04d")
+      if (id % 5 == 0) sb.append(s" host 10.${id % 256}.${id * 3 % 256}.25")
+      if (id % 7 == 0) sb.append(f" ref ${id % 900 + 100}-${id % 90 + 10}-${id * 11 % 10000}%04d")
+      sb.toString
+    }
+    val rows = TextAnalysis.piiScrub(docs).collect()
+    assert(rows.length == base.size)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val aug = expectedAug(id, base(id))
+      pats.zipWithIndex.foreach { case ((name, p), i) =>
+        assert(r.getInt(i + 1) == count(p, aug), s"doc $id $name")
+      }
+      val expected = Seq(
+        TextAnalysis.PiiEmailPattern -> "<EMAIL>",
+        TextAnalysis.PiiSsnPattern -> "<SSN>",
+        TextAnalysis.PiiPhonePattern -> "<PHONE>",
+        TextAnalysis.PiiIpPattern -> "<IP>")
+        .foldLeft(aug) { case (s, (p, rep)) => s.replaceAll(p, rep) }
+      assert(r.getString(5) == expected, s"doc $id scrubbed text")
+      // Redaction completeness: nothing PII-shaped survives.
+      pats.foreach { case (name, p) =>
+        assert(count(p, r.getString(5)) == 0, s"doc $id residual $name")
+      }
+    }
+    // The augmentation actually exercises every pattern at least once.
+    assert(rows.map(_.getInt(1)).sum > 0 && rows.map(_.getInt(2)).sum > 0 &&
+      rows.map(_.getInt(3)).sum > 0 && rows.map(_.getInt(4)).sum > 0)
+  }
+
   test("tfidf top-k: hand-checked salience on a tiny corpus") {
     import spark.implicits._
     val tiny = Seq((1L, "x x y"), (2L, "y z"), (3L, "z z z"))
