@@ -20,15 +20,21 @@ object DeclaredMedia {
     new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
   private def media(s: SparkSession): DataFrame =
     mediaCache.computeIfAbsent(s, _ => s.read.parquet(MediaFixture.ensure(s)))
+  private val videoCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+  private def video(s: SparkSession): DataFrame =
+    videoCache.computeIfAbsent(s, _ => s.read.parquet(VideoFixture.ensure(s)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_decode"  -> ((s, _) => Multimodal.decodeDims(media(s))),
     "m2_media_sim"     -> ((s, _) => Multimodal.similarByHistogram(media(s))),
     "m3_frame_sample"  -> ((s, _) => Multimodal.frameSampleStats(media(s))),
     "m4_audio_decode"  -> ((s, _) => Multimodal.decodeAudio(media(s))),
-    "m5_phash_pairs"   -> ((s, _) => Multimodal.phashPairs(media(s))))
+    "m5_phash_pairs"   -> ((s, _) => Multimodal.phashPairs(media(s))),
+    "m6_scene_cuts"    -> ((s, _) => Multimodal.sceneCuts(video(s))))
 
   private val Fixture = MediaFixture.DefaultPath
+  private val VidFixture = VideoFixture.DefaultPath
 
   val oracleSql: Map[String, String] = Map(
     "m1_media_decode" ->
@@ -105,5 +111,32 @@ object DeclaredMedia {
          |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
          |FROM ph a JOIN ph b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.phash, b.phash)) <= 3
-         |ORDER BY id_a, id_b""".stripMargin)
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // m6: per-frame phash re-derived byte-by-byte from the payload hex,
+    // with frame offsets computed from the INDEPENDENTLY-written meta
+    // dims/frame-count (Spark walks the GVID header bytes — the m1
+    // cross-validation contract at the frame-offset level). DuckDB
+    // lists are 1-indexed: phs[f+1] is frame f, so frame pair
+    // (f-1, f) for frame_idx = f in 1..nf-1 reads phs[f] and phs[f+1].
+    "m6_scene_cuts" ->
+      s"""WITH v AS (
+         |  SELECT media_id, substr(hex(payload), 17) AS hs,
+         |    meta.width * meta.height AS fl, meta.n_frames AS nf
+         |  FROM read_parquet('$VidFixture')
+         |  WHERE kind = 'video' AND meta.format = 'gvid'),
+         |ph AS (
+         |  SELECT media_id, nf,
+         |    list_transform(range(0, nf), f ->
+         |      list_sum(list_transform(range(0, 16), b ->
+         |        CASE WHEN len(list_filter(range(f * fl, (f + 1) * fl),
+         |          i -> CAST(concat('0x', substr(hs, CAST(2 * i + 1 AS INT), 2)) AS INT) // 16 = b)) * 16 > fl
+         |        THEN 1 << (15 - b) ELSE 0 END))) AS phs
+         |  FROM v)
+         |SELECT media_id, CAST(f AS INTEGER) AS frame_idx,
+         |  CAST(bit_count(xor(phs[CAST(f + 1 AS INT)], phs[CAST(f AS INT)])) AS BIGINT) AS hamming,
+         |  CASE WHEN bit_count(xor(phs[CAST(f + 1 AS INT)], phs[CAST(f AS INT)])) >= 4
+         |       THEN 1 ELSE 0 END AS is_cut
+         |FROM ph, unnest(range(1, nf)) AS t(f)
+         |ORDER BY media_id, frame_idx""".stripMargin)
 }

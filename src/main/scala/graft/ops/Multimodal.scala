@@ -152,7 +152,14 @@ object Multimodal {
 
       if (b.length >= 8 && tag(b, 0) == "GIMG")
         out("gimg", u16be(b, 4), u16be(b, 6))
-      else if (b.length >= 8 && tag(b, 0) == "GAUD")
+      else if (b.length >= 8 && tag(b, 0) == "GVID") {
+        // Video container: GIMG-shaped header, body = n w*h frames.
+        // n_samples carries the FRAME count (frames are a video's
+        // samples); zero-dim headers yield null rather than divide.
+        val w = u16be(b, 4); val h = u16be(b, 6)
+        val nf: Any = if (w > 0 && h > 0) ((b.length - 8) / (w * h)).toLong else null
+        out("gvid", w, h, n = nf)
+      } else if (b.length >= 8 && tag(b, 0) == "GAUD")
         out("gaud", r = u16be(b, 4) * 100, n = (b.length - 8).toLong)
       else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
         // JPEG: walk marker segments from SOI to the first SOF0..SOF15
@@ -349,6 +356,51 @@ object Multimodal {
         col("h").as("n_frames"),
         length(frameSample(col("body"), col("w"), lit(stride))).as("out_bytes"))
       .orderSmall("media_id")
+
+  /** m6 — video scene-cut detection: per-frame 16-bit perceptual hash
+    * ([[Phash16]] over each w·h frame slice of the GVID body), Hamming
+    * distance between every consecutive frame pair, cut where the
+    * distance reaches `tauCut`. Frame geometry comes from the payload
+    * HEADER (the [[MediaHeader]] GVID walk); the oracle reads the
+    * independently-written meta struct — the m1 cross-validation
+    * contract, extended to the frame-offset arithmetic.
+    *
+    * Scale: deliberately NOT the lag-window formulation. A video's
+    * frames live in its own payload row, so the whole per-frame hash
+    * array AND the consecutive diffs are computed IN-ROW (one
+    * `transform` over the frame sequence, one over index pairs) — the
+    * payload never leaves the scan, nothing shuffles per frame, and
+    * the partition-by-media window exchange a lag() plan would need
+    * never exists. Only the exploded (media_id, frame_idx, hamming)
+    * ints reach the presentation sort. Row-sized videos are the
+    * fixture's shape; frame-aligned payload chunking with one overlap
+    * frame per chunk boundary is the same plan at long-video scale. */
+  def sceneCuts(video: DataFrame, tauCut: Int = 4): DataFrame = {
+    val hd = mediaHeader(col("payload"))
+    val perFrame = video
+      .where(col("kind") === "video" && hd.getField("format") === "gvid")
+      .select(col("media_id"),
+        hd.getField("width").cast("int").as("w"),
+        hd.getField("height").cast("int").as("h"),
+        col("payload"))
+      .withColumn("flen", col("w") * col("h"))
+      .withColumn("nf", expr("CAST((length(payload) - 8) DIV flen AS INT)"))
+      .select(col("media_id"),
+        transform(sequence(lit(0), col("nf") - 1), f =>
+          phash16(col("payload").substr(lit(9) + f * col("flen"), col("flen"))))
+          .as("phs"))
+    perFrame
+      .select(col("media_id"),
+        posexplode(when(size(col("phs")) >= 2, expr(
+          "transform(sequence(1, size(phs) - 1), i -> CAST(bit_count(phs[i] ^ phs[i - 1]) AS BIGINT))"))
+          .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")))
+          .as(Seq("i0", "hamming")))
+      .select(col("media_id"),
+        (col("i0") + 1).cast("int").as("frame_idx"),
+        col("hamming"),
+        when(col("hamming") >= tauCut, 1).otherwise(0).as("is_cut"))
+      .orderSmall("media_id", "frame_idx")
+  }
 }
 
 /** Deterministic media fixture across REAL formats (JPEG with APP0+SOF0
@@ -362,7 +414,7 @@ object MediaFixture {
 
   val DefaultPath = "/root/repo/fixtures/media/media.parquet"
 
-  private def splitmix(x0: Long): Long = {
+  private[ops] def splitmix(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
     x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
@@ -376,8 +428,25 @@ object MediaFixture {
   private def u32le(v: Long): Array[Byte] =
     Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
 
-  private def body(id: Long, n: Int): Array[Byte] =
+  private[ops] def body(id: Long, n: Int): Array[Byte] =
     Array.tabulate(n)(i => (splitmix(id * 1000L + i) & 0xff).toByte)
+
+  /** Write a DataFrame as ONE parquet file at `path` (the committed-
+    * fixture shape the DuckDB oracles read_parquet directly). */
+  private[ops] def writeSingle(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val tmp = path + ".tmpdir"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).iterator()
+    val found = scala.jdk.CollectionConverters.IteratorHasAsScala(part).asScala
+      .find(_.getFileName.toString.startsWith("part-")).get
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path).getParent)
+    java.nio.file.Files.move(found, java.nio.file.Paths.get(path))
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+    try scala.jdk.CollectionConverters.IteratorHasAsScala(
+      s.sorted(java.util.Comparator.reverseOrder()).iterator()).asScala
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    finally s.close()
+  }
 
   /** Minimal spec-valid JPEG: SOI, APP0/JFIF, SOF0 (1 component), fake
     * entropy bytes, EOI. The APP0 before SOF0 forces the decoder to
@@ -465,18 +534,62 @@ object MediaFixture {
     val jrows = new java.util.ArrayList[Row](rows.size)
     rows.foreach(jrows.add)
     val df = spark.createDataFrame(jrows, schema)
-    val tmp = path + ".tmpdir"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).iterator()
-    val found = scala.jdk.CollectionConverters.IteratorHasAsScala(part).asScala
-      .find(_.getFileName.toString.startsWith("part-")).get
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path).getParent)
-    java.nio.file.Files.move(found, java.nio.file.Paths.get(path))
-    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
-    try scala.jdk.CollectionConverters.IteratorHasAsScala(
-      s.sorted(java.util.Comparator.reverseOrder()).iterator()).asScala
-      .foreach(java.nio.file.Files.deleteIfExists(_))
-    finally s.close()
+    writeSingle(df, path)
+    path
+  }
+}
+
+/** Deterministic GVID video fixture: per-video scene structure (scene
+  * base frames of splitmix bytes, in-scene frames = base with a sparse
+  * xor-0x18 perturbation that moves ~1/11 of bytes across a histogram
+  * bin, hard cuts = fresh random base), written through ordinary Spark
+  * parquet like [[MediaFixture]]. The meta struct (format, dims, frame
+  * count) is written INDEPENDENTLY of the payload header so m6's oracle
+  * cross-validates the byte-level GVID walk against it. */
+object VideoFixture {
+
+  val DefaultPath = "/root/repo/fixtures/media/video.parquet"
+
+  /** Frames-per-scene period for video `id` (deterministic, 3..5). */
+  def scenePeriod(id: Long): Int = 3 + (id % 3).toInt
+
+  /** Reference frame bytes for (video, frame) — the spec recomputes
+    * cuts from exactly this construction. */
+  def frameBytes(id: Long, f: Int, w: Int, h: Int): Array[Byte] = {
+    val scene = f / scenePeriod(id)
+    val base = MediaFixture.body(id * 100L + scene, w * h)
+    val phase = f % scenePeriod(id)
+    if (phase == 0) base
+    else base.zipWithIndex.map { case (b, p) =>
+      if (p % 11 == (f * 7) % 11) (b ^ 0x18).toByte else b
+    }
+  }
+
+  def ensure(spark: SparkSession, path: String = DefaultPath): String = synchronized {
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) return path
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("format", StringType, nullable = false),
+        StructField("width", IntegerType, nullable = false),
+        StructField("height", IntegerType, nullable = false),
+        StructField("n_frames", IntegerType, nullable = false))), nullable = false)))
+    val rows: Seq[Row] = (0 until 10).map { idInt =>
+      val id = idInt.toLong
+      val w = 8 + idInt % 5
+      val h = 6 + idInt % 4
+      val nf = 8 + idInt % 6
+      val payload = "GVID".getBytes("US-ASCII") ++
+        Array((w >> 8).toByte, w.toByte, (h >> 8).toByte, h.toByte) ++
+        (0 until nf).flatMap(f => frameBytes(id, f, w, h))
+      Row(id, "video", payload, Row("gvid", w, h, nf))
+    }
+    val jrows = new java.util.ArrayList[Row](rows.size)
+    rows.foreach(jrows.add)
+    MediaFixture.writeSingle(spark.createDataFrame(jrows, schema), path)
     path
   }
 }

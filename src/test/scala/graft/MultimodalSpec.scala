@@ -113,6 +113,52 @@ class MultimodalSpec extends GraftSuite {
     assert(DeclaredMedia.queries.keySet -- DeclaredMedia.oracleSql.keySet == Set.empty)
   }
 
+  test("scene cuts: in-row frame phash diffs match a driver byte recompute") {
+    val video = spark.read.parquet(graft.ops.VideoFixture.ensure(spark))
+    def phash(body: Array[Byte]): Int = {
+      val counts = new Array[Int](16)
+      body.foreach(b => counts((b & 0xff) >>> 4) += 1)
+      (0 until 16).foldLeft(0) { (h, b) =>
+        if (counts(b) * 16 > body.length) h | (1 << (15 - b)) else h
+      }
+    }
+    val expected = video.select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+      .sortBy(_._1)
+      .flatMap { case (id, bytes) =>
+        // Frame geometry re-read from the payload header bytes, like the
+        // operator; the meta cross-check below pins header==meta.
+        val w = ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
+        val h = ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
+        val fl = w * h
+        val nf = (bytes.length - 8) / fl
+        val phs = (0 until nf).map(f => phash(bytes.slice(8 + f * fl, 8 + (f + 1) * fl)))
+        (1 until nf).map { f =>
+          val ham = Integer.bitCount(phs(f) ^ phs(f - 1)).toLong
+          (id, f, ham, if (ham >= 4) 1 else 0)
+        }
+      }
+    val got = Multimodal.sceneCuts(video).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == expected.toSeq)
+    // The fixture's construction yields both classes: hard cuts at scene
+    // starts and quiet in-scene frames.
+    assert(got.exists(_._4 == 1), "fixture must contain at least one scene cut")
+    assert(got.exists(_._4 == 0), "fixture must contain at least one non-cut frame")
+    // Header bytes agree with the independently-written meta struct.
+    video.selectExpr("media_id", "payload", "meta.width", "meta.height", "meta.n_frames")
+      .collect().foreach { r =>
+        val b = r.getAs[Array[Byte]](1)
+        assert((((b(4) & 0xff) << 8) | (b(5) & 0xff)) == r.getInt(2))
+        assert((((b(6) & 0xff) << 8) | (b(7) & 0xff)) == r.getInt(3))
+        assert((b.length - 8) / (r.getInt(2) * r.getInt(3)) == r.getInt(4))
+      }
+    // In-row formulation: no window exchange, no join — frames never
+    // shuffle (the lag() plan this operator deliberately avoids).
+    val plan = Multimodal.sceneCuts(video).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Join"))
+  }
+
   test("streaming LP ingest: files -> micro-batch -> WAL -> query") {
     val base = Files.createTempDirectory("graft-stream")
     val in = Files.createTempDirectory("graft-stream-in")
