@@ -24,6 +24,10 @@ object DeclaredMedia {
     new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
   private def video(s: SparkSession): DataFrame =
     videoCache.computeIfAbsent(s, _ => s.read.parquet(VideoFixture.ensure(s)))
+  private val audioCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+  private def audio(s: SparkSession): DataFrame =
+    audioCache.computeIfAbsent(s, _ => s.read.parquet(AudioFixture.ensure(s)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_decode"  -> ((s, _) => Multimodal.decodeDims(media(s))),
@@ -31,10 +35,12 @@ object DeclaredMedia {
     "m3_frame_sample"  -> ((s, _) => Multimodal.frameSampleStats(media(s))),
     "m4_audio_decode"  -> ((s, _) => Multimodal.decodeAudio(media(s))),
     "m5_phash_pairs"   -> ((s, _) => Multimodal.phashPairs(media(s))),
-    "m6_scene_cuts"    -> ((s, _) => Multimodal.sceneCuts(video(s))))
+    "m6_scene_cuts"    -> ((s, _) => Multimodal.sceneCuts(video(s))),
+    "m7_audio_pairs"   -> ((s, _) => Multimodal.audioSigPairs(audio(s))))
 
   private val Fixture = MediaFixture.DefaultPath
   private val VidFixture = VideoFixture.DefaultPath
+  private val AudFixture = AudioFixture.DefaultPath
 
   val oracleSql: Map[String, String] = Map(
     "m1_media_decode" ->
@@ -138,5 +144,35 @@ object DeclaredMedia {
          |  CASE WHEN bit_count(xor(phs[CAST(f + 1 AS INT)], phs[CAST(f AS INT)])) >= 4
          |       THEN 1 ELSE 0 END AS is_cut
          |FROM ph, unnest(range(1, nf)) AS t(f)
-         |ORDER BY media_id, frame_idx""".stripMargin)
+         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // m7: ground truth = all-pairs Hamming over the energy-envelope
+    // signature re-derived byte-by-byte from the payload hex (the m5
+    // contract for audio): per-window Σ|u8 − 128| energies over the 16
+    // equal w·n/16 windows, bit rule 16·E_w > E_total. coalesce(…, 0)
+    // pins the sub-16-sample edge (empty windows) the fixture never
+    // exercises; the banded Spark side is pigeonhole-complete at
+    // tau = 3, so banded ≡ all-pairs exactly.
+    "m7_audio_pairs" ->
+      s"""WITH a AS (
+         |  SELECT media_id, substr(hex(payload), 17) AS hs,
+         |    octet_length(payload) - 8 AS n
+         |  FROM read_parquet('$AudFixture')
+         |  WHERE kind = 'audio' AND meta.format = 'gaud' AND octet_length(payload) >= 8),
+         |e AS (
+         |  SELECT media_id,
+         |    list_transform(range(0, 16), w ->
+         |      coalesce(list_sum(list_transform(range(w * n // 16, (w + 1) * n // 16),
+         |        i -> abs(CAST(concat('0x', substr(hs, CAST(2 * i + 1 AS INT), 2)) AS INT) - 128))), 0)) AS ew
+         |  FROM a),
+         |s AS (
+         |  SELECT media_id, CAST(list_sum(list_transform(range(0, 16), w ->
+         |      CASE WHEN ew[CAST(w + 1 AS INT)] * 16 > list_sum(ew)
+         |           THEN 1 << (15 - w) ELSE 0 END)) AS BIGINT) AS sig
+         |  FROM e)
+         |SELECT x.media_id AS id_a, y.media_id AS id_b,
+         |  CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+         |FROM s x JOIN s y ON x.media_id < y.media_id
+         |WHERE bit_count(xor(x.sig, y.sig)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin)
 }

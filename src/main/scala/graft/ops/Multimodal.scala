@@ -89,6 +89,44 @@ object Multimodal {
       copy(child = c)
   }
 
+  /** 16-bit energy-envelope signature of a GAUD audio payload: the body
+    * (u8 PCM from offset 8) splits into 16 equal windows w·n/16 ..
+    * (w+1)·n/16; bit b (MSB = window 0) is set iff window b's absolute
+    * energy Σ|s−128| holds MORE than its uniform share — the integer
+    * rule 16·E_b > E_total, the [[Phash16]] construction over the TIME
+    * axis instead of the value histogram, equally float-rounding-proof.
+    * Non-GAUD / sub-header payloads yield 0 (no bits set). */
+  case class AudioSig16(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[Array[Byte]]
+      if (b.length < 8 || new String(b, 0, 4,
+          java.nio.charset.StandardCharsets.US_ASCII) != "GAUD") return 0
+      val n = b.length - 8
+      val e = new Array[Long](16)
+      var total = 0L
+      var w = 0
+      while (w < 16) {
+        var i = w * n / 16
+        val end = (w + 1) * n / 16
+        var s = 0L
+        while (i < end) { s += math.abs((b(8 + i) & 0xff) - 128); i += 1 }
+        e(w) = s; total += s
+        w += 1
+      }
+      var sig = 0
+      var bb = 0
+      while (bb < 16) {
+        if (e(bb) * 16 > total) sig |= 1 << (15 - bb)
+        bb += 1
+      }
+      sig
+    }
+    override protected def withNewChildInternal(c: Expression): AudioSig16 =
+      copy(child = c)
+  }
+
   /** Keep every `stride`-th frame of `frameLen` bytes — the "video"
     * frame-sampling primitive, as real binary slicing. */
   case class FrameSample(first: Expression, second: Expression, third: Expression)
@@ -213,6 +251,8 @@ object Multimodal {
 
   def phash16(c: Column): Column = column(Phash16(expression(c)))
 
+  def audioSig16(c: Column): Column = column(AudioSig16(expression(c)))
+
   def byteHistogram(c: Column, bins: Int = 16): Column =
     column(ByteHistogram(expression(c), bins))
   def frameSample(data: Column, frameLen: Column, stride: Column): Column =
@@ -300,45 +340,56 @@ object Multimodal {
     * a candidate blow-up. Payloads stay in the scan (only the 2-byte
     * hash shuffles). */
   def phashPairs(media: DataFrame, tau: Int = 3): DataFrame = {
-    require(tau < 4, "4-band pigeonhole completeness requires tau < 4")
     val ph = media
       .where(col("kind") === "image" &&
         mediaHeader(col("payload")).getField("format") === "gimg")
       .select(col("media_id"),
-        phash16(expr("substring(payload, 9, 2147483647)")).as("phash"))
-      .repartition(col("phash"))
+        phash16(expr("substring(payload, 9, 2147483647)")).as("sig"))
+    sig16Pairs(ph, tau).orderSmall("id_a", "id_b")
+  }
+
+  /** Banded Hamming near-pair machinery over any 16-bit per-media
+    * signature (m5's image phash, m7's audio energy signature):
+    * candidates via a 4-nibble band equi-join over DISTINCT signature
+    * values, exact Hamming ≤ `tau` verify, expansion back to media-id
+    * pairs. Input: (media_id, sig); output: (id_a < id_b, hamming).
+    *
+    * Same-value pairs ride the SAME banded join (r9 fusion, VERDICT r8
+    * #7): a value shares all four bands with itself, so `pa <= pb`
+    * admits the self-pair and ONE broadcast expansion pass emits both
+    * cross-value and Hamming-0 in-group pairs — the separate same-value
+    * equi-join and the union of the r8 shape are gone (3 fewer jobs at
+    * fixture scale, one plan tree at any scale). */
+  private[ops] def sig16Pairs(sigs: DataFrame, tau: Int): DataFrame = {
+    require(tau < 4, "4-band pigeonhole completeness requires tau < 4")
+    val ph = sigs.repartition(col("sig"))
     // Distinct VALUES (≤ 65,536 rows however large the corpus); the
-    // pinned phash exchange above is reused by the distinct, both
-    // id-expansion joins, and the same-value pair expansion below.
-    val vals = ph.select(col("phash")).distinct()
-    val banded = vals.select(col("phash"),
+    // pinned sig exchange above is reused by the distinct and both
+    // id-expansion joins.
+    val vals = ph.select(col("sig")).distinct()
+    val banded = vals.select(col("sig"),
       posexplode(expr(
-        "transform(sequence(0, 3), b -> shiftright(phash, b * 4) % 16)"))
+        "transform(sequence(0, 3), b -> shiftright(sig, b * 4) % 16)"))
         .as(Seq("band", "key")))
-    // Cross-VALUE qualifying pairs (pa < pb orders values, not ids).
+    // Qualifying VALUE pairs, pa <= pb (equality = the in-group
+    // Hamming-0 self-pair; pa < pb orders values, not ids).
     val vpairs = banded.as("x").join(banded.as("y"), Seq("band", "key"))
-      .where(col("x.phash") < col("y.phash"))
-      .select(col("x.phash").as("pa"), col("y.phash").as("pb"))
+      .where(col("x.sig") <= col("y.sig"))
+      .select(col("x.sig").as("pa"), col("y.sig").as("pb"))
       .distinct()
       .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
       .where(col("hamming") <= tau)
     // Expand back to media ids: the value-pair set is bounded (≤ 2¹⁶·
-    // neighbors), so it broadcasts; id_a < id_b normalizes pair order
-    // (value order and id order are unrelated).
-    val cross = ph.select(col("media_id").as("ia"), col("phash").as("pa"))
+    // neighbors), so it broadcasts. pa < pb pairs keep every id
+    // combination (least/greatest normalizes — value order and id order
+    // are unrelated); pa = pb groups keep ia < ib (each unordered
+    // in-group pair once, ia = ib never).
+    ph.select(col("media_id").as("ia"), col("sig").as("pa"))
       .join(broadcast(vpairs), "pa")
-      .join(ph.select(col("media_id").as("ib"), col("phash").as("pb")), "pb")
+      .join(ph.select(col("media_id").as("ib"), col("sig").as("pb")), "pb")
+      .where(col("pa") < col("pb") || col("ia") < col("ib"))
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
-    // Same-VALUE pairs: Hamming 0 by construction, expanded inside the
-    // phash group (an equi-join on the pinned exchange).
-    val same = ph.as("x").join(ph.as("y"), Seq("phash"))
-      .where(col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
-        lit(0L).as("hamming"))
-    cross.unionByName(same)
-      .select(col("id_a"), col("id_b"), col("hamming"))
-      .orderSmall("id_a", "id_b")
   }
 
   /** m3 — frame sampling: treat each image body as `h` frames of `w`
@@ -356,6 +407,23 @@ object Multimodal {
         col("h").as("n_frames"),
         length(frameSample(col("body"), col("w"), lit(stride))).as("out_bytes"))
       .orderSmall("media_id")
+
+  /** m7 — audio near-duplicate pairs: 16-bit energy-envelope signature
+    * per GAUD clip ([[AudioSig16]] — the phash construction over the
+    * time axis), then the SAME banded value-pair machinery as m5
+    * ([[sig16Pairs]]): 4-nibble band equi-join over distinct signature
+    * values, exact Hamming ≤ `tau` verify, broadcast id expansion. A
+    * re-encoded / lightly-noised clip keeps its energy envelope, so
+    * near-dup audio collapses the way near-dup images do under phash.
+    * Scale inherits sig16Pairs' bounds: candidate work is capped by
+    * DISTINCT signature values (≤ 2¹⁶), payload bytes never shuffle. */
+  def audioSigPairs(media: DataFrame, tau: Int = 3): DataFrame = {
+    val sigs = media
+      .where(col("kind") === "audio" &&
+        mediaHeader(col("payload")).getField("format") === "gaud")
+      .select(col("media_id"), audioSig16(col("payload")).as("sig"))
+    sig16Pairs(sigs, tau).orderSmall("id_a", "id_b")
+  }
 
   /** m6 — video scene-cut detection: per-frame 16-bit perceptual hash
     * ([[Phash16]] over each w·h frame slice of the GVID body), Hamming
@@ -535,6 +603,53 @@ object MediaFixture {
     rows.foreach(jrows.add)
     val df = spark.createDataFrame(jrows, schema)
     writeSingle(df, path)
+    path
+  }
+}
+
+/** Deterministic GAUD audio fixture for m7: 4 groups of 3 clips each —
+  * one base clip per group (splitmix u8 PCM) plus two lightly-noised
+  * re-takes (xor 0x06 on ~1/9 of samples: small amplitude jitter that
+  * preserves the energy envelope), so in-group pairs land at small
+  * Hamming and cross-group signatures diverge. Same independent-meta
+  * contract as the other fixtures. */
+object AudioFixture {
+
+  val DefaultPath = "/root/repo/fixtures/media/audio.parquet"
+
+  /** Reference samples for clip `id` — the spec recomputes signatures
+    * from exactly this construction. */
+  def clipBytes(id: Long, n: Int): Array[Byte] = {
+    val base = MediaFixture.body(1000L + id / 3, n)
+    if (id % 3 == 0) base
+    else base.zipWithIndex.map { case (b, p) =>
+      if (p % 9 == (id * 5) % 9) (b ^ 0x06).toByte else b
+    }
+  }
+
+  def ensure(spark: SparkSession, path: String = DefaultPath): String = synchronized {
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) return path
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("format", StringType, nullable = false),
+        StructField("sample_rate", IntegerType, nullable = false),
+        StructField("n_samples", IntegerType, nullable = false))), nullable = false)))
+    val rows: Seq[Row] = (0 until 12).map { idInt =>
+      val id = idInt.toLong
+      val rate = 8000
+      val n = 96 + (idInt / 3) * 16
+      val payload = "GAUD".getBytes("US-ASCII") ++
+        Array(((rate / 100) >> 8).toByte, (rate / 100).toByte, 0.toByte, 0.toByte) ++
+        clipBytes(id, n)
+      Row(id, "audio", payload, Row("gaud", rate, n))
+    }
+    val jrows = new java.util.ArrayList[Row](rows.size)
+    rows.foreach(jrows.add)
+    MediaFixture.writeSingle(spark.createDataFrame(jrows, schema), path)
     path
   }
 }

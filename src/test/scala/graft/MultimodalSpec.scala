@@ -113,6 +113,37 @@ class MultimodalSpec extends GraftSuite {
     assert(DeclaredMedia.queries.keySet -- DeclaredMedia.oracleSql.keySet == Set.empty)
   }
 
+  test("audio sig pairs: banded join equals a local all-pairs recompute") {
+    val audio = spark.read.parquet(graft.ops.AudioFixture.ensure(spark))
+    def sig(bytes: Array[Byte]): Int = {
+      val n = bytes.length - 8
+      val e = (0 until 16).map { w =>
+        (w * n / 16 until (w + 1) * n / 16)
+          .map(i => math.abs((bytes(8 + i) & 0xff) - 128).toLong).sum
+      }
+      val total = e.sum
+      (0 until 16).foldLeft(0) { (s, w) =>
+        if (e(w) * 16 > total) s | (1 << (15 - w)) else s
+      }
+    }
+    val sigs = audio.select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> sig(r.getAs[Array[Byte]](1))).sortBy(_._1)
+    val expected = for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = Integer.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)
+    val got = Multimodal.audioSigPairs(audio).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected.toSeq)
+    assert(got.nonEmpty, "fixture must contain at least one audio near-pair")
+    // The noised re-takes must actually collapse: every group's base and
+    // at least one re-take pair within tau.
+    assert(got.exists { case (a, b, _) => a / 3 == b / 3 },
+      "at least one in-group (re-take) pair expected")
+    val plan = Multimodal.audioSigPairs(audio).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("scene cuts: in-row frame phash diffs match a driver byte recompute") {
     val video = spark.read.parquet(graft.ops.VideoFixture.ensure(spark))
     def phash(body: Array[Byte]): Int = {
