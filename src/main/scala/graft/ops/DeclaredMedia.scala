@@ -36,7 +36,8 @@ object DeclaredMedia {
     "m4_audio_decode"  -> ((s, _) => Multimodal.decodeAudio(media(s))),
     "m5_phash_pairs"   -> ((s, _) => Multimodal.phashPairs(media(s))),
     "m6_scene_cuts"    -> ((s, _) => Multimodal.sceneCuts(video(s))),
-    "m7_audio_pairs"   -> ((s, _) => Multimodal.audioSigPairs(audio(s))))
+    "m7_audio_pairs"   -> ((s, _) => Multimodal.audioSigPairs(audio(s))),
+    "m8_video_pairs"   -> ((s, _) => Multimodal.videoSigPairs(video(s))))
 
   private val Fixture = MediaFixture.DefaultPath
   private val VidFixture = VideoFixture.DefaultPath
@@ -173,6 +174,36 @@ object DeclaredMedia {
          |SELECT x.media_id AS id_a, y.media_id AS id_b,
          |  CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
          |FROM s x JOIN s y ON x.media_id < y.media_id
+         |WHERE bit_count(xor(x.sig, y.sig)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // m8: ground truth = all-pairs Hamming over the per-video MAJORITY
+    // signature (bit b set iff 2·count(frames with bit b) > nf), frames
+    // re-hashed from the payload hex exactly as m6's oracle does, with
+    // meta-derived frame offsets. p // (1 << (15 - b)) % 2 reads frame-
+    // hash bit b without engine-specific shift operators.
+    "m8_video_pairs" ->
+      s"""WITH v AS (
+         |  SELECT media_id, substr(hex(payload), 17) AS hs,
+         |    meta.width * meta.height AS fl, meta.n_frames AS nf
+         |  FROM read_parquet('$VidFixture')
+         |  WHERE kind = 'video' AND meta.format = 'gvid'),
+         |ph AS (
+         |  SELECT media_id, nf,
+         |    list_transform(range(0, nf), f ->
+         |      list_sum(list_transform(range(0, 16), b ->
+         |        CASE WHEN len(list_filter(range(f * fl, (f + 1) * fl),
+         |          i -> CAST(concat('0x', substr(hs, CAST(2 * i + 1 AS INT), 2)) AS INT) // 16 = b)) * 16 > fl
+         |        THEN 1 << (15 - b) ELSE 0 END))) AS phs
+         |  FROM v),
+         |sg AS (
+         |  SELECT media_id, CAST(list_sum(list_transform(range(0, 16), b ->
+         |      CASE WHEN 2 * len(list_filter(phs, p -> p // (1 << (15 - b)) % 2 = 1)) > nf
+         |           THEN 1 << (15 - b) ELSE 0 END)) AS BIGINT) AS sig
+         |  FROM ph)
+         |SELECT x.media_id AS id_a, y.media_id AS id_b,
+         |  CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+         |FROM sg x JOIN sg y ON x.media_id < y.media_id
          |WHERE bit_count(xor(x.sig, y.sig)) <= 3
          |ORDER BY id_a, id_b""".stripMargin)
 }

@@ -443,9 +443,14 @@ object Multimodal {
     * ints reach the presentation sort. Row-sized videos are the
     * fixture's shape; frame-aligned payload chunking with one overlap
     * frame per chunk boundary is the same plan at long-video scale. */
-  def sceneCuts(video: DataFrame, tauCut: Int = 4): DataFrame = {
+  /** Per-video frame-phash arrays (media_id, phs): the shared in-row
+    * stage under m6 (consecutive diffs) and m8 (majority signature) —
+    * frame geometry from the GVID header bytes, one [[Phash16]] per
+    * frame slice inside a single `transform`, payloads never leave the
+    * scan. */
+  private def framePhashes(video: DataFrame): DataFrame = {
     val hd = mediaHeader(col("payload"))
-    val perFrame = video
+    video
       .where(col("kind") === "video" && hd.getField("format") === "gvid")
       .select(col("media_id"),
         hd.getField("width").cast("int").as("w"),
@@ -457,7 +462,10 @@ object Multimodal {
         transform(sequence(lit(0), col("nf") - 1), f =>
           phash16(col("payload").substr(lit(9) + f * col("flen"), col("flen"))))
           .as("phs"))
-    perFrame
+  }
+
+  def sceneCuts(video: DataFrame, tauCut: Int = 4): DataFrame = {
+    framePhashes(video)
       .select(col("media_id"),
         posexplode(when(size(col("phs")) >= 2, expr(
           "transform(sequence(1, size(phs) - 1), i -> CAST(bit_count(phs[i] ^ phs[i - 1]) AS BIGINT))"))
@@ -468,6 +476,26 @@ object Multimodal {
         col("hamming"),
         when(col("hamming") >= tauCut, 1).otherwise(0).as("is_cut"))
       .orderSmall("media_id", "frame_idx")
+  }
+
+  /** m8 — video near-duplicate pairs: per-video 16-bit MAJORITY
+    * signature over the frame phashes (bit b set iff more than half the
+    * frames set bit b — the integer rule 2·count > nf, robust to a few
+    * divergent frames the way the phash bit rule is robust to a few
+    * divergent bytes), then the shared [[sig16Pairs]] banded machinery.
+    * A re-encoded / lightly-noised video keeps most per-frame hashes,
+    * so the majority vote collapses re-takes while distinct footage
+    * diverges — image (m5) / audio (m7) / video (m8) near-dup all
+    * through ONE bounded pair engine. In-row end to end until the
+    * 2-byte signature: frame hashing, the vote, everything before
+    * sig16Pairs happens inside the scan stage. */
+  def videoSigPairs(video: DataFrame, tau: Int = 3): DataFrame = {
+    val sigs = framePhashes(video)
+      .select(col("media_id"), expr(
+        """aggregate(sequence(0, 15), 0, (acc, b) ->
+          |  acc + IF(2 * size(filter(phs, p -> shiftright(p, 15 - b) % 2 = 1)) > size(phs),
+          |           shiftleft(1, 15 - b), 0))""".stripMargin).as("sig"))
+    sig16Pairs(sigs, tau).orderSmall("id_a", "id_b")
   }
 }
 
@@ -658,25 +686,36 @@ object AudioFixture {
   * base frames of splitmix bytes, in-scene frames = base with a sparse
   * xor-0x18 perturbation that moves ~1/11 of bytes across a histogram
   * bin, hard cuts = fresh random base), written through ordinary Spark
-  * parquet like [[MediaFixture]]. The meta struct (format, dims, frame
-  * count) is written INDEPENDENTLY of the payload header so m6's oracle
-  * cross-validates the byte-level GVID walk against it. */
+  * parquet like [[MediaFixture]]. Videos 5–9 are RE-TAKES of 0–4 (the
+  * identical scene construction plus an xor-0x06 sparse noise layer
+  * that preserves each frame's histogram envelope) so m8 has in-group
+  * near-dup structure, the m7 audio-fixture pattern. The meta struct
+  * (format, dims, frame count) is written INDEPENDENTLY of the payload
+  * header so m6's oracle cross-validates the byte-level GVID walk. */
 object VideoFixture {
 
   val DefaultPath = "/root/repo/fixtures/media/video.parquet"
 
-  /** Frames-per-scene period for video `id` (deterministic, 3..5). */
-  def scenePeriod(id: Long): Int = 3 + (id % 3).toInt
+  /** Frames-per-scene period for video `id` (identity-based so a
+    * re-take shares its source's scene boundaries; 3..5). */
+  def scenePeriod(id: Long): Int = 3 + (id % 5 % 3).toInt
 
-  /** Reference frame bytes for (video, frame) — the spec recomputes
-    * cuts from exactly this construction. */
+  /** Reference frame bytes for (video, frame) — the specs recompute
+    * cuts and signatures from exactly this construction. */
   def frameBytes(id: Long, f: Int, w: Int, h: Int): Array[Byte] = {
-    val scene = f / scenePeriod(id)
-    val base = MediaFixture.body(id * 100L + scene, w * h)
-    val phase = f % scenePeriod(id)
-    if (phase == 0) base
-    else base.zipWithIndex.map { case (b, p) =>
-      if (p % 11 == (f * 7) % 11) (b ^ 0x18).toByte else b
+    val v = id % 5 // source identity: 5..9 re-take 0..4
+    val per = scenePeriod(v)
+    val scene = f / per
+    val base = MediaFixture.body(v * 100L + scene, w * h)
+    val phase = f % per
+    val framed =
+      if (phase == 0) base
+      else base.zipWithIndex.map { case (b, p) =>
+        if (p % 11 == (f * 7) % 11) (b ^ 0x18).toByte else b
+      }
+    if (id < 5) framed
+    else framed.zipWithIndex.map { case (b, p) =>
+      if (p % 13 == (id * 3) % 13) (b ^ 0x06).toByte else b
     }
   }
 
@@ -694,9 +733,10 @@ object VideoFixture {
         StructField("n_frames", IntegerType, nullable = false))), nullable = false)))
     val rows: Seq[Row] = (0 until 10).map { idInt =>
       val id = idInt.toLong
-      val w = 8 + idInt % 5
-      val h = 6 + idInt % 4
-      val nf = 8 + idInt % 6
+      val v = idInt % 5
+      val w = 8 + v
+      val h = 6 + v % 4
+      val nf = 8 + v
       val payload = "GVID".getBytes("US-ASCII") ++
         Array((w >> 8).toByte, w.toByte, (h >> 8).toByte, h.toByte) ++
         (0 until nf).flatMap(f => frameBytes(id, f, w, h))

@@ -144,6 +144,46 @@ class MultimodalSpec extends GraftSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("video sig pairs: majority vote over frame hashes, banded == all-pairs") {
+    val video = spark.read.parquet(graft.ops.VideoFixture.ensure(spark))
+    def framePhashes(bytes: Array[Byte]): Seq[Int] = {
+      val w = ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
+      val h = ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
+      val fl = w * h
+      val nf = (bytes.length - 8) / fl
+      (0 until nf).map { f =>
+        val body = bytes.slice(8 + f * fl, 8 + (f + 1) * fl)
+        val counts = new Array[Int](16)
+        body.foreach(b => counts((b & 0xff) >>> 4) += 1)
+        (0 until 16).foldLeft(0) { (s, b) =>
+          if (counts(b) * 16 > body.length) s | (1 << (15 - b)) else s
+        }
+      }
+    }
+    def majority(phs: Seq[Int]): Int =
+      (0 until 16).foldLeft(0) { (s, b) =>
+        if (2 * phs.count(p => ((p >> (15 - b)) & 1) == 1) > phs.length)
+          s | (1 << (15 - b))
+        else s
+      }
+    val sigs = video.select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> majority(framePhashes(r.getAs[Array[Byte]](1))))
+      .sortBy(_._1)
+    val expected = for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = Integer.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)
+    val got = Multimodal.videoSigPairs(video).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected.toSeq)
+    assert(got.nonEmpty, "fixture must contain at least one video near-pair")
+    // Re-takes (id, id+5 share source identity id%5) must collapse.
+    assert(got.exists { case (a, b, _) => a % 5 == b % 5 },
+      "at least one re-take pair expected")
+    val plan = Multimodal.videoSigPairs(video).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("scene cuts: in-row frame phash diffs match a driver byte recompute") {
     val video = spark.read.parquet(graft.ops.VideoFixture.ensure(spark))
     def phash(body: Array[Byte]): Int = {
