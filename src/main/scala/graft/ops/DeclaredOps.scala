@@ -162,7 +162,12 @@ object DeclaredOps {
     // augmentation (the synthetic corpus is digit-free; both engines
     // build the identical string, so counts AND every redacted char are
     // hash-checked).
-    "t19_pii_scrub" -> ((s, dir) => TextAnalysis.piiScrub(docs(s, dir))))
+    "t19_pii_scrub" -> ((s, dir) => TextAnalysis.piiScrub(docs(s, dir))),
+    // Metadata-filtered retrieval: neighbors restricted to the query's
+    // label bucket, filter-during-search (the join condition), never a
+    // post-filter that underfills k.
+    "e16_filtered_topk" -> ((s, dir) =>
+      Similarity.filteredTopK(emb(s, dir), col("vec_id") < 5)))
 
   // ---- DuckDB oracle SQL ----
 
@@ -417,6 +422,19 @@ object DeclaredOps {
          |  SELECT q.query_id, c.vec_id AS neighbor_id, $DuckCos AS cos_x10k,
          |    row_number() OVER (PARTITION BY q.query_id ORDER BY $DuckCos DESC, c.vec_id) AS rn
          |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+
+    // Filtered retrieval: e1's CTEs with the label equi-restriction in
+    // the join predicate — same fold order, same rounding, same rank
+    // tie-break; only the candidate set narrows.
+    "e16_filtered_topk" ->
+      s"""WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label AS qlabel, CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings WHERE vec_id < 5)
+         |SELECT query_id, neighbor_id, cos_x10k FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id, $DuckCos AS cos_x10k,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY $DuckCos DESC, c.vec_id) AS rn
+         |  FROM c JOIN q ON c.label = q.qlabel WHERE c.vec_id <> q.query_id)
          |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
 
     // MMR unrolled: shortlist by relevance rank, pairwise shortlist

@@ -64,6 +64,29 @@ object Similarity {
     rankTopKScaled(scored, "vec_id", k, "cos_x10k")
   }
 
+  /** e16 — metadata-FILTERED top-k: each query's neighbors restricted to
+    * corpus vectors sharing the query's `label` (the production
+    * "filtered search" shape — retrieval within a language / source /
+    * license bucket). Filter-DURING-search, not post-filter: the label
+    * restriction is the join condition, so candidates drop from N·Q to
+    * N·Q/labels before any scoring, and top-k never underfills — the
+    * classic post-filter-an-ANN-shortlist pitfall (k results requested,
+    * k·selectivity returned) is structurally impossible here.
+    *
+    * Scale: same contract as [[cosineTopK]] with the cross join UPGRADED
+    * to a broadcast equi-join on label — one corpus scan, bounded top-k
+    * aggregate, O(queries·k) past the shuffle. A label too coarse to
+    * help simply degrades to e1's candidate count, never above it. */
+  def filteredTopK(emb: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+    val q = emb.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val scored = emb.join(broadcast(q), col("label") === col("qlabel"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("embedding"), col("qv")) * 10000, 0))
+    rankTopKScaled(scored, "vec_id", k, "cos_x10k")
+  }
+
   /** MMR (maximal-marginal-relevance) diversified top-k: greedy
     * selection maximizing λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s)
     * — retrieval that refuses to return k near-copies of the same

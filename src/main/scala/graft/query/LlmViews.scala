@@ -88,6 +88,7 @@ object LlmViews {
       "llm_ivf_binary_rerank" -> Similarity.ivfBinaryRerankTopK(
         emb, coarseCb, col("vec_id") < 5),
       "llm_mmr_topk" -> Similarity.mmrTopK(emb, col("vec_id") < 5),
+      "llm_filtered_topk" -> Similarity.filteredTopK(emb, col("vec_id") < 5),
       "llm_semantic_clusters" -> Similarity.semanticClusters(emb),
       "llm_containment" -> Dedup.containment(docs, col("doc_id") % 5 === 0),
       "llm_backoff_lm" -> TextAnalysis.backoffLm(docs, col("doc_id") % 4 === 0,

@@ -161,6 +161,44 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("filtered top-k: every neighbor shares the query's label, never underfilled") {
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.filteredTopK(emb, col("vec_id") < 5, k = 10).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1))
+      assert(labels(r.getLong(0)) == labels(r.getLong(1)),
+        s"neighbor ${r.getLong(1)} outside query ${r.getLong(0)}'s label bucket")
+    }
+    // Filter-during-search: each query returns min(k, bucket - 1) rows —
+    // a post-filtered shortlist would underfill when the bucket is big
+    // enough but the global top-k crosses labels.
+    val bucketSizes = labels.values.groupBy(identity).view.mapValues(_.size).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.length == math.min(10, bucketSizes(labels(qid)) - 1),
+        s"query $qid returned ${rs.length} of bucket ${bucketSizes(labels(qid))}")
+    }
+    // Equals brute force restricted to the label bucket: same set AND
+    // same scores as cosineTopK would give within the bucket.
+    val brute = Similarity.cosineTopK(emb, col("vec_id") < 5, k = Int.MaxValue)
+      .collect()
+      .filter(r => labels(r.getLong(0)) == labels(r.getLong(1)))
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(r => (-r.getLong(2), r.getLong(1))).take(10)
+        .map(r => (r.getLong(1), r.getLong(2))).toSeq).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val got = rs.sortBy(r => (-r.getLong(2), r.getLong(1)))
+        .map(r => (r.getLong(1), r.getLong(2))).toSeq
+      assert(got == brute(qid), s"query $qid filtered != bucket-restricted brute")
+    }
+    // The restriction is the JOIN condition (one equi-join, no
+    // post-filter of a cross join).
+    val plan = Similarity.filteredTopK(emb, col("vec_id") < 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "label restriction must be the equi-join key")
+  }
+
   test("ivf cell pruning returns a subset of brute-force candidates' quality") {
     val brute = Similarity.cosineTopK(emb, col("vec_id") < 5, k = 10).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
