@@ -317,6 +317,22 @@ object ScaleCheck {
         println(s"E15IVFBINARY $dir ${rows.mkString(" ")}")
       }
 
+      // e16: filtered-search candidate narrowing — the label equi-join
+      // scores Σ_q (|bucket(label_q)| − 1) candidates where e1's cross
+      // join scores Q·(N−1); the ratio is the filter's selectivity and
+      // holds at ANY corpus size (per-query work is bucket-sized).
+      {
+        val qLabels = emb.where(col("vec_id") < 10)
+          .select(col("label")).collect().map(_.getInt(0))
+        val sizes = emb.groupBy("label").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val n = emb.count()
+        val filtered = qLabels.map(l => sizes(l) - 1).sum
+        val unfiltered = qLabels.length * (n - 1)
+        println(s"E16FILTERED $dir candidates=$filtered " +
+          s"unfiltered=$unfiltered labels=${sizes.size}")
+      }
+
       // t15: novelty's inverted index — the linear-at-scale internals.
       // Postings grow with corpus words; fingerprints with distinct
       // windows; NO stage forms pairs, so the only skew exposure is the

@@ -167,7 +167,10 @@ object DeclaredOps {
     // label bucket, filter-during-search (the join condition), never a
     // post-filter that underfills k.
     "e16_filtered_topk" -> ((s, dir) =>
-      Similarity.filteredTopK(emb(s, dir), col("vec_id") < 5)))
+      Similarity.filteredTopK(emb(s, dir), col("vec_id") < 5)),
+    // Deterministic per-epoch shuffle order (head sample per epoch via
+    // the bounded top-k aggregate — no global sort anywhere).
+    "s9_epoch_shuffle" -> ((s, dir) => Sampling.epochShuffle(docs(s, dir))))
 
   // ---- DuckDB oracle SQL ----
 
@@ -436,6 +439,20 @@ object DeclaredOps {
          |    row_number() OVER (PARTITION BY q.query_id ORDER BY $DuckCos DESC, c.vec_id) AS rn
          |  FROM c JOIN q ON c.label = q.qlabel WHERE c.vec_id <> q.query_id)
          |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+
+    // Epoch shuffle: the identical 48-bit md5 key arithmetic, ranked by
+    // a window (the oracle's corpus is small; the engine's bounded
+    // aggregate has the same (skey asc, doc_id asc) order contract).
+    "s9_epoch_shuffle" ->
+      """WITH keyed AS (
+        |  SELECT e.epoch, d.doc_id,
+        |    CAST(concat('0x', substr(md5(concat(e.epoch, ':', d.doc_id)), 1, 12)) AS BIGINT) AS skey
+        |  FROM documents d, (SELECT unnest(range(0, 2)) AS epoch) e)
+        |SELECT epoch, CAST(rn AS INTEGER) AS rnk, doc_id, skey FROM (
+        |  SELECT epoch, doc_id, skey,
+        |    row_number() OVER (PARTITION BY epoch ORDER BY skey, doc_id) AS rn
+        |  FROM keyed)
+        |WHERE rn <= 20 ORDER BY epoch, rnk""".stripMargin,
 
     // MMR unrolled: shortlist by relevance rank, pairwise shortlist
     // sims, then three greedy steps — each an anti-join against the

@@ -294,6 +294,40 @@ object Sampling {
       .orderAgg("split")
   }
 
+  /** s9 — deterministic per-EPOCH shuffle order: each epoch e assigns
+    * every document the 48-bit shuffle key md5(e ':' id) — a fresh
+    * pseudo-random total order per epoch, reproducible on any engine,
+    * any cluster, any retry (the property `rand()` ordering lacks), so
+    * two training runs read identical epoch streams and a resumed run
+    * re-enters mid-epoch at the same position.
+    *
+    * The declared row returns each epoch's FIRST `k` documents under
+    * its permutation via the bounded top-k aggregate — a head sample
+    * that pins the permutation arithmetic without materializing the
+    * order. The full-epoch form at 100 TB is the same key fed to a
+    * range-partition + sortWithinPartitions (total order across output
+    * files with no single-point sort); the key computation this row
+    * hash-checks is the whole algorithm — ordering by it is Spark's
+    * bread and butter.
+    *
+    * 12 hex chars (48 bits), not 15: the top-k aggregate ranks through
+    * a Double score, and 48-bit integers are EXACTLY representable
+    * (< 2⁵³) where 60-bit keys would collide after mantissa truncation.
+    * Ties (≈2⁻⁴⁸ per pair) break by doc_id in both engines. */
+  def epochShuffle(docs: DataFrame, epochs: Int = 2, k: Int = 20): DataFrame = {
+    val keyed = docs
+      .select(col("doc_id"), explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("skey", expr(
+        "CAST(conv(substring(md5(concat(epoch, ':', doc_id)), 1, 12), 16, 10) AS BIGINT)"))
+    keyed.groupBy("epoch")
+      .agg(graft.functions.TopKByScoreAgg.column(k,
+        -col("skey").cast("double"), col("doc_id")).as("top"))
+      .select(col("epoch"), posexplode(col("top")).as(Seq("i", "nb")))
+      .select(col("epoch"), (col("i") + 1).cast("int").as("rnk"),
+        col("nb._2").as("doc_id"), (-col("nb._1")).cast("long").as("skey"))
+      .orderAgg("epoch", "rnk")
+  }
+
   /** Build-once near-dup cluster-label artifact for `dir`'s documents
     * corpus: LSH + exact verify + connected components run ONCE per
     * (dir, data signature) and materialize to parquet; every subsequent

@@ -89,6 +89,8 @@ object LlmViews {
         emb, coarseCb, col("vec_id") < 5),
       "llm_mmr_topk" -> Similarity.mmrTopK(emb, col("vec_id") < 5),
       "llm_filtered_topk" -> Similarity.filteredTopK(emb, col("vec_id") < 5),
+      // Bounded per-epoch head sample (canonical order kept).
+      "llm_epoch_shuffle" -> graft.ops.Sampling.epochShuffle(docs),
       "llm_semantic_clusters" -> Similarity.semanticClusters(emb),
       "llm_containment" -> Dedup.containment(docs, col("doc_id") % 5 === 0),
       "llm_backoff_lm" -> TextAnalysis.backoffLm(docs, col("doc_id") % 4 === 0,

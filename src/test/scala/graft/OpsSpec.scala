@@ -651,6 +651,35 @@ class OpsSpec extends GraftSuite {
     assert(out((3L, 1)) == ("z", 3L, 2L) && !out.contains((3L, 2)))
   }
 
+  test("epoch shuffle: head sample matches a driver md5 recompute, epochs decorrelate") {
+    def key(epoch: Int, id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$epoch:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map(b => f"$b%02x").mkString, 16)
+    }
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val expected = (0 until 2).flatMap { e =>
+      ids.map(id => (id, key(e, id))).sortBy { case (id, k) => (k, id) }
+        .take(20).zipWithIndex
+        .map { case ((id, k), i) => (e, i + 1, id, k) }
+    }
+    val got = graft.ops.Sampling.epochShuffle(docs).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+    // Fresh permutation per epoch: the two head samples must differ.
+    val heads = got.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(heads(0) != heads(1), "epoch orders must decorrelate")
+    // Deterministic across recomputation (the reproducible-resume
+    // property rand() ordering lacks).
+    val again = graft.ops.Sampling.epochShuffle(docs).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == got.toSeq)
+    // No global sort: ranking is the bounded aggregate, not a Window.
+    val plan = graft.ops.Sampling.epochShuffle(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "epoch head sample must not rank via a window")
+  }
+
   test("stratified sample rebalances every group toward the smallest") {
     val sizes = docs.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
