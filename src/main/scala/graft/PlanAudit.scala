@@ -402,6 +402,18 @@ object PlanAudit {
       "scan reads only doc_id and text" ->
         (p => !p.contains("n_chars") && !p.contains("source")))
 
+    audit("e16_filtered_topk", qs("e16_filtered_topk")(spark, sfDir),
+      "label restriction is the broadcast equi-join, not a filtered cross join" ->
+        (p => p.contains("BroadcastHashJoin") &&
+          !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      "ranking is the bounded top-k aggregate, not a window rank" ->
+        (p => p.contains("ObjectHashAggregate") && !p.contains("Window")))
+
+    audit("s9_epoch_shuffle", qs("s9_epoch_shuffle")(spark, sfDir),
+      "per-epoch heads via the bounded aggregate: no Window, no global sort" ->
+        (p => p.contains("ObjectHashAggregate") && !p.contains("Window")),
+      "map-only keying: no join anywhere" -> (p => !p.contains("Join")))
+
     audit("t19_pii_scrub", qs("t19_pii_scrub")(spark, sfDir),
       "PII scrub is map-only: regexp chain in-scan, no join anywhere" ->
         (p => !p.contains("Join")),
