@@ -170,7 +170,11 @@ object DeclaredOps {
       Similarity.filteredTopK(emb(s, dir), col("vec_id") < 5)),
     // Deterministic per-epoch shuffle order (head sample per epoch via
     // the bounded top-k aggregate — no global sort anywhere).
-    "s9_epoch_shuffle" -> ((s, dir) => Sampling.epochShuffle(docs(s, dir))))
+    "s9_epoch_shuffle" -> ((s, dir) => Sampling.epochShuffle(docs(s, dir))),
+    // Tokenizer fertility: per-lang chars-per-token under the TRAINED
+    // tokenizer (t18's apply feeding a languages-sized aggregate).
+    "t20_fertility" -> ((s, dir) =>
+      TextAnalysis.bpeFertility(docs(s, dir), bpeMerges(s, dir))))
 
   // ---- DuckDB oracle SQL ----
 
@@ -178,7 +182,11 @@ object DeclaredOps {
     * stages, each: pick the (count desc, pair asc) argmax adjacent
     * symbol pair over the frequency-weighted vocab, then fold the merge
     * through every word's symbol list. */
-  private def bpeTokensOracle(merges: Int): String = {
+  /** Shared WITH-body for the unrolled-BPE oracles (t18/t20): trains the
+    * merge list as `merges` argmax+fold CTE stages, segments the vocab,
+    * and aggregates per-doc token counts into `agg(doc_id, bpe_tokens)`.
+    * The caller appends its own final SELECT. */
+  private def bpeTokensCte(merges: Int): String = {
     val stages = (1 to merges).map { k =>
       s"""p$k AS (SELECT s[CAST(i AS INT)] AS a, s[CAST(i + 1 AS INT)] AS b, sum(freq) AS c
          |  FROM v${k - 1}, UNNEST(range(1, len(s))) AS u(i)
@@ -199,11 +207,27 @@ object DeclaredOps {
        |seglen AS (SELECT w, CAST(len(s) AS BIGINT) AS nt FROM v$merges),
        |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
        |agg AS (SELECT doc_id, CAST(sum(nt) AS BIGINT) AS bpe_tokens
-       |        FROM dw JOIN seglen USING (w) GROUP BY doc_id)
+       |        FROM dw JOIN seglen USING (w) GROUP BY doc_id)""".stripMargin
+  }
+
+  private def bpeTokensOracle(merges: Int): String =
+    s"""${bpeTokensCte(merges)}
        |SELECT d.doc_id, coalesce(a.bpe_tokens, CAST(0 AS BIGINT)) AS bpe_tokens
        |FROM documents d LEFT JOIN agg a USING (doc_id)
        |ORDER BY doc_id""".stripMargin
-  }
+
+  /** t20: the same trained-tokenizer per-doc counts rolled up to the
+    * per-language fertility report (×1000 integer floor divisions). */
+  private def bpeFertilityOracle(merges: Int): String =
+    s"""${bpeTokensCte(merges)}
+       |SELECT d.lang, count(*) AS n_docs,
+       |  CAST(sum(d.n_chars) AS BIGINT) AS chars,
+       |  CAST(sum(coalesce(a.bpe_tokens, 0)) AS BIGINT) AS bpe_tokens,
+       |  CASE WHEN sum(coalesce(a.bpe_tokens, 0)) = 0 THEN NULL
+       |       ELSE CAST(sum(d.n_chars) * 1000 // sum(coalesce(a.bpe_tokens, 0)) AS BIGINT)
+       |  END AS chars_per_token_x1000
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
   private val ShingleCte =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1148,6 +1172,7 @@ object DeclaredOps {
     // Training is deterministic, so both engines land on identical
     // merges and identical per-doc counts.
     "t18_bpe_tokens" -> bpeTokensOracle(10),
+    "t20_fertility" -> bpeFertilityOracle(10),
 
     // Novelty / memorization risk: permille of a doc's 8-word windows
     // repeated in >= 1 other document. Same 60-bit fingerprints as d12.

@@ -701,6 +701,29 @@ object TextAnalysis {
     if (ordered) out.orderSmall("doc_id") else out
   }
 
+  /** t20 — tokenizer FERTILITY report: per-language chars-per-token under
+    * the t16-trained tokenizer (the standard tokenizer-eval metric —
+    * which languages the vocabulary serves poorly, where compression
+    * budgets go). ×1000 integer floor division so the hashed ratio is
+    * engine-exact; sum(n_chars) comes from the table's own column (the
+    * independent truth t3 cross-checks).
+    *
+    * Scale: the t18 apply (map-only inlined-merges expression) feeding a
+    * LANGUAGES-sized aggregate — one corpus pass, a few output rows. */
+  def bpeFertility(docs: DataFrame, merges: Seq[(String, String)],
+      ordered: Boolean = true): DataFrame = {
+    val out = docs
+      .select(col("lang"), col("n_chars"),
+        graft.functions.Expressions.bpeTokenCount(col("text"), merges).as("bt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("chars"),
+        sum("bt").as("bpe_tokens"))
+      .withColumn("chars_per_token_x1000",
+        expr("chars * 1000 DIV nullif(bpe_tokens, 0)"))
+    if (ordered) out.orderAgg("lang") else out
+  }
+
   def bpeSegment(word: String, merges: Seq[(String, String)]): Vector[String] = {
     var syms = word.map(_.toString).toVector
     merges.foreach { case (a, b) =>

@@ -35,6 +35,7 @@ object LlmViews {
     // per registration (which is itself cached per data signature).
     val pqCbs = Similarity.labelPqCodebooks(emb)
     val coarseCb = Similarity.collectCodebook(Similarity.centroidFrame(emb))
+    val bpeMerges = TextAnalysis.trainBpe(docs)
     Map(
       "llm_exact_dedup" -> Dedup.exact(docs, ordered = false),
       "llm_near_dup_pairs" -> Dedup.minhashLsh(docs),
@@ -105,13 +106,27 @@ object LlmViews {
       // Distributed BPE apply over registration-time trained merges (a
       // build-once artifact like the codebooks; the inlined-expression
       // plan keeps user predicates pushing into the scan).
-      "llm_bpe_tokens" -> TextAnalysis.bpeTokenCounts(docs,
-        TextAnalysis.trainBpe(docs), ordered = false),
+      "llm_bpe_tokens" -> TextAnalysis.bpeTokenCounts(docs, bpeMerges,
+        ordered = false),
+      "llm_fertility" -> TextAnalysis.bpeFertility(docs, bpeMerges,
+        ordered = false),
       // Structured-PII detect/redact (map-only regexp chain).
       "llm_pii_scrub" -> TextAnalysis.piiScrub(docs, ordered = false),
       "llm_incremental_dedup" -> Dedup.dedupAgainstIndex(
         docs.where(col("doc_id") % 3 === 0),
-        Dedup.digestIndex(docs.where(col("doc_id") % 3 =!= 0 || col("doc_id") < 100))))
+        Dedup.digestIndex(docs.where(col("doc_id") % 3 =!= 0 || col("doc_id") < 100))),
+      // Multimodal operators on the committed media/video/audio fixtures
+      // (bounded pair/cut lists — canonical order kept): the near-dup
+      // and scene-cut surfaces reachable from plain SQL like every text
+      // operator.
+      "llm_phash_pairs" -> graft.ops.Multimodal.phashPairs(
+        spark.read.parquet(graft.ops.MediaFixture.ensure(spark))),
+      "llm_scene_cuts" -> graft.ops.Multimodal.sceneCuts(
+        spark.read.parquet(graft.ops.VideoFixture.ensure(spark))),
+      "llm_audio_pairs" -> graft.ops.Multimodal.audioSigPairs(
+        spark.read.parquet(graft.ops.AudioFixture.ensure(spark))),
+      "llm_video_pairs" -> graft.ops.Multimodal.videoSigPairs(
+        spark.read.parquet(graft.ops.VideoFixture.ensure(spark))))
   }
 
   // One registration per session PER CURRENT (dir, data signature): view
@@ -173,10 +188,18 @@ object DeclaredLlmSql {
       """SELECT query_id, rank, neighbor_id, mmr_score FROM llm_mmr_topk
         |WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin)
 
+  /** A multimodal view through the SQL entry path: user-level predicate
+    * (cuts only) composed over the scene-cut operator plan. */
+  def h8(spark: SparkSession, dir: String): DataFrame =
+    service(spark, dir).execute(
+      """SELECT media_id, frame_idx, hamming FROM llm_scene_cuts
+        |WHERE is_cut = 1 ORDER BY media_id, frame_idx""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h5_llm_sql_dedup"   -> (h5 _),
     "h6_llm_sql_quality" -> (h6 _),
-    "h7_llm_sql_mmr"     -> (h7 _))
+    "h7_llm_sql_mmr"     -> (h7 _),
+    "h8_llm_sql_media"   -> (h8 _))
 
   // e12's oracle with the user-level rank predicate composed on top —
   // the SQL-path row must hash against the same ground truth as the
@@ -185,10 +208,18 @@ object DeclaredLlmSql {
     graft.ops.DeclaredOps.oracleSql("e12_mmr_topk")
       .replace("ORDER BY query_id, rank", "")
 
+  // m6's oracle with the user-level cut predicate composed on top.
+  private val sceneCutOracleInner =
+    graft.ops.DeclaredMedia.oracleSql("m6_scene_cuts")
+      .replace("ORDER BY media_id, frame_idx", "")
+
   val oracleSql: Map[String, String] = Map(
     "h7_llm_sql_mmr" ->
       s"""SELECT query_id, rank, neighbor_id, mmr_score FROM ($mmrOracleInner)
          |WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin,
+    "h8_llm_sql_media" ->
+      s"""SELECT media_id, frame_idx, hamming FROM ($sceneCutOracleInner)
+         |WHERE is_cut = 1 ORDER BY media_id, frame_idx""".stripMargin,
     // Exact all-pairs ground truth (the d2 oracle shape) at the composed
     // threshold: view-level j >= 0.5, user-level x10k >= 6000.
     "h5_llm_sql_dedup" ->

@@ -1260,6 +1260,35 @@ class OpsSpec extends GraftSuite {
       "bpe apply must not join or shuffle the corpus")
   }
 
+  test("bpe fertility: per-lang rollup equals a driver recompute over t18 counts") {
+    val merges = TextAnalysis.trainBpe(docs)
+    val perDoc = TextAnalysis.bpeTokenCounts(docs, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val meta = docs.select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = meta.groupBy(_._2).map { case (lang, rows) =>
+      val chars = rows.map(_._3).sum
+      val toks = rows.map(t => perDoc(t._1)).sum
+      lang -> ((rows.length.toLong, chars, toks,
+        if (toks == 0) None else Some(chars * 1000 / toks)))
+    }
+    val got = TextAnalysis.bpeFertility(docs, merges).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (nDocs, chars, toks, cpt) = expected(r.getString(0))
+      assert(r.getLong(1) == nDocs && r.getLong(2) == chars && r.getLong(3) == toks)
+      assert((if (r.isNullAt(4)) None else Some(r.getLong(4))) == cpt)
+      // A BPE that merged anything compresses below 1 token/char.
+      assert(r.isNullAt(4) || r.getLong(4) > 1000,
+        s"lang ${r.getString(0)}: fertility must exceed 1 char/token")
+    }
+    // Same 100 TB contract as t18: one map-only corpus pass into a
+    // languages-sized aggregate.
+    val plan = TextAnalysis.bpeFertility(docs, merges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "fertility must not join")
+  }
+
   test("adaptive stats paths produce identical rows (t14 pmi, t17 backoff LM)") {
     // Both regimes of the size-adaptive n-gram-stats strategy (VERDICT
     // r7 #1 / r8 #1) must compute the same integers: the broadcast path

@@ -31,7 +31,9 @@ NOT_BASELINES = {"d2_minhash_lsh", "d5_dedup_clusters", "d6_dedup_apply",
                  # truth; the Spark side trains once as a memoized build
                  # artifact. Timing the naive unrolled trainer would
                  # flatter Spark by ~20 s.
-                 "t18_bpe_tokens"}
+                 "t18_bpe_tokens",
+                 # t20 wraps the same unrolled trainer.
+                 "t20_fertility"}
 
 
 def connect(sf_dir):
