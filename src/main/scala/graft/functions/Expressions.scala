@@ -928,7 +928,29 @@ object Expressions {
       copy(child = newChild)
   }
 
+  /** Membership probe against a serialized Spark `BloomFilter`
+    * (`DataFrameStatFunctions.bloomFilter` build) inlined into the plan —
+    * the guard expression of the bloom-prefiltered anti-join (d17). NO
+    * false negatives by the bloom contract, so filtering on `!this` is
+    * exact for definite misses; `this` rows still need the verify join.
+    * The filter bytes ship with the task closure like any literal
+    * (executor-local probe, no per-row driver traffic). */
+  case class BloomMightContain(filterBytes: Array[Byte], child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    @transient private lazy val bf =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(filterBytes))
+    override def nullSafeEval(input: Any): Any =
+      bf.mightContainString(input.toString)
+    override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftshim.PlanExec.expression
+
+  def bloomMightContain(filterBytes: Array[Byte], c: Column): Column =
+    column(BloomMightContain(filterBytes, expression(c)))
 
   def minhashSig(c: Column, numHashes: Int): Column = column(MinHashSig(expression(c), numHashes))
   def simhash60(c: Column): Column = column(SimHash60(expression(c)))

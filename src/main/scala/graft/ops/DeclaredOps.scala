@@ -174,7 +174,16 @@ object DeclaredOps {
     // Tokenizer fertility: per-lang chars-per-token under the TRAINED
     // tokenizer (t18's apply feeding a languages-sized aggregate).
     "t20_fertility" -> ((s, dir) =>
-      TextAnalysis.bpeFertility(docs(s, dir), bpeMerges(s, dir))))
+      TextAnalysis.bpeFertility(docs(s, dir), bpeMerges(s, dir))),
+    // Bloom-guarded incremental dedup: d13's semantics on a disjoint
+    // crawl slice, via the definite-miss/maybe-hit split plan.
+    "d17_bloom_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.bloomDedupAgainstIndex(d.where(col("doc_id") % 3 === 1),
+          Dedup.digestIndex(d.where(col("doc_id") % 3 =!= 1 || col("doc_id") < 50)))
+        .select(col("doc_id"), col("n_chars"))
+        .orderAgg("doc_id")
+    }))
 
   // ---- DuckDB oracle SQL ----
 
@@ -1231,6 +1240,16 @@ object DeclaredOps {
         |WHERE doc_id % 3 = 0 AND NOT EXISTS (
         |  SELECT 1 FROM documents h
         |  WHERE (h.doc_id % 3 <> 0 OR h.doc_id < 100) AND h.text = d.text)
+        |ORDER BY doc_id""".stripMargin,
+
+    // d17: the bloom guard prunes only rows the anti-join would keep
+    // anyway, so ground truth is the SAME anti-membership semantics on
+    // the d17 slice — the oracle needs no bloom replica.
+    "d17_bloom_dedup" ->
+      """SELECT doc_id, n_chars FROM documents d
+        |WHERE doc_id % 3 = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM documents h
+        |  WHERE (h.doc_id % 3 <> 1 OR h.doc_id < 50) AND h.text = d.text)
         |ORDER BY doc_id""".stripMargin,
 
     // e11: the e6 cell-restriction CTEs composed with the e7 code/LUT

@@ -51,6 +51,31 @@ object Dedup {
       .join(index, Seq("h"), "left_anti")
       .drop("h")
 
+  /** d17 — BLOOM-guarded incremental dedup: same semantics as
+    * [[dedupAgainstIndex]], the plan a 100 TB crawl actually runs. A
+    * Bloom filter over the index digests (one bounded `stat.bloomFilter`
+    * treeAggregate — the standard index-side build; ~1.2 GB per 10⁹
+    * digests at 1% fpp) splits the crawl IN-SCAN: definite misses (no
+    * false negatives by the bloom contract — the vast majority of a
+    * fresh crawl) pass through with NO join and never shuffle; only the
+    * maybe-hit sliver (true dups + fpp·misses) reaches the exact
+    * left-anti verify join. The anti-join's both-sides digest shuffle
+    * shrinks from crawl-sized to sliver-sized; output is EXACTLY the
+    * anti-join's (the bloom only prunes rows the join would keep
+    * anyway), which the d17 oracle and OpsSpec pin. */
+  def bloomDedupAgainstIndex(docs: DataFrame, index: DataFrame,
+      fpp: Double = 0.01): DataFrame = {
+    val bloom = index.stat.bloomFilter("h",
+      math.max(index.count(), 1L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val hashed = docs.withColumn("h", sha2(col("text"), 256))
+    val might = graft.functions.Expressions.bloomMightContain(bos.toByteArray, col("h"))
+    hashed.where(!might)
+      .unionByName(hashed.where(might).join(index, Seq("h"), "left_anti"))
+      .drop("h")
+  }
+
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     *
     * Pipeline (all shuffles key-partitioned):

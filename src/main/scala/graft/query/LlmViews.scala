@@ -115,6 +115,9 @@ object LlmViews {
       "llm_incremental_dedup" -> Dedup.dedupAgainstIndex(
         docs.where(col("doc_id") % 3 === 0),
         Dedup.digestIndex(docs.where(col("doc_id") % 3 =!= 0 || col("doc_id") < 100))),
+      "llm_bloom_dedup" -> Dedup.bloomDedupAgainstIndex(
+        docs.where(col("doc_id") % 3 === 1),
+        Dedup.digestIndex(docs.where(col("doc_id") % 3 =!= 1 || col("doc_id") < 50))),
       // Multimodal operators on the committed media/video/audio fixtures
       // (bounded pair/cut lists — canonical order kept): the near-dup
       // and scene-cut surfaces reachable from plain SQL like every text

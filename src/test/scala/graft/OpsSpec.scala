@@ -798,6 +798,31 @@ class OpsSpec extends GraftSuite {
     assert(Dedup.dedupAgainstIndex(docs, advanced).count() == 0)
   }
 
+  test("bloom-guarded incremental dedup equals the plain anti-join") {
+    val crawl = docs.where(col("doc_id") % 3 === 1)
+    val index = Dedup.digestIndex(
+      docs.where(col("doc_id") % 3 =!= 1 || col("doc_id") < 50))
+    val plain = Dedup.dedupAgainstIndex(crawl, index)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloomed = Dedup.bloomDedupAgainstIndex(crawl, index)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // No false negatives (a dropped novel doc would be a correctness
+    // bug); no extra keeps (the verify join catches bloom fpp).
+    assert(bloomed == plain, "bloom-guarded plan must equal the anti-join")
+    // The guard actually splits: rebuild the probe and check the
+    // definite-miss branch carries rows (i.e. the anti-join's input
+    // genuinely shrank) AND every true dup lands in the maybe branch.
+    val bloom = index.stat.bloomFilter("h", math.max(index.count(), 1L), 0.01)
+    val bos = new java.io.ByteArrayOutputStream(); bloom.writeTo(bos)
+    val hashed = crawl.withColumn("h", org.apache.spark.sql.functions.sha2(col("text"), 256))
+    val might = graft.functions.Expressions.bloomMightContain(bos.toByteArray, col("h"))
+    val maybe = hashed.where(might).count()
+    val trueDups = crawl.count() - plain.size
+    assert(maybe >= trueDups, "bloom may never miss a true dup")
+    assert(maybe < crawl.count(),
+      "the definite-miss branch must prune something at 1% fpp")
+  }
+
   test("sequence pack matches the serial concat-and-chop assignment") {
     val out = graft.ops.Sampling.sequencePack(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
