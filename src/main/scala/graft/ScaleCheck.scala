@@ -300,7 +300,9 @@ object ScaleCheck {
       // shortlist -> exact re-rank) — THREE approximations stack, so its
       // recall sits at/below e14's at every budget m; what must hold is
       // monotonicity in m and e15 <= e14 (the cell restriction can only
-      // drop candidates e14 would have scored).
+      // drop candidates e14 would have scored). Scored at k=10, the SAME
+      // protocol as the e14 column (the declared query's k=5 default
+      // against a k=10 truth set would cap recall at 0.5 structurally).
       {
         val exact = pairSet(graft.ops.Similarity.cosineTopK(emb, col("vec_id") < 10)
           .select("query_id", "neighbor_id"))
@@ -310,7 +312,7 @@ object ScaleCheck {
           graft.ops.Similarity.centroidFrame(emb))
         val rows = for (m <- Seq(25, 50, 100, 200)) yield {
           val r = rec(pairSet(graft.ops.Similarity.ivfBinaryRerankTopK(
-              emb, coarseCb, col("vec_id") < 10, m = m)
+              emb, coarseCb, col("vec_id") < 10, m = m, k = 10)
             .select("query_id", "neighbor_id")))
           f"m$m=$r%.3f"
         }

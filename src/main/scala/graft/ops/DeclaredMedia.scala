@@ -12,22 +12,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * math is hash-checked. */
 object DeclaredMedia {
 
-  // Plan cache per session (the Tables.load discipline): the fixture is
-  // written once and immutable, but `spark.read.parquet` re-lists and
-  // re-reads footers on every call — ~0.1 s of driver latency each m*
-  // query paid per bench pass.
-  private val mediaCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
-  private def media(s: SparkSession): DataFrame =
-    mediaCache.computeIfAbsent(s, _ => s.read.parquet(MediaFixture.ensure(s)))
-  private val videoCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
-  private def video(s: SparkSession): DataFrame =
-    videoCache.computeIfAbsent(s, _ => s.read.parquet(VideoFixture.ensure(s)))
-  private val audioCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
-  private def audio(s: SparkSession): DataFrame =
-    audioCache.computeIfAbsent(s, _ => s.read.parquet(AudioFixture.ensure(s)))
+  // Plan cache per (session, fixture) (the Tables.load discipline): a
+  // fixture is written once and immutable, but `spark.read.parquet`
+  // re-lists and re-reads footers on every call — ~0.1 s of driver
+  // latency each m* query paid per bench pass.
+  private val fixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def fixtureDf(s: SparkSession, ensure: SparkSession => String): DataFrame = {
+    val path = ensure(s)
+    fixtureCache.computeIfAbsent((s, path), _ => s.read.parquet(path))
+  }
+  private def media(s: SparkSession): DataFrame = fixtureDf(s, MediaFixture.ensure(_))
+  private def video(s: SparkSession): DataFrame = fixtureDf(s, VideoFixture.ensure(_))
+  private def audio(s: SparkSession): DataFrame = fixtureDf(s, AudioFixture.ensure(_))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_decode"  -> ((s, _) => Multimodal.decodeDims(media(s))),

@@ -973,9 +973,6 @@ object Similarity {
     binaryShortlistRerank(emb, coarse, m, k)
   }
 
-  /** Shared tail of the binary-prefilter pipelines: bounded top-`m`
-    * Hamming shortlist, then the exact-cosine re-rank over a pair-sized
-    * broadcast join (only the survivors' float vectors are touched). */
   /** Fully-composed production ANN pipeline (VERDICT r8 #4): coarse
     * centroid-cell restriction (e6's trained quantizer) ∩ 63-bit binary
     * Hamming prefilter (e13) → bounded shortlist → exact-cosine re-rank
@@ -1006,6 +1003,9 @@ object Similarity {
     binaryShortlistRerank(emb, coarse, m, k)
   }
 
+  /** Shared tail of the binary-prefilter pipelines: bounded top-`m`
+    * Hamming shortlist, then the exact-cosine re-rank over a pair-sized
+    * broadcast join (only the survivors' float vectors are touched). */
   private def binaryShortlistRerank(emb: DataFrame, coarse: DataFrame,
       m: Int, k: Int): DataFrame = {
     val cand = coarse.groupBy("query_id")

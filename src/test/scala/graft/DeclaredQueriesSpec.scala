@@ -23,12 +23,18 @@ class DeclaredQueriesSpec extends GraftSuite {
     def run(): Map[String, Seq[String]] =
       names.map(n => n ->
         SparkEntry.queries(n)(spark, sf).collect().map(_.toString).toSeq).toMap
-    val off = run()
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // Pin BOTH regimes explicitly: the shared session is created at
+    // Spark 4's AQE-on default, so an un-pinned "off" run would compare
+    // on-vs-on; and restore the ORIGINAL value so this test doesn't
+    // leak a conf change into whichever suite runs next.
+    val orig = spark.conf.get("spark.sql.adaptive.enabled", "true")
     try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val off = run()
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
       val on = run()
       names.foreach(n => assert(on(n) == off(n), s"$n diverges under AQE"))
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", orig)
   }
 
   test("q1 filter+order+limit: descending totalprice, all status O") {
