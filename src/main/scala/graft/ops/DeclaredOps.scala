@@ -179,34 +179,41 @@ object DeclaredOps {
     // crawl slice, via the definite-miss/maybe-hit split plan.
     "d17_bloom_dedup" -> ((s, dir) => {
       val d = docs(s, dir)
+      // orderSmall, not orderAgg: the union's definite-miss branch is
+      // map-only, and coalesce(1) would serialize its scan (Out.scala).
       Dedup.bloomDedupAgainstIndex(d.where(col("doc_id") % 3 === 1),
           Dedup.digestIndex(d.where(col("doc_id") % 3 =!= 1 || col("doc_id") < 50)))
         .select(col("doc_id"), col("n_chars"))
-        .orderAgg("doc_id")
-    }))
+        .orderSmall("doc_id")
+    }),
+    // CCNet-style boilerplate removal: drop every 20-word chunk seen in
+    // >1 distinct docs (all copies), reassemble survivors in order,
+    // drop emptied docs. The cleaned text itself is hash-checked.
+    "d18_boilerplate" -> ((s, dir) => Dedup.boilerplateScrub(docs(s, dir))))
 
   // ---- DuckDB oracle SQL ----
 
-  /** Unrolled BPE training + apply (see the t18 map entry). `merges`
-    * stages, each: pick the (count desc, pair asc) argmax adjacent
-    * symbol pair over the frequency-weighted vocab, then fold the merge
-    * through every word's symbol list. */
   /** Shared WITH-body for the unrolled-BPE oracles (t18/t20): trains the
     * merge list as `merges` argmax+fold CTE stages, segments the vocab,
     * and aggregates per-doc token counts into `agg(doc_id, bpe_tokens)`.
-    * The caller appends its own final SELECT. */
+    * The caller appends its own final SELECT. Each stage attaches its
+    * argmax pair via `LEFT JOIN ... ON TRUE` guarded by `p.a IS NULL`:
+    * when a corpus exhausts its mergeable pairs before `merges` stages,
+    * p$k is EMPTY and the stage must pass the vocab through unchanged
+    * (mirroring trainBpe's counts.isEmpty early stop) — an inner cross
+    * join would instead empty v$k and zero every document's count. */
   private def bpeTokensCte(merges: Int): String = {
     val stages = (1 to merges).map { k =>
       s"""p$k AS (SELECT s[CAST(i AS INT)] AS a, s[CAST(i + 1 AS INT)] AS b, sum(freq) AS c
          |  FROM v${k - 1}, UNNEST(range(1, len(s))) AS u(i)
          |  GROUP BY 1, 2 ORDER BY c DESC, a, b LIMIT 1),
-         |v$k AS (SELECT w, CASE WHEN len(s) < 2 THEN s ELSE
+         |v$k AS (SELECT w, CASE WHEN p.a IS NULL OR len(s) < 2 THEN s ELSE
          |    list_reduce(list_transform(s, x -> [x]),
          |      (acc, x) -> CASE WHEN acc[-1] = p.a AND x[1] = p.b
          |        THEN list_append(list_slice(acc, 1, len(acc) - 1), p.a || p.b)
          |        ELSE list_append(acc, x[1]) END)
          |  END AS s, freq
-         |  FROM v${k - 1}, p$k p)""".stripMargin
+         |  FROM v${k - 1} LEFT JOIN p$k p ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
        |v0 AS (SELECT w, list_transform(range(1, len(w) + 1),
@@ -1251,6 +1258,22 @@ object DeclaredOps {
         |  SELECT 1 FROM documents h
         |  WHERE (h.doc_id % 3 <> 1 OR h.doc_id < 50) AND h.text = d.text)
         |ORDER BY doc_id""".stripMargin,
+
+    // d18: t11's chunk grid (identical slicing CTE), df over distinct
+    // docs per chunk hash, then per-doc reassembly of the df<=1
+    // survivors in chunk order; emptied docs drop via HAVING.
+    "d18_boilerplate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, i AS chunk_idx,
+        |    array_to_string(list_slice(w, CAST(i * 20 + 1 AS INT), CAST(i * 20 + 20 AS INT)), ' ') AS chunk
+        |  FROM w, UNNEST(range(0, (len(w) + 19) // 20)) AS u(i)),
+        |df AS (SELECT md5(chunk) AS h, count(DISTINCT doc_id) AS n_docs FROM c GROUP BY 1)
+        |SELECT c.doc_id,
+        |  array_to_string(list(c.chunk ORDER BY c.chunk_idx) FILTER (WHERE df.n_docs <= 1), ' ') AS clean_text,
+        |  count(*) FILTER (WHERE df.n_docs <= 1) AS kept_chunks,
+        |  count(*) FILTER (WHERE df.n_docs > 1) AS dropped_chunks
+        |FROM c JOIN df ON md5(c.chunk) = df.h
+        |GROUP BY 1 HAVING kept_chunks > 0 ORDER BY doc_id""".stripMargin,
 
     // e11: the e6 cell-restriction CTEs composed with the e7 code/LUT
     // CTEs — candidates only where the corpus vector's cell equals the

@@ -55,18 +55,31 @@ object Dedup {
     * [[dedupAgainstIndex]], the plan a 100 TB crawl actually runs. A
     * Bloom filter over the index digests (one bounded `stat.bloomFilter`
     * treeAggregate — the standard index-side build; ~1.2 GB per 10⁹
-    * digests at 1% fpp) splits the crawl IN-SCAN: definite misses (no
+    * digests at 1% fpp) gates the crawl at the scan: definite misses (no
     * false negatives by the bloom contract — the vast majority of a
     * fresh crawl) pass through with NO join and never shuffle; only the
     * maybe-hit sliver (true dups + fpp·misses) reaches the exact
     * left-anti verify join. The anti-join's both-sides digest shuffle
     * shrinks from crawl-sized to sliver-sized; output is EXACTLY the
     * anti-join's (the bloom only prunes rows the join would keep
-    * anyway), which the d17 oracle and OpsSpec pin. */
+    * anyway), which the d17 oracle and OpsSpec pin.
+    *
+    * Cost shape, stated honestly: the crawl is SCANNED TWICE (once per
+    * union branch — Spark has no in-plan multi-output), but both scans
+    * are map-only; the alternative single-scan plan shuffles the entire
+    * crawl into the anti-join. Two sequential reads for no crawl-sized
+    * exchange is the right trade at any scale. The index pipeline is
+    * persisted for the duration of the eager build so the count (bloom
+    * sizing) and the bloom aggregate share ONE computation; the lazy
+    * verify join recomputes it at query time — at production scale the
+    * index is a stored digest table, so that recompute is a digest-file
+    * scan, not a corpus re-hash. */
   def bloomDedupAgainstIndex(docs: DataFrame, index: DataFrame,
       fpp: Double = 0.01): DataFrame = {
-    val bloom = index.stat.bloomFilter("h",
-      math.max(index.count(), 1L), fpp)
+    index.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom =
+      try index.stat.bloomFilter("h", math.max(index.count(), 1L), fpp)
+      finally index.unpersist(blocking = false)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
     val hashed = docs.withColumn("h", sha2(col("text"), 256))
@@ -643,6 +656,50 @@ object Dedup {
         min(col("doc_id")).as("first_doc"))
       .where(col("n_docs") >= 2)
     if (ordered) out.orderAgg("chunk_md5") else out
+  }
+
+  /** Boilerplate removal — the REWRITE companion to [[chunkDedup]]'s
+    * report: drop every aligned `width`-word chunk whose hash occurs in
+    * more than `maxDf` distinct documents (headers, footers, licence
+    * blocks, copied passages), reassemble the survivors in document
+    * order, and drop documents left empty. This is the paragraph-dedup
+    * cleaning step of the public CCNet/RefinedWeb pipelines — ALL copies
+    * of an over-represented chunk go, including the first (removal
+    * targets boilerplate, not canonical-copy election — that is
+    * [[exact]]/[[dedupApply]]).
+    *
+    * Output: (doc_id, clean_text, kept_chunks, dropped_chunks).
+    *
+    * Scale: map-only chunking, then a chunk-df hash aggregate whose
+    * shuffle carries the 32-hex md5 only, then a (h)-keyed equi-join of
+    * two chunk-count-sized frames — the df side grows with the corpus,
+    * so it is NEVER broadcast — and a final doc_id hash aggregate that
+    * reassembles each document from its kept chunks (collect_list is
+    * bounded by the document's own chunk count, i.e. by max document
+    * size, the same bound the corpus already implies). Three linear
+    * shuffles, no all-pairs stage. */
+  def boilerplateScrub(docs: DataFrame, width: Int = 20, maxDf: Int = 1,
+      ordered: Boolean = true): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, (size(w) + ${width - 1}) div $width - 1),
+           |  i -> concat_ws(' ', slice(w, i * $width + 1, $width)))""".stripMargin)))
+      .toDF("doc_id", "chunk_idx", "chunk")
+      .withColumn("h", md5(col("chunk")))
+    val df = chunks.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val keep = col("n_docs") <= maxDf
+    val out = chunks.join(df, "h")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(
+            when(keep, struct(col("chunk_idx"), col("chunk"))))),
+          x => x("chunk")), " ").as("clean_text"),
+        sum(when(keep, 1L).otherwise(0L)).as("kept_chunks"),
+        sum(when(keep, 0L).otherwise(1L)).as("dropped_chunks"))
+      .where(col("kept_chunks") > 0)
+    if (ordered) out.orderAgg("doc_id") else out
   }
 
   /** UNALIGNED duplicated-span detection — the substring-dedup view of a

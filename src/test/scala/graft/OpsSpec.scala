@@ -750,6 +750,27 @@ class OpsSpec extends GraftSuite {
     assert(out.nonEmpty, "exact-copy docs must share aligned chunks")
   }
 
+  test("boilerplate scrub drops exactly the cross-doc chunks and keeps document order") {
+    val df = Dedup.boilerplateScrub(docs)
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "chunk-df attachment must be a keyed equi-join")
+    val out = df.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val chunked = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ", -1).grouped(20).map(_.mkString(" ")).toSeq).toMap
+    val df1 = chunked.toSeq.flatMap { case (id, cs) => cs.map(id -> _) }
+      .groupBy(_._2).map { case (c, occ) => c -> occ.map(_._1).distinct.length }
+    val local = chunked.flatMap { case (id, cs) =>
+      val kept = cs.filter(df1(_) <= 1)
+      if (kept.isEmpty) None
+      else Some(id -> ((kept.mkString(" "), kept.length.toLong, (cs.length - kept.length).toLong)))
+    }
+    assert(out == local)
+    assert(local.exists(_._2._3 > 0), "planted copies must shed chunks")
+    assert(local.size < chunked.size, "fully-boilerplate docs must vanish")
+  }
+
   test("per-group sample: k smallest hash buckets per group via a bounded aggregate") {
     val df = graft.ops.Sampling.perGroupSample(docs, 10)
     val plan = df.queryExecution.executedPlan.toString
