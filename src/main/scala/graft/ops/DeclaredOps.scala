@@ -189,7 +189,12 @@ object DeclaredOps {
     // CCNet-style boilerplate removal: drop every 20-word chunk seen in
     // >1 distinct docs (all copies), reassemble survivors in order,
     // drop emptied docs. The cleaned text itself is hash-checked.
-    "d18_boilerplate" -> ((s, dir) => Dedup.boilerplateScrub(docs(s, dir))))
+    "d18_boilerplate" -> ((s, dir) => Dedup.boilerplateScrub(docs(s, dir))),
+    // Trained quality classifier (the GPT-3/CCNet learned-filter stage):
+    // integer batch perceptron over hashed-BoW features, label en-vs-rest;
+    // per-doc margins under the final weights are hash-checked.
+    "t21_quality_classifier" -> ((s, dir) =>
+      TextAnalysis.perceptronQuality(docs(s, dir), col("lang") === "en")))
 
   // ---- DuckDB oracle SQL ----
 
@@ -224,6 +229,36 @@ object DeclaredOps {
        |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
        |agg AS (SELECT doc_id, CAST(sum(nt) AS BIGINT) AS bpe_tokens
        |        FROM dw JOIN seglen USING (w) GROUP BY doc_id)""".stripMargin
+  }
+
+  /** t21: batch-perceptron training unrolled to `iters` epoch CTEs.
+    * Epoch 1 is the closed form (w0 = 0 misclassifies everything); each
+    * later epoch re-derives margins under the previous weights, sums
+    * y·cnt over the y·m <= 0 docs, and folds the gradient in with a
+    * FULL JOIN (absent buckets are zero-weight on either side). */
+  private def perceptronSql(iters: Int): String = {
+    def epoch(k: Int, pw: String): String =
+      s"""m$k AS (SELECT f.doc_id, f.y, CAST(sum(f.cnt * COALESCE($pw.w, 0)) AS BIGINT) AS m
+         |  FROM f LEFT JOIN $pw USING (bucket) GROUP BY 1, 2),
+         |g$k AS (SELECT f.bucket, CAST(sum(f.y * f.cnt) AS BIGINT) AS g FROM f
+         |  JOIN m$k ON f.doc_id = m$k.doc_id WHERE m$k.y * m$k.m <= 0 GROUP BY 1),
+         |w$k AS (SELECT COALESCE($pw.bucket, g$k.bucket) AS bucket,
+         |    CAST(COALESCE($pw.w, 0) + COALESCE(g$k.g, 0) AS BIGINT) AS w
+         |  FROM $pw FULL JOIN g$k ON $pw.bucket = g$k.bucket)""".stripMargin
+    val epochs = (2 to iters).map(k => epoch(k, s"w${k - 1}")).mkString(",\n")
+    s"""WITH f AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |    CAST(CAST(concat('0x', substr(md5(w), 1, 15)) AS UBIGINT) % 64 AS INT) AS bucket,
+       |    count(*) AS cnt
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY 1, 2, 3),
+       |w1 AS (SELECT bucket, CAST(sum(y * cnt) AS BIGINT) AS w FROM f GROUP BY 1),
+       |$epochs,
+       |mf AS (SELECT f.doc_id, f.y, CAST(sum(f.cnt * COALESCE(w$iters.w, 0)) AS BIGINT) AS m
+       |  FROM f LEFT JOIN w$iters USING (bucket) GROUP BY 1, 2)
+       |SELECT doc_id, CAST(y AS BIGINT) AS label, m AS margin,
+       |  CASE WHEN m > 0 THEN CAST(1 AS BIGINT) ELSE -1 END AS pred
+       |FROM mf ORDER BY doc_id""".stripMargin
   }
 
   private def bpeTokensOracle(merges: Int): String =
@@ -1274,6 +1309,15 @@ object DeclaredOps {
         |  count(*) FILTER (WHERE df.n_docs > 1) AS dropped_chunks
         |FROM c JOIN df ON md5(c.chunk) = df.h
         |GROUP BY 1 HAVING kept_chunks > 0 ORDER BY doc_id""".stripMargin,
+
+    // t21: the perceptron epochs unrolled (the t18 unrolled-training
+    // idiom) — epoch k computes margins under w{k-1}, gradients over the
+    // misclassified (y*m <= 0, which at w0 = 0 is every doc, so epoch 1
+    // collapses to the plain sum(y*cnt)), and w{k} = w{k-1} + g{k} via
+    // FULL JOIN (missing buckets are zero on either side). Every value
+    // is integer; sums CAST to BIGINT ahead of DuckDB's HUGEINT
+    // promotion.
+    "t21_quality_classifier" -> perceptronSql(3),
 
     // e11: the e6 cell-restriction CTEs composed with the e7 code/LUT
     // CTEs — candidates only where the corpus vector's cell equals the

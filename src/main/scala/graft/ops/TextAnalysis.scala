@@ -724,6 +724,59 @@ object TextAnalysis {
     if (ordered) out.orderAgg("lang") else out
   }
 
+  /** TRAINED quality/domain classifier — the learned-filter stage of the
+    * public GPT-3/CCNet recipes (a linear model over hashed bag-of-words
+    * features scores every document; the pipeline keeps the high-scoring
+    * slice), trained here as a batch perceptron so every quantity is an
+    * INTEGER and the whole computation is engine-exact: features are
+    * per-doc counts over `dim` buckets of the 60-bit md5 word hash
+    * (d10's token idiom), the label is +1 for `positive` docs and -1
+    * otherwise, weights start at zero, and each epoch adds
+    * sum(y·x) over the currently-misclassified docs (y·margin <= 0) to
+    * the weight vector. Output per doc: (doc_id, label, margin, pred)
+    * under the final weights.
+    *
+    * Scale: the feature frame is ONE explode + hash aggregate keyed by
+    * (doc_id, bucket), persisted MEMORY_AND_DISK across the 2·`iters`
+    * passes (the standard iterative-training checkpoint; spillable, no
+    * driver residency). Each epoch is (a) margins: a doc_id-keyed
+    * aggregate with the weight vector INLINED as a 64-entry literal —
+    * no join, nothing broadcast but a constant; (b) gradient: one
+    * doc_id-keyed equi-join against the misclassified-id frame (both
+    * sides corpus-keyed, linear, never broadcast by declaration) into a
+    * `dim`-row aggregate collected to the driver — the only collect,
+    * bounded by `dim` however large the corpus. 100 TB cost: 2·iters
+    * linear passes, the shape of every distributed linear-model
+    * trainer. */
+  def perceptronQuality(docs: DataFrame, positive: Column,
+      dim: Int = 64, iters: Int = 3, ordered: Boolean = true): DataFrame = {
+    val feats = docs
+      .select(col("doc_id"),
+        when(positive, 1L).otherwise(-1L).as("y"),
+        explode(graft.functions.Expressions.md5WordHashes(col("text"))).as("h"))
+      .groupBy(col("doc_id"), col("y"),
+        (col("h") % dim).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val w = Array.fill(dim)(0L)
+      def margins = feats.groupBy("doc_id", "y")
+        .agg(sum(col("cnt") * element_at(typedLit(w.toSeq), col("bucket") + 1))
+          .as("margin"))
+      for (_ <- 1 to iters) {
+        val mis = margins.where(col("y") * col("margin") <= 0).select("doc_id")
+        feats.join(mis, "doc_id")
+          .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("g"))
+          .collect()
+          .foreach(r => w(r.getInt(0)) += r.getLong(1))
+      }
+      val out = margins
+        .select(col("doc_id"), col("y").as("label"), col("margin"),
+          when(col("margin") > 0, 1L).otherwise(-1L).as("pred"))
+      if (ordered) out.orderAgg("doc_id") else out
+    } finally feats.unpersist(blocking = false)
+  }
+
   def bpeSegment(word: String, merges: Seq[(String, String)]): Vector[String] = {
     var syms = word.map(_.toString).toVector
     merges.foreach { case (a, b) =>

@@ -47,6 +47,8 @@ object LlmViews {
       "llm_cosine_topk" -> Similarity.cosineTopK(emb, col("vec_id") < 5),
       "llm_embedding_neardup" -> Similarity.embeddingNearDup(emb),
       "llm_quality" -> TextAnalysis.quality(docs, ordered = false),
+      "llm_quality_classifier" ->
+        TextAnalysis.perceptronQuality(docs, col("lang") === "en", ordered = false),
       "llm_langid" -> TextAnalysis.langid(docs, ordered = false),
       "llm_token_stats" -> TextAnalysis.tokenStats(docs, ordered = false),
       "llm_fingerprint" -> TextAnalysis.fingerprint(docs, ordered = false),

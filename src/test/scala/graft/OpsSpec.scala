@@ -771,6 +771,38 @@ class OpsSpec extends GraftSuite {
     assert(local.size < chunked.size, "fully-boilerplate docs must vanish")
   }
 
+  test("perceptron classifier equals a local epoch-for-epoch recompute") {
+    val df = TextAnalysis.perceptronQuality(docs, col("lang") === "en")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
+      "scoring is keyed aggregates with inlined weights, never all-pairs or a window")
+    val out = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // Local reference: identical hashing, labels, epoch schedule.
+    val feats = docs.select("doc_id", "lang", "text").collect().map { r =>
+      val buckets = r.getString(2).split(" ", -1)
+        .map(w => (java.lang.Long.parseLong(md5hex(w).take(15), 16) % 64).toInt)
+        .groupBy(identity).map { case (b, o) => b -> o.length.toLong }
+      (r.getLong(0), if (r.getString(1) == "en") 1L else -1L, buckets)
+    }
+    val w = Array.fill(64)(0L)
+    for (_ <- 1 to 3) {
+      val g = Array.fill(64)(0L)
+      feats.foreach { case (_, y, c) =>
+        val m = c.map { case (b, n) => n * w(b) }.sum
+        if (y * m <= 0L) c.foreach { case (b, n) => g(b) += y * n }
+      }
+      for (b <- 0 until 64) w(b) += g(b)
+    }
+    val local = feats.map { case (id, y, c) =>
+      val m = c.map { case (b, n) => n * w(b) }.sum
+      id -> ((y, m, if (m > 0L) 1L else -1L))
+    }.toMap
+    assert(out == local)
+    val acc = local.count { case (_, (y, _, p)) => y == p }
+    assert(acc > 0 && out.size == docs.count(), "every doc scored exactly once")
+  }
+
   test("per-group sample: k smallest hash buckets per group via a bounded aggregate") {
     val df = graft.ops.Sampling.perGroupSample(docs, 10)
     val plan = df.queryExecution.executedPlan.toString
