@@ -317,6 +317,15 @@ object ScaleCheck {
           f"m$m=$r%.3f"
         }
         println(s"E15IVFBINARY $dir ${rows.mkString(" ")}")
+        // e17: nprobe is the recall lever the single-probe plateau
+        // points at — hold m at the plateau budget and sweep probes.
+        val probeRows = for (p <- Seq(1, 2, 4, 8)) yield {
+          val r = rec(pairSet(graft.ops.Similarity.ivfBinaryRerankTopK(
+              emb, coarseCb, col("vec_id") < 10, m = 200, k = 10, probes = p)
+            .select("query_id", "neighbor_id")))
+          f"p$p=$r%.3f"
+        }
+        println(s"E17MULTIPROBE $dir m200 ${probeRows.mkString(" ")}")
       }
 
       // e16: filtered-search candidate narrowing — the label equi-join
@@ -402,6 +411,42 @@ object ScaleCheck {
           s"max_df=${fan.get(1)} kept_pairs=${fan.get(2)} capped_out=${fan.get(3)} " +
           s"spans=${sp.get(0)} max_span=${sp.get(1)} dup_words=${sp.get(2)} " +
           s"spans_cap8=$tight")
+      }
+
+      // d18: boilerplate removal's cost drivers — chunk rows grow
+      // linearly with corpus words, the df aggregate's key space with
+      // distinct chunks; the rewrite's only non-linear exposure would
+      // be a skewed chunk hash (max_df bounds one key's join fan-in).
+      {
+        val chunks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(0, (size(w) + 19) div 20 - 1),
+              |  i -> concat_ws(' ', slice(w, i * 20 + 1, 20)))""".stripMargin)).as("chunk"))
+        val dfs = chunks.groupBy(md5(col("chunk")).as("h"))
+          .agg(countDistinct("doc_id").as("df"))
+        val agg = dfs.agg(count(lit(1)), max("df"),
+          sum(when(col("df") > 1, 1L).otherwise(0L))).head()
+        val o = graft.ops.Dedup.boilerplateScrub(docs, ordered = false)
+          .agg(count(lit(1)), sum("dropped_chunks")).head()
+        println(s"D18BOILER $dir chunks=${chunks.count()} " +
+          s"distinct_hashes=${agg.get(0)} max_df=${agg.get(1)} " +
+          s"boiler_hashes=${agg.get(2)} docs_kept=${o.get(0)} " +
+          s"chunks_dropped=${o.get(1)}")
+      }
+
+      // t21: per-epoch linearity — the feature frame is <= dim rows per
+      // doc (so the gradient collect stays dim-bounded however large
+      // the corpus), and each epoch is two linear passes over it.
+      {
+        val fr = docs.select(col("doc_id"),
+            explode(graft.functions.Expressions.md5WordHashes(col("text"))).as("h"))
+          .groupBy(col("doc_id"), (col("h") % 64).as("b")).count().count()
+        val acc = graft.ops.TextAnalysis
+          .perceptronQuality(docs, col("lang") === "en", ordered = false)
+          .agg(count(lit(1)),
+            sum(when(col("label") === col("pred"), 1L).otherwise(0L))).head()
+        println(s"T21PERCEPTRON $dir docs=${acc.get(0)} feature_rows=$fr " +
+          s"train_correct=${acc.get(1)}")
       }
 
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -194,7 +194,13 @@ object DeclaredOps {
     // integer batch perceptron over hashed-BoW features, label en-vs-rest;
     // per-doc margins under the final weights are hash-checked.
     "t21_quality_classifier" -> ((s, dir) =>
-      TextAnalysis.perceptronQuality(docs(s, dir), col("lang") === "en")))
+      TextAnalysis.perceptronQuality(docs(s, dir), col("lang") === "en")),
+    // e15's composed pipeline with nprobe=2 — the recall lever the
+    // measured single-probe plateau (SCALECHECK.md) points at: each
+    // query probes its TWO nearest coarse cells.
+    "e17_multiprobe_rerank" -> ((s, dir) =>
+      Similarity.ivfBinaryRerankTopK(emb(s, dir), centroidCodebook(s, dir),
+        col("vec_id") < 5, probes = 2)))
 
   // ---- DuckDB oracle SQL ----
 
@@ -646,6 +652,55 @@ object DeclaredOps {
          |cells AS (SELECT vv.vec_id, vv.v, b.cell, sig.sg
          |  FROM vv JOIN best b USING (vec_id) JOIN sig USING (vec_id)),
          |q AS (SELECT vec_id AS query_id, v AS qv, cell, sg AS qs FROM cells WHERE vec_id < 5),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY bit_count(xor(c.sg, q.qs)), c.vec_id) AS rn
+         |  FROM cells c JOIN q USING (cell) WHERE c.vec_id <> q.query_id) WHERE rn <= 20),
+         |qv AS (SELECT vec_id AS query_id, v AS qv FROM vv WHERE vec_id < 5),
+         |ex AS (SELECT c.query_id, c.neighbor_id, ${duckCosX("nv.v", "qv.qv")} AS cos_x10k
+         |  FROM cand c JOIN vv nv ON nv.vec_id = c.neighbor_id
+         |              JOIN qv ON qv.query_id = c.query_id)
+         |SELECT query_id, neighbor_id, cos_x10k FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_x10k DESC, neighbor_id) AS rn FROM ex)
+         |WHERE rn <= 5 ORDER BY query_id, cos_x10k DESC, neighbor_id""".stripMargin,
+
+    // e17: e15's CTE chain with ONE difference — the query side takes
+    // its TWO nearest cells (qcells rn <= 2, same acos DESC, clabel
+    // DESC ranking as `best`/nearestCells), so per-cell candidate sets
+    // union (duplicate-free: cells partition the corpus) into the same
+    // bounded shortlist.
+    "e17_multiprobe_rerank" ->
+      s"""WITH cent AS (
+         |  SELECT label AS clabel, list(m ORDER BY pos) AS c FROM (
+         |    SELECT label, i - 1 AS pos,
+         |      round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+         |            / count(*), 4) + 0 AS m
+         |    FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+         |    GROUP BY label, i)
+         |  GROUP BY label),
+         |vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ascored AS (
+         |  SELECT vec_id, clabel,
+         |    list_sum(list_transform(range(1, 65), i -> v[i] * c[i])) /
+         |    (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
+         |     sqrt(list_sum(list_transform(range(1, 65), i -> c[i] * c[i])))) AS acos
+         |  FROM vv CROSS JOIN cent),
+         |ranked AS (
+         |  SELECT vec_id, clabel,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY acos DESC, clabel DESC) AS rn
+         |  FROM ascored),
+         |best AS (SELECT vec_id, clabel AS cell FROM ranked WHERE rn = 1),
+         |sig AS (SELECT vec_id, CAST(list_sum(list_transform(range(0, 63),
+         |    i -> CASE WHEN v[CAST(i + 1 AS INT)] >= 0 THEN (1::BIGINT << CAST(62 - i AS INT))
+         |              ELSE 0::BIGINT END)) AS BIGINT) AS sg FROM vv),
+         |cells AS (SELECT vv.vec_id, vv.v, b.cell, sig.sg
+         |  FROM vv JOIN best b USING (vec_id) JOIN sig USING (vec_id)),
+         |qcells AS (SELECT vec_id, clabel AS cell FROM ranked
+         |  WHERE rn <= 2 AND vec_id < 5),
+         |q AS (SELECT qc.vec_id AS query_id, qc.cell, sig.sg AS qs
+         |  FROM qcells qc JOIN sig ON sig.vec_id = qc.vec_id),
          |cand AS (SELECT query_id, neighbor_id FROM (
          |  SELECT q.query_id, c.vec_id AS neighbor_id,
          |    row_number() OVER (PARTITION BY q.query_id

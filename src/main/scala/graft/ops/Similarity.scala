@@ -986,17 +986,31 @@ object Similarity {
     * the query's cell via a broadcast equi-join; the Hamming shortlist
     * is a bounded top-m aggregate over integer xor/popcount; only the m
     * survivors' float vectors are touched again, in a pair-sized
-    * broadcast join. Per-query cost ≈ |cell| integer ops + m float
-    * folds — never N. */
+    * broadcast join. Per-query cost ≈ probes × |cell| integer ops + m
+    * float folds — never N.
+    *
+    * `probes` > 1 expands each QUERY to its p nearest cells (probeTopK's
+    * recall knob applied to the composed pipeline — the measured
+    * single-probe recall plateau in SCALECHECK.md is P(true neighbor
+    * shares the query's one cell); multiprobe raises exactly that
+    * ceiling). Cells partition the corpus, so the per-cell candidate
+    * sets union WITHOUT duplicates into the same bounded shortlist. */
   def ivfBinaryRerankTopK(emb: DataFrame, codebook: Seq[(Int, Seq[Double])],
-      queryPred: Column, m: Int = 20, k: Int = 5): DataFrame = {
+      queryPred: Column, m: Int = 20, k: Int = 5, probes: Int = 1): DataFrame = {
     val assigned = emb.select(col("vec_id"),
       nearestCell(codebook, col("embedding")).as("cell"),
       signSig(col("embedding")).as("sg"))
-    val q = emb.where(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        nearestCell(codebook, col("embedding")).as("cell"),
-        signSig(col("embedding")).as("qs"))
+    val q =
+      if (probes <= 1)
+        emb.where(queryPred)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            nearestCell(codebook, col("embedding")).as("cell"),
+            signSig(col("embedding")).as("qs"))
+      else
+        emb.where(queryPred)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            explode(nearestCells(codebook, col("embedding"), probes)).as("cell"),
+            signSig(col("embedding")).as("qs"))
     val coarse = assigned.join(broadcast(q), "cell")
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", -expr("CAST(bit_count(sg ^ qs) AS DOUBLE)"))

@@ -91,6 +91,8 @@ object LlmViews {
       // the registration-time coarse codebook.
       "llm_ivf_binary_rerank" -> Similarity.ivfBinaryRerankTopK(
         emb, coarseCb, col("vec_id") < 5),
+      "llm_multiprobe_rerank" -> Similarity.ivfBinaryRerankTopK(
+        emb, coarseCb, col("vec_id") < 5, probes = 2),
       "llm_mmr_topk" -> Similarity.mmrTopK(emb, col("vec_id") < 5),
       "llm_filtered_topk" -> Similarity.filteredTopK(emb, col("vec_id") < 5),
       // Bounded per-epoch head sample (canonical order kept).

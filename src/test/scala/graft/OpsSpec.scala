@@ -1195,6 +1195,48 @@ class OpsSpec extends GraftSuite {
       "no shuffle exchange may carry the embedding column")
   }
 
+  test("multiprobe composed rerank equals the local two-cell composition; full probe drops the cell filter") {
+    val cb = Similarity.collectCodebook(Similarity.centroidFrame(emb))
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def x10k(c: Double): Long = BigDecimal(c * 10000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def sig(v: Array[Double]): Long =
+      (0 until 63).foldLeft(0L)((s, i) => if (v(i) >= 0) s | (1L << (62 - i)) else s)
+    val cells = vecs.view.mapValues(v =>
+      cb.map { case (lab, c) => (cos(v, c.toArray), lab) }.max._2).toMap
+    val sigs = vecs.view.mapValues(sig).toMap
+    // Driver composition with the query probing its TWO top cells (the
+    // same (cos, label) descending order as nearestCells).
+    val expected = vecs.keys.filter(_ < 5).toSeq.sorted.flatMap { qid =>
+      val probe = cb.map { case (lab, c) => (cos(vecs(qid), c.toArray), lab) }
+        .sorted.reverse.take(2).map(_._2).toSet
+      val short = vecs.keys.toSeq
+        .filter(id => id != qid && probe(cells(id)))
+        .map(id => (id, java.lang.Long.bitCount(sigs(id) ^ sigs(qid))))
+        .sortBy { case (id, h) => (h, id) }.take(20)
+      short.map { case (id, _) => (id, x10k(cos(vecs(id), vecs(qid)))) }
+        .sortBy { case (id, c) => (-c, id) }.take(5)
+        .map { case (id, c) => (qid, id, c) }
+    }
+    val got = Similarity.ivfBinaryRerankTopK(emb, cb, col("vec_id") < 5, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"operator $got != local $expected")
+    // probes = |codebook| makes the cell restriction vacuous: the
+    // composition must degenerate to the plain binary-rerank pipeline.
+    val full = Similarity.ivfBinaryRerankTopK(emb, cb, col("vec_id") < 5,
+        probes = cb.size)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val plain = Similarity.binaryRerankTopK(emb, col("vec_id") < 5, m = 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(full == plain, "full probe must equal the unrestricted pipeline")
+  }
+
   test("semantic clusters collapse embedding near-dup pairs transitively") {
     // Threshold 0.15: the declared 0.5 yields no pairs on the tiny
     // sf0.001 slice (oracle-covered at sf0.01); the CC contract is
