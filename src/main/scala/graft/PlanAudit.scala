@@ -422,6 +422,25 @@ object PlanAudit {
       "scan reads only doc_id and text" ->
         (p => !p.contains("n_chars") && !p.contains("source")))
 
+    // t21: constructing the frame RUNS the training epochs (bounded
+    // 64-row gradient collects); the returned scoring plan must carry
+    // the final weights as inlined literals — no join, no broadcast.
+    audit("t21_quality_classifier", qs("t21_quality_classifier")(spark, sfDir),
+      "scoring is join-free: final weights inlined as a literal array" ->
+        (p => !p.contains("Join")),
+      "ranking is a hash aggregate, not a window" ->
+        (p => !p.contains("Window")),
+      "scan reads only doc_id, lang, text" ->
+        (p => !p.contains("n_chars") && !p.contains("source")))
+
+    audit("d18_boilerplate", qs("d18_boilerplate")(spark, sfDir),
+      "chunk-df attachment is a keyed equi-join, never a cartesian" ->
+        (p => !p.contains("CartesianProduct")),
+      "df side is an md5-keyed hash aggregate (shuffle carries the hash)" ->
+        (p => p.contains("md5")),
+      "scan reads only doc_id and text" ->
+        (p => !p.contains("n_chars") && !p.contains("source")))
+
     audit("t16_bpe_pairs", qs("t16_bpe_pairs")(spark, sfDir),
       "pair aggregate is map-side partial before its exchange" ->
         (_.contains("HashAggregate")),
