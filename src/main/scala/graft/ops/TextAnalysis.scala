@@ -763,12 +763,18 @@ object TextAnalysis {
       def margins = feats.groupBy("doc_id", "y")
         .agg(sum(col("cnt") * element_at(typedLit(w.toSeq), col("bucket") + 1))
           .as("margin"))
-      for (_ <- 1 to iters) {
+      def fold(grad: DataFrame): Unit = grad
+        .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("g"))
+        .collect()
+        .foreach(r => w(r.getInt(0)) += r.getLong(1))
+      // Epoch 1 in closed form: under w0 = 0 every margin is 0 and
+      // y·0 <= 0 misclassifies EVERYTHING, so the gradient is the plain
+      // sum(y·x) over the whole frame — no margin pass, no join (the
+      // same closed form the oracle's w1 CTE uses).
+      if (iters >= 1) fold(feats)
+      for (_ <- 2 to iters) {
         val mis = margins.where(col("y") * col("margin") <= 0).select("doc_id")
-        feats.join(mis, "doc_id")
-          .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("g"))
-          .collect()
-          .foreach(r => w(r.getInt(0)) += r.getLong(1))
+        fold(feats.join(mis, "doc_id"))
       }
       val out = margins
         .select(col("doc_id"), col("y").as("label"), col("margin"),
