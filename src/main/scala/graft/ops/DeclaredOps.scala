@@ -200,7 +200,12 @@ object DeclaredOps {
     // query probes its TWO nearest coarse cells.
     "e17_multiprobe_rerank" -> ((s, dir) =>
       Similarity.ivfBinaryRerankTopK(emb(s, dir), centroidCodebook(s, dir),
-        col("vec_id") < 5, probes = 2)))
+        col("vec_id") < 5, probes = 2)),
+    // SemDeDup apply: one representative per semantic cluster (d15's
+    // groups), singletons untouched — the embedding-space analogue of
+    // d6's cluster-keep rewrite.
+    "d19_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedupApply(emb(s, dir))))
 
   // ---- DuckDB oracle SQL ----
 
@@ -486,6 +491,27 @@ object DeclaredOps {
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS vec_id, least(a, min(b)) AS cluster FROM reach GROUP BY a
         |ORDER BY vec_id""".stripMargin,
+
+    // d19: d15's recursive-CC ground truth, applied — survivors are
+    // every vector that is not a non-minimal cluster member.
+    "d19_semantic_dedup" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) >= 0.5),
+        |edges AS (SELECT va AS a, vb AS b FROM pairs UNION ALL SELECT vb, va FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |cl AS (SELECT a AS vec_id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+        |SELECT e.vec_id,
+        |  CAST(CASE WHEN cl.cluster IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS cluster_rep
+        |FROM embeddings e LEFT JOIN cl ON e.vec_id = cl.vec_id
+        |WHERE cl.cluster IS NULL OR cl.cluster = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
 
     // Oracle = EXACT all-pairs cosine at the declared threshold (ground
     // truth for the sign-band LSH path; see embeddingNearDup's scaladoc).

@@ -766,6 +766,33 @@ object Similarity {
       .select(col("doc_id").as("vec_id"), col("cluster"))
       .orderSmall("vec_id")
 
+  /** SemDeDup-style APPLY — the rewrite [[semanticClusters]] only
+    * reports: every vector keeps its row unless it is a non-minimal
+    * member of a semantic cluster (published SemDeDup semantics: one
+    * representative per near-duplicate semantic group, singletons
+    * untouched). Output (vec_id, cluster_rep) where cluster_rep = 1
+    * marks a kept representative that DID absorb duplicates.
+    *
+    * Scale: the cluster frame is PAIR-derived (bounded by the near-dup
+    * pair count, not the corpus), so the survivor filter is one
+    * corpus-keyed left equi-join against a small frame — broadcastable
+    * by the optimizer at any realistic dup rate — followed by a
+    * map-side filter; no stage re-shuffles the corpus. */
+  def semanticDedupApply(emb: DataFrame, threshold: Double = 0.5,
+      ordered: Boolean = true): DataFrame = {
+    val clusters = Dedup.ccLabels(embeddingNearDup(emb, threshold)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster"))
+    val out = emb.select(col("vec_id"))
+      .join(clusters, Seq("vec_id"), "left")
+      .where(col("cluster").isNull || col("cluster") === col("vec_id"))
+      .select(col("vec_id"),
+        when(col("cluster").isNotNull, 1L).otherwise(0L).as("cluster_rep"))
+    // orderSmall, not orderAgg: the survivor path is scan -> broadcast
+    // left join -> filter (map-only); coalesce(1) would serialize it.
+    if (ordered) out.orderSmall("vec_id") else out
+  }
+
   /** Cross-corpus embedding decontamination — the embedding-modality
     * analogue of d11's text decontaminate: TRAIN vectors whose cosine to
     * any EVAL vector reaches the threshold (the leakage a semantic

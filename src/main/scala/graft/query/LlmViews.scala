@@ -46,6 +46,7 @@ object LlmViews {
       "llm_decontaminate" -> Dedup.decontaminate(docs, col("doc_id") % 11 === 0),
       "llm_cosine_topk" -> Similarity.cosineTopK(emb, col("vec_id") < 5),
       "llm_embedding_neardup" -> Similarity.embeddingNearDup(emb),
+      "llm_semantic_dedup" -> Similarity.semanticDedupApply(emb, ordered = false),
       "llm_quality" -> TextAnalysis.quality(docs, ordered = false),
       "llm_quality_classifier" ->
         TextAnalysis.perceptronQuality(docs, col("lang") === "en", ordered = false),

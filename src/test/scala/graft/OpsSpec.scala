@@ -1254,6 +1254,27 @@ class OpsSpec extends GraftSuite {
     assert(clusters.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
   }
 
+  test("semantic-dedup apply keeps exactly singletons plus one representative per cluster") {
+    // Threshold 0.15 as in the clusters test: the declared 0.5 yields no
+    // pairs on the tiny sf0.001 slice; the apply contract is
+    // threshold-independent.
+    val clusters = Similarity.semanticClusters(emb, threshold = 0.15).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.nonEmpty, "test threshold must produce clusters")
+    val kept = Similarity.semanticDedupApply(emb, threshold = 0.15).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val expected = all.filter(id => clusters.get(id).forall(_ == id))
+    assert(kept.keySet == expected,
+      "survivors = singletons + min-member representatives")
+    // The flag marks exactly the representatives that absorbed dups.
+    kept.foreach { case (id, rep) =>
+      assert(rep == (if (clusters.contains(id)) 1L else 0L))
+    }
+    assert(kept.values.sum > 0, "planted near-dups must leave representatives")
+    assert(kept.size < all.size, "non-minimal members must be dropped")
+  }
+
   test("mmr top-k equals a local greedy recompute and never repeats a selection") {
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap

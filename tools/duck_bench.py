@@ -25,6 +25,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 NOT_BASELINES = {"d2_minhash_lsh", "d5_dedup_clusters", "d6_dedup_apply",
                  "d9_embedding_dedup", "d10_jaccard_join", "h5_llm_sql_dedup",
                  "s5_cluster_split", "d14_edit_dedup", "d15_semantic_clusters",
+                 # d19 wraps d15's recursive-closure ground truth.
+                 "d19_semantic_dedup",
                  "m5_phash_pairs", "m7_audio_pairs", "m8_video_pairs",
                  # t18's oracle re-derives BPE TRAINING as 10 unrolled
                  # list-fold CTE stages (~23 s at sf0.1) purely as ground
