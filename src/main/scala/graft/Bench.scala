@@ -192,7 +192,15 @@ object Bench {
     // was an ABSOLUTE d10 seconds cap, and r7 silently reinterpreted the
     // same name as a ratio — an external script pinning the old seconds
     // value would be misread (ADVICE r7). New name = new unit, explicit.
-    val canaryMax = sys.env.get("SPARK_GRAFT_CANARY_RATIO").map(_.toDouble)
+    val canaryMax = sys.env.get("SPARK_GRAFT_CANARY_RATIO").map { v =>
+        val d = v.toDouble
+        // Same plausibility guard as the legacy name (ADVICE r9): a
+        // seconds-style value (e.g. 30) read as a ratio cap would silently
+        // disable the degraded-window gate this guard exists to protect.
+        require(d > 0 && d < 5,
+          s"SPARK_GRAFT_CANARY_RATIO=$v is not a plausible basket RATIO cap")
+        d
+      }
       .orElse(sys.env.get("SPARK_GRAFT_CANARY").map { v =>
         val d = v.toDouble
         // Pre-r7 this name was an ABSOLUTE d10 seconds cap; it is now the

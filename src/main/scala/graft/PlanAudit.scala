@@ -39,6 +39,17 @@ object PlanAudit {
       }
     }
 
+    // Run `body` with auto-broadcast disabled, restoring the session's
+    // PRIOR threshold in a finally (ADVICE r9: restoring a hardcoded
+    // default is wrong if the session was launched with a non-default
+    // threshold) — the same save/restore discipline as OpsSpec.staticPlans.
+    def forcedShuffle[T](body: => T): T = {
+      val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try body
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    }
+
     val qs = SparkEntry.queries
 
     audit("q1_filter_order_limit", qs("q1_filter_order_limit")(spark, sfDir),
@@ -192,12 +203,12 @@ object PlanAudit {
     // 100 TB plan is the SHUFFLE regime, so force it and assert the true
     // self-join collapses to ONE corpus shuffle (round-4 lesson: plan
     // shapes flip with size — audit the regime the claim is about).
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    audit("e8_knn_graph (forced shuffle regime)", qs("e8_knn_graph")(spark, sfDir),
-      "cell self-join reuses one exchange (corpus shuffled once on the cell id)" ->
-        (_.contains("ReusedExchange")),
-      "still no cartesian product" -> (p => !p.contains("CartesianProduct")))
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    forcedShuffle {
+      audit("e8_knn_graph (forced shuffle regime)", qs("e8_knn_graph")(spark, sfDir),
+        "cell self-join reuses one exchange (corpus shuffled once on the cell id)" ->
+          (_.contains("ReusedExchange")),
+        "still no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    }
 
     audit("t6_hll_profile", qs("t6_hll_profile")(spark, sfDir),
       "no Expand: one distinct column per pass, HLL over deduplicated pairs" ->
@@ -298,7 +309,6 @@ object PlanAudit {
     // estimates kill on their own) and audit the shape the scale claim
     // is about (the e8 forced-regime lesson). The only broadcast allowed
     // anywhere is the deliberate 1-row scalar N.
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     def onlyScalarNBroadcast(df: org.apache.spark.sql.DataFrame): Boolean = {
       val bs = df.queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
@@ -307,23 +317,36 @@ object PlanAudit {
       bs.nonEmpty && bs.forall(_ == Seq("n"))
     }
     val docsDf = graft.core.Tables.load(spark, sfDir, "documents")
-    val t14j = graft.ops.TextAnalysis.pmiQuality(docsDf, broadcastStats = Some(false))
-    audit("t14_pmi_quality (forced shuffled-stats regime)", t14j,
-      "occurrences meet stats in a shuffled equi-join, never a type-table broadcast" ->
-        (p => p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")),
-      "the only broadcast is the 1-row scalar N" ->
-        (_ => onlyScalarNBroadcast(t14j)),
-      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
-    val t17j = graft.ops.TextAnalysis.backoffLm(docsDf,
-      org.apache.spark.sql.functions.col("doc_id") % 4 === 0,
-      broadcastStats = Some(false))
-    audit("t17_backoff_lm (forced shuffled-stats regime)", t17j,
-      "held-out trigrams meet all three stats frames in shuffled equi-joins" ->
-        (p => p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")),
-      "the only broadcast is the 1-row scalar N" ->
-        (_ => onlyScalarNBroadcast(t17j)),
-      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    forcedShuffle {
+      val t14j = graft.ops.TextAnalysis.pmiQuality(docsDf, broadcastStats = Some(false))
+      audit("t14_pmi_quality (forced shuffled-stats regime)", t14j,
+        "occurrences meet stats in a shuffled equi-join, never a type-table broadcast" ->
+          (p => p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")),
+        "the only broadcast is the 1-row scalar N" ->
+          (_ => onlyScalarNBroadcast(t14j)),
+        "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+      val t17j = graft.ops.TextAnalysis.backoffLm(docsDf,
+        org.apache.spark.sql.functions.col("doc_id") % 4 === 0,
+        broadcastStats = Some(false))
+      audit("t17_backoff_lm (forced shuffled-stats regime)", t17j,
+        "held-out trigrams meet all three stats frames in shuffled equi-joins" ->
+          (p => p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")),
+        "the only broadcast is the 1-row scalar N" ->
+          (_ => onlyScalarNBroadcast(t17j)),
+        "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    }
+
+    // d6 loser join (VERDICT r9 #2): the loser-id frame grows with the
+    // corpus dup count, so above the broadcast threshold the apply join
+    // must fall back to a doc_id-keyed shuffled equi-join — no forced
+    // BroadcastExchange may survive the forced regime.
+    forcedShuffle {
+      audit("d6_dedup_apply (forced shuffle regime)",
+        qs("d6_dedup_apply")(spark, sfDir),
+        "loser join optimizer-chosen: no BroadcastExchange above threshold" ->
+          (p => !p.contains("BroadcastExchange")),
+        "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    }
 
     audit("e11_ivfpq_topk", qs("e11_ivfpq_topk")(spark, sfDir),
       "cell restriction is a broadcast equi-join, not a cartesian fan-out" ->

@@ -82,8 +82,11 @@ object Server {
       val have = Seq("documents", "embeddings")
         .forall(t => java.nio.file.Files.exists(Paths.get(s"$dir/$t.parquet")))
       if (have) {
-        graft.query.LlmViews.register(spark, dir)
-        println(s"llm views registered over $dir")
+        // Lazy: views become reachable now, each one (and its trained
+        // artifacts) is built at first /query reference (ADVICE r9 —
+        // eager registration ran every training job at boot).
+        graft.query.LlmViews.registerLazy(spark, dir)
+        println(s"llm views registered (lazy) over $dir")
       } else System.err.println(
         s"[server] GRAFT_CORPUS_DIR=$dir lacks documents/embeddings parquet; llm views skipped")
     }

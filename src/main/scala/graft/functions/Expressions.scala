@@ -935,12 +935,30 @@ object Expressions {
     * exact for definite misses; `this` rows still need the verify join.
     * The filter bytes ship with the task closure like any literal
     * (executor-local probe, no per-row driver traffic). */
-  case class BloomMightContain(filterBytes: Array[Byte], child: Expression)
+  /** Value-equality wrapper for the serialized filter: expression
+    * canonicalization compares case-class params with equals(), and raw
+    * Array[Byte] equality is reference-based — two semantically identical
+    * probes would never compare equal (blocking subexpression elimination
+    * and plan reuse), and megabytes of raw bytes would render into plan
+    * toString (ADVICE r9). Digest-first comparison keeps equals cheap;
+    * toString is a fixed-size fingerprint, never the payload. */
+  final class BloomBytes(val bytes: Array[Byte]) extends Serializable {
+    private val digest = java.util.Arrays.hashCode(bytes)
+    override def equals(o: Any): Boolean = o match {
+      case b: BloomBytes =>
+        digest == b.digest && java.util.Arrays.equals(bytes, b.bytes)
+      case _ => false
+    }
+    override def hashCode: Int = digest
+    override def toString: String = s"bloom[${bytes.length}B#$digest]"
+  }
+
+  case class BloomMightContain(filter: BloomBytes, child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = BooleanType
     @transient private lazy val bf =
       org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(filterBytes))
+        new java.io.ByteArrayInputStream(filter.bytes))
     override def nullSafeEval(input: Any): Any =
       bf.mightContainString(input.toString)
     override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
@@ -950,7 +968,7 @@ object Expressions {
   import org.apache.spark.sql.graftshim.PlanExec.expression
 
   def bloomMightContain(filterBytes: Array[Byte], c: Column): Column =
-    column(BloomMightContain(filterBytes, expression(c)))
+    column(BloomMightContain(new BloomBytes(filterBytes), expression(c)))
 
   def minhashSig(c: Column, numHashes: Int): Column = column(MinHashSig(expression(c), numHashes))
   def simhash60(c: Column): Column = column(SimHash60(expression(c)))

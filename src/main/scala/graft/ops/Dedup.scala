@@ -299,14 +299,23 @@ object Dedup {
     * (localCheckpoint) by `nearDupClusters`, and a single left join +
     * aggregate derives BOTH counts — no separate `docs.count()` job and
     * no second execution of the LSH→CC chain (round-2's worst bench
-    * query was exactly that). The loser side is broadcast; the corpus
-    * scans once, doc_id column only. */
+    * query was exactly that). The corpus scans once, doc_id column only.
+    *
+    * The loser join is OPTIMIZER-CHOSEN, never hinted (VERDICT r9 #2):
+    * losers = non-canonical near-dup members, which at web scale is
+    * 30–50% of the corpus — a corpus-GROWING frame that must not carry a
+    * forced broadcast. At fixture scale the size estimate broadcasts it
+    * anyway; above the threshold it becomes a doc_id-keyed shuffled
+    * equi-join of two id-only (8 B/row) frames — the same
+    * let-the-estimate-decide shape d19's survivor filter uses
+    * (Similarity.semanticDedupApply). Both regimes pinned identical in
+    * OpsSpec; the shuffled regime asserted in PlanAudit. */
   def dedupApply(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val losers = nearDupClusters(docs, threshold)
       .where(col("doc_id") =!= col("cluster"))
       .select(col("doc_id"), lit(1).as("is_loser"))
     docs.select("doc_id")
-      .join(broadcast(losers), Seq("doc_id"), "left")
+      .join(losers, Seq("doc_id"), "left")
       // Outer coalesce: sum over an EMPTY corpus is null, and (0, 0) is
       // the correct answer there, not (null, null).
       .agg(count(lit(1)).as("total"),

@@ -760,8 +760,12 @@ object TextAnalysis {
     feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val w = Array.fill(dim)(0L)
+      // Explicit snapshot (w.clone): each margins plan must capture the
+      // weights AS OF ITS CONSTRUCTION — `w` is mutated in place by later
+      // fold()s, and the literal must not alias the live array (ADVICE r9:
+      // correctness silently depended on typedLit copying eagerly).
       def margins = feats.groupBy("doc_id", "y")
-        .agg(sum(col("cnt") * element_at(typedLit(w.toSeq), col("bucket") + 1))
+        .agg(sum(col("cnt") * element_at(typedLit(w.clone().toSeq), col("bucket") + 1))
           .as("margin"))
       def fold(grad: DataFrame): Unit = grad
         .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("g"))
@@ -776,10 +780,17 @@ object TextAnalysis {
         val mis = margins.where(col("y") * col("margin") <= 0).select("doc_id")
         fold(feats.join(mis, "doc_id"))
       }
-      val out = margins
+      // Materialize the user-facing scoring pass WHILE feats is still
+      // cached (ADVICE r9: the caller collects after the finally-block
+      // unpersist, so a lazy return would recompute feats uncached). One
+      // eager localCheckpoint of the doc-keyed margins frame — the same
+      // linear magnitude as the persist it retires; ordering is applied
+      // AFTER the checkpoint so the sort is presentation-only.
+      val scored = margins
         .select(col("doc_id"), col("y").as("label"), col("margin"),
           when(col("margin") > 0, 1L).otherwise(-1L).as("pred"))
-      if (ordered) out.orderAgg("doc_id") else out
+        .localCheckpoint(true)
+      if (ordered) scored.orderAgg("doc_id") else scored
     } finally feats.unpersist(blocking = false)
   }
 

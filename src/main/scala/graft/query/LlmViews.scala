@@ -20,10 +20,18 @@ import graft.ops.{Dedup, Similarity, TextAnalysis}
   */
 object LlmViews {
 
-  /** View name → builder, over the corpus/embedding tables of `dir`. */
-  def views(spark: SparkSession, dir: String): Map[String, DataFrame] = {
-    val docs = Tables.load(spark, dir, "documents")
-    val emb = Tables.load(spark, dir, "embeddings")
+  /** Per-(session, dir, data-signature) view builders. Plan construction
+    * — and above all the BUILD-ONCE TRAINED ARTIFACTS several views
+    * embed (PQ/coarse codebooks, BPE merges, perceptron weights, bloom
+    * bytes, media fixtures) — is deferred to first touch of a view that
+    * needs it (ADVICE r9: eager registration ran several driver-blocking
+    * training jobs per (dir, signature), so first `/query` latency grew
+    * with every operator added, even for queries touching none of them).
+    * Shared artifacts are `lazy val`s: the first pq view to be touched
+    * trains the codebooks, the second reuses them. */
+  final class Builders(spark: SparkSession, dir: String) {
+    private lazy val docs = Tables.load(spark, dir, "documents")
+    private lazy val emb = Tables.load(spark, dir, "embeddings")
     // Corpus-sized operators (one row per document / distinct text /
     // shared chunk) register UNSORTED: a view is a composition layer —
     // the user adds ORDER BY/LIMIT — and the declared queries' final
@@ -31,141 +39,189 @@ object LlmViews {
     // single-partition plan must NOT be baked into a view a server
     // could point at an arbitrarily large dir. Bounded-output operators
     // (top-k, pair lists, group counts) keep their canonical order.
-    // Build-once artifacts shared by several views — constructed ONCE
-    // per registration (which is itself cached per data signature).
-    val pqCbs = Similarity.labelPqCodebooks(emb)
-    val coarseCb = Similarity.collectCodebook(Similarity.centroidFrame(emb))
-    val bpeMerges = TextAnalysis.trainBpe(docs)
-    Map(
-      "llm_exact_dedup" -> Dedup.exact(docs, ordered = false),
-      "llm_near_dup_pairs" -> Dedup.minhashLsh(docs),
-      "llm_simhash" -> Dedup.simhash(docs, ordered = false),
-      "llm_chunk_dedup" -> Dedup.chunkDedup(docs, ordered = false),
-      "llm_boilerplate" -> Dedup.boilerplateScrub(docs, ordered = false),
-      "llm_source_overlap" -> Dedup.sourceOverlap(docs),
-      "llm_decontaminate" -> Dedup.decontaminate(docs, col("doc_id") % 11 === 0),
-      "llm_cosine_topk" -> Similarity.cosineTopK(emb, col("vec_id") < 5),
-      "llm_embedding_neardup" -> Similarity.embeddingNearDup(emb),
-      "llm_semantic_dedup" -> Similarity.semanticDedupApply(emb, ordered = false),
-      "llm_quality" -> TextAnalysis.quality(docs, ordered = false),
-      "llm_quality_classifier" ->
-        TextAnalysis.perceptronQuality(docs, col("lang") === "en", ordered = false),
-      "llm_langid" -> TextAnalysis.langid(docs, ordered = false),
-      "llm_token_stats" -> TextAnalysis.tokenStats(docs, ordered = false),
-      "llm_fingerprint" -> TextAnalysis.fingerprint(docs, ordered = false),
-      "llm_gopher_rules" -> TextAnalysis.gopherRules(docs, ordered = false),
-      "llm_repetition" -> TextAnalysis.repetition(docs, ordered = false),
-      "llm_embed_decontam" -> Similarity.crossContamination(emb, col("vec_id") % 11 === 0),
-      "llm_vocab" -> TextAnalysis.vocabTopK(docs),
-      "llm_hash_split" -> graft.ops.Sampling.hashSplit(docs),
+    private lazy val pqCbs = Similarity.labelPqCodebooks(emb)
+    private lazy val coarseCb =
+      Similarity.collectCodebook(Similarity.centroidFrame(emb))
+    private lazy val bpeMerges = TextAnalysis.trainBpe(docs)
+
+    val byName: Map[String, () => DataFrame] = Map(
+      "llm_exact_dedup" -> (() => Dedup.exact(docs, ordered = false)),
+      "llm_near_dup_pairs" -> (() => Dedup.minhashLsh(docs)),
+      "llm_simhash" -> (() => Dedup.simhash(docs, ordered = false)),
+      "llm_chunk_dedup" -> (() => Dedup.chunkDedup(docs, ordered = false)),
+      "llm_boilerplate" -> (() => Dedup.boilerplateScrub(docs, ordered = false)),
+      "llm_source_overlap" -> (() => Dedup.sourceOverlap(docs)),
+      "llm_decontaminate" -> (() => Dedup.decontaminate(docs, col("doc_id") % 11 === 0)),
+      "llm_cosine_topk" -> (() => Similarity.cosineTopK(emb, col("vec_id") < 5)),
+      "llm_embedding_neardup" -> (() => Similarity.embeddingNearDup(emb)),
+      "llm_semantic_dedup" -> (() => Similarity.semanticDedupApply(emb, ordered = false)),
+      "llm_quality" -> (() => TextAnalysis.quality(docs, ordered = false)),
+      // Trains at first touch (2·iters linear passes), never per query:
+      // the trained weights are inlined into the stored plan.
+      "llm_quality_classifier" -> (() =>
+        TextAnalysis.perceptronQuality(docs, col("lang") === "en", ordered = false)),
+      "llm_langid" -> (() => TextAnalysis.langid(docs, ordered = false)),
+      "llm_token_stats" -> (() => TextAnalysis.tokenStats(docs, ordered = false)),
+      "llm_fingerprint" -> (() => TextAnalysis.fingerprint(docs, ordered = false)),
+      "llm_gopher_rules" -> (() => TextAnalysis.gopherRules(docs, ordered = false)),
+      "llm_repetition" -> (() => TextAnalysis.repetition(docs, ordered = false)),
+      "llm_embed_decontam" -> (() =>
+        Similarity.crossContamination(emb, col("vec_id") % 11 === 0)),
+      "llm_vocab" -> (() => TextAnalysis.vocabTopK(docs)),
+      "llm_hash_split" -> (() => graft.ops.Sampling.hashSplit(docs)),
       // Build-once PQ (VERDICT r5 wrong-#4): the codebook is constructed
-      // HERE, at registration — one bounded index-build job per (session,
-      // dir, data signature) — and inlined into the stored view plan; a
+      // at FIRST TOUCH — one bounded index-build job per (session, dir,
+      // data signature) — and inlined into the stored view plan; a
       // query against the view never retrains. Map-only encoding over the
       // inlined codebook means user predicates on vec_id still push into
       // the parquet scan under the coded projection (asserted in
       // SqlPathConsistencySpec).
-      "llm_pq_topk" -> Similarity.pqTopK(emb, col("vec_id") < 5, pqCbs),
+      "llm_pq_topk" -> (() => Similarity.pqTopK(emb, col("vec_id") < 5, pqCbs)),
       // Bounded-output graph/split reports (canonical order kept).
-      "llm_knn_graph" -> Similarity.knnGraph(emb),
+      "llm_knn_graph" -> (() => Similarity.knnGraph(emb)),
       // Cluster labels read the build-once materialized artifact
       // (VERDICT r6 #5) — a view query is one join + a 3-key aggregate
       // over a scanned parquet, never an inline re-clustering.
-      "llm_cluster_split" -> graft.ops.Sampling.clusterSafeSplit(docs,
-        graft.ops.Sampling.clusterLabelsFor(spark, dir)),
+      "llm_cluster_split" -> (() => graft.ops.Sampling.clusterSafeSplit(docs,
+        graft.ops.Sampling.clusterLabelsFor(spark, dir))),
       // Round-7 operators (unsorted composition plans, same contract).
-      "llm_substring_dedup" -> Dedup.substringDedup(docs, ordered = false),
-      "llm_novelty" -> Dedup.noveltyScore(docs, ordered = false),
-      "llm_pmi_quality" -> TextAnalysis.pmiQuality(docs, ordered = false),
-      "llm_quantile_audit" -> TextAnalysis.quantileAudit(docs),
-      "llm_weighted_sample" -> graft.ops.Sampling.weightedSample(
-        docs, col("doc_id"), expr("n_chars div 2")),
-      "llm_mixture_sample" -> graft.ops.Sampling.mixtureSample(
+      "llm_substring_dedup" -> (() => Dedup.substringDedup(docs, ordered = false)),
+      "llm_novelty" -> (() => Dedup.noveltyScore(docs, ordered = false)),
+      "llm_pmi_quality" -> (() => TextAnalysis.pmiQuality(docs, ordered = false)),
+      "llm_quantile_audit" -> (() => TextAnalysis.quantileAudit(docs)),
+      "llm_weighted_sample" -> (() => graft.ops.Sampling.weightedSample(
+        docs, col("doc_id"), expr("n_chars div 2"))),
+      "llm_mixture_sample" -> (() => graft.ops.Sampling.mixtureSample(
         docs, col("doc_id"), col("lang"),
-        Seq("en" -> 500, "zh" -> 200, "de" -> 150, "es" -> 100, "fr" -> 50)),
-      "llm_alpha_sample" -> graft.ops.Sampling.alphaSample(
-        docs, col("doc_id"), col("lang")),
-      "llm_twostage_topk" -> Similarity.twoStageTopK(emb, col("vec_id") < 5),
-      "llm_binary_topk" -> Similarity.binaryTopK(emb, col("vec_id") < 5),
-      "llm_binary_rerank" -> Similarity.binaryRerankTopK(emb, col("vec_id") < 5),
+        Seq("en" -> 500, "zh" -> 200, "de" -> 150, "es" -> 100, "fr" -> 50))),
+      "llm_alpha_sample" -> (() => graft.ops.Sampling.alphaSample(
+        docs, col("doc_id"), col("lang"))),
+      "llm_twostage_topk" -> (() => Similarity.twoStageTopK(emb, col("vec_id") < 5)),
+      "llm_binary_topk" -> (() => Similarity.binaryTopK(emb, col("vec_id") < 5)),
+      "llm_binary_rerank" -> (() => Similarity.binaryRerankTopK(emb, col("vec_id") < 5)),
       // Composed IVF ∩ binary-prefilter ∩ exact-rerank retrieval over
-      // the registration-time coarse codebook.
-      "llm_ivf_binary_rerank" -> Similarity.ivfBinaryRerankTopK(
-        emb, coarseCb, col("vec_id") < 5),
-      "llm_multiprobe_rerank" -> Similarity.ivfBinaryRerankTopK(
-        emb, coarseCb, col("vec_id") < 5, probes = 2),
-      "llm_mmr_topk" -> Similarity.mmrTopK(emb, col("vec_id") < 5),
-      "llm_filtered_topk" -> Similarity.filteredTopK(emb, col("vec_id") < 5),
+      // the first-touch coarse codebook.
+      "llm_ivf_binary_rerank" -> (() => Similarity.ivfBinaryRerankTopK(
+        emb, coarseCb, col("vec_id") < 5)),
+      "llm_multiprobe_rerank" -> (() => Similarity.ivfBinaryRerankTopK(
+        emb, coarseCb, col("vec_id") < 5, probes = 2)),
+      "llm_mmr_topk" -> (() => Similarity.mmrTopK(emb, col("vec_id") < 5)),
+      "llm_filtered_topk" -> (() => Similarity.filteredTopK(emb, col("vec_id") < 5)),
       // Bounded per-epoch head sample (canonical order kept).
-      "llm_epoch_shuffle" -> graft.ops.Sampling.epochShuffle(docs),
-      "llm_semantic_clusters" -> Similarity.semanticClusters(emb),
-      "llm_containment" -> Dedup.containment(docs, col("doc_id") % 5 === 0),
-      "llm_backoff_lm" -> TextAnalysis.backoffLm(docs, col("doc_id") % 4 === 0,
-        ordered = false),
+      "llm_epoch_shuffle" -> (() => graft.ops.Sampling.epochShuffle(docs)),
+      "llm_semantic_clusters" -> (() => Similarity.semanticClusters(emb)),
+      "llm_containment" -> (() => Dedup.containment(docs, col("doc_id") % 5 === 0)),
+      "llm_backoff_lm" -> (() => TextAnalysis.backoffLm(docs, col("doc_id") % 4 === 0,
+        ordered = false)),
       // IVF-PQ over the SAME build-once codebooks the e5/e7 views use.
-      "llm_ivfpq_topk" -> Similarity.ivfPqTopK(emb, col("vec_id") < 5,
-        coarseCb, pqCbs),
+      "llm_ivfpq_topk" -> (() => Similarity.ivfPqTopK(emb, col("vec_id") < 5,
+        coarseCb, pqCbs)),
       // Pair list (bounded output): keeps its canonical order.
-      "llm_edit_dedup" -> Dedup.editDedup(docs),
+      "llm_edit_dedup" -> (() => Dedup.editDedup(docs)),
       // Bounded top-k (canonical order kept).
-      "llm_bpe_pairs" -> TextAnalysis.bpePairStats(docs),
-      // Distributed BPE apply over registration-time trained merges (a
+      "llm_bpe_pairs" -> (() => TextAnalysis.bpePairStats(docs)),
+      // Distributed BPE apply over first-touch trained merges (a
       // build-once artifact like the codebooks; the inlined-expression
       // plan keeps user predicates pushing into the scan).
-      "llm_bpe_tokens" -> TextAnalysis.bpeTokenCounts(docs, bpeMerges,
-        ordered = false),
-      "llm_fertility" -> TextAnalysis.bpeFertility(docs, bpeMerges,
-        ordered = false),
+      "llm_bpe_tokens" -> (() => TextAnalysis.bpeTokenCounts(docs, bpeMerges,
+        ordered = false)),
+      "llm_fertility" -> (() => TextAnalysis.bpeFertility(docs, bpeMerges,
+        ordered = false)),
       // Structured-PII detect/redact (map-only regexp chain).
-      "llm_pii_scrub" -> TextAnalysis.piiScrub(docs, ordered = false),
-      "llm_incremental_dedup" -> Dedup.dedupAgainstIndex(
+      "llm_pii_scrub" -> (() => TextAnalysis.piiScrub(docs, ordered = false)),
+      "llm_incremental_dedup" -> (() => Dedup.dedupAgainstIndex(
         docs.where(col("doc_id") % 3 === 0),
-        Dedup.digestIndex(docs.where(col("doc_id") % 3 =!= 0 || col("doc_id") < 100))),
-      "llm_bloom_dedup" -> Dedup.bloomDedupAgainstIndex(
+        Dedup.digestIndex(docs.where(col("doc_id") % 3 =!= 0 || col("doc_id") < 100)))),
+      "llm_bloom_dedup" -> (() => Dedup.bloomDedupAgainstIndex(
         docs.where(col("doc_id") % 3 === 1),
-        Dedup.digestIndex(docs.where(col("doc_id") % 3 =!= 1 || col("doc_id") < 50))),
+        Dedup.digestIndex(docs.where(col("doc_id") % 3 =!= 1 || col("doc_id") < 50)))),
       // Multimodal operators on the committed media/video/audio fixtures
       // (bounded pair/cut lists — canonical order kept): the near-dup
       // and scene-cut surfaces reachable from plain SQL like every text
       // operator.
-      "llm_phash_pairs" -> graft.ops.Multimodal.phashPairs(
-        spark.read.parquet(graft.ops.MediaFixture.ensure(spark))),
-      "llm_scene_cuts" -> graft.ops.Multimodal.sceneCuts(
-        spark.read.parquet(graft.ops.VideoFixture.ensure(spark))),
-      "llm_audio_pairs" -> graft.ops.Multimodal.audioSigPairs(
-        spark.read.parquet(graft.ops.AudioFixture.ensure(spark))),
-      "llm_video_pairs" -> graft.ops.Multimodal.videoSigPairs(
-        spark.read.parquet(graft.ops.VideoFixture.ensure(spark))))
+      "llm_phash_pairs" -> (() => graft.ops.Multimodal.phashPairs(
+        spark.read.parquet(graft.ops.MediaFixture.ensure(spark)))),
+      "llm_scene_cuts" -> (() => graft.ops.Multimodal.sceneCuts(
+        spark.read.parquet(graft.ops.VideoFixture.ensure(spark)))),
+      "llm_audio_pairs" -> (() => graft.ops.Multimodal.audioSigPairs(
+        spark.read.parquet(graft.ops.AudioFixture.ensure(spark)))),
+      "llm_video_pairs" -> (() => graft.ops.Multimodal.videoSigPairs(
+        spark.read.parquet(graft.ops.VideoFixture.ensure(spark)))))
+
+    private val registered = scala.collection.mutable.Set.empty[String]
+
+    /** Build + register exactly the named views not yet registered under
+      * this (dir, signature). Unknown names are ignored — the caller
+      * passes every relation a query references. */
+    def ensure(names: Iterable[String]): Unit = synchronized {
+      names.foreach { n =>
+        if (!registered.contains(n)) byName.get(n).foreach { build =>
+          build().createOrReplaceTempView(n)
+          registered += n
+        }
+      }
+    }
+    def ensureAll(): Unit = ensure(byName.keys)
   }
 
-  // One registration per session PER CURRENT (dir, data signature): view
+  /** View name → built plan, over the corpus/embedding tables of `dir`
+    * (builds EVERY view eagerly — the test sweep's surface; servers use
+    * register/registerLazy). */
+  def views(spark: SparkSession, dir: String): Map[String, DataFrame] =
+    new Builders(spark, dir).byName.map { case (n, b) => n -> b() }
+
+  // One Builders per session PER CURRENT (dir, data signature): view
   // construction is driver-side plan building for every operator family,
-  // and the declared h5/h6 queries call register() per execution —
+  // and the declared h5/h6 queries hit this cache per execution —
   // rebuilding the plans each time measured +0.25 s per query on the
   // bench. The cache tracks what the session's views CURRENTLY point at
   // (view names are session-global, so a keyed "seen" set would silently
   // keep serving dir B after a caller switched back to A), INCLUDING the
-  // source tables' bytes+mtime — a corpus regenerated in-session re-
-  // registers fresh plans instead of serving a stale snapshot (ADVICE
-  // r5). Sessions are held weakly so ephemeral test sessions are not
-  // retained for the process lifetime.
-  private val registeredDir =
+  // source tables' bytes+mtime — a corpus regenerated in-session gets a
+  // fresh Builders whose first-touch re-registration replaces the stale
+  // plans (ADVICE r5). Sessions are held weakly so ephemeral test
+  // sessions are not retained for the process lifetime.
+  private val holders =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, String]())
+      new java.util.WeakHashMap[SparkSession, (String, Builders)]())
+
+  private def holderFor(spark: SparkSession, dir: String): Builders =
+    holders.synchronized {
+      val key = s"$dir@${graft.core.Tables.dataSignature(dir)}"
+      val cur = holders.get(spark)
+      if (cur == null || cur._1 != key) {
+        val b = new Builders(spark, dir)
+        holders.put(spark, (key, b))
+        b
+      } else cur._2
+    }
 
   /** Register every view into the session catalog (idempotent per
     * current (dir, data signature); a changed dir OR changed source data
-    * replaces the views). */
+    * replaces the views). Eager — tests that spark.sql/spark.table the
+    * views directly use this; the server path prefers registerLazy. */
   def register(spark: SparkSession, dir: String): Unit =
-    registeredDir.synchronized {
-      val key = s"$dir@${graft.core.Tables.dataSignature(dir)}"
-      if (registeredDir.get(spark) != key) {
-        views(spark, dir).foreach { case (name, df) =>
-          df.createOrReplaceTempView(name)
-        }
-        registeredDir.put(spark, key)
-      }
+    holderFor(spark, dir).ensureAll()
+
+  /** Make the views REACHABLE without building any of them: each view
+    * (and its trained artifacts) is built at first reference through
+    * QueryService, which calls `ensure` with the relations a query names
+    * (ADVICE r9). */
+  def registerLazy(spark: SparkSession, dir: String): Unit = {
+    holderFor(spark, dir); ()
+  }
+
+  /** First-touch hook (called by QueryService.execute with every relation
+    * name the parsed query references): builds + registers any still-
+    * pending llm views among them. No-op for sessions that never called
+    * register/registerLazy. */
+  def ensure(spark: SparkSession, names: Iterable[String]): Unit = {
+    val cur = holders.synchronized(Option(holders.get(spark)))
+    cur.foreach { case (_, b) =>
+      val wanted = names.map(_.toLowerCase).filter(_.startsWith("llm_"))
+      if (wanted.nonEmpty) b.ensure(wanted)
     }
+  }
 }
 
 /** Declared queries exercising the LLM operators THROUGH the SQL entry
@@ -176,7 +232,9 @@ object LlmViews {
 object DeclaredLlmSql {
 
   private def service(spark: SparkSession, dir: String): QueryService = {
-    LlmViews.register(spark, dir)
+    // Lazy: each declared SQL query builds only the view(s) it names
+    // (QueryService's first-touch ensure), not all ~50.
+    LlmViews.registerLazy(spark, dir)
     new QueryService(spark, new graft.core.StaticCatalog(dir))
   }
 

@@ -72,6 +72,13 @@ final class QueryService(
     }
     val relNames = relBuf.toSeq
 
+    // First-touch build of any lazily-registered llm_* views this query
+    // references (ADVICE r9): the view plan — and any trained artifact it
+    // embeds — is constructed on first reference, not at registration, so
+    // a query touching none of them pays nothing. No-op unless LlmViews
+    // registerLazy/register ran for this session.
+    LlmViews.ensure(spark, relNames)
+
     val schemas: Map[String, StructType] = relNames.flatMap { n =>
       tables.schemaOf(spark, n).map(n -> _)
     }.toMap

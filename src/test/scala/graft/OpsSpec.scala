@@ -92,6 +92,24 @@ class OpsSpec extends GraftSuite {
     assert(viaLoop == clusters, "driver and distributed CC must agree")
   }
 
+  test("d6 dedupApply: loser join optimizer-chosen, both regimes identical") {
+    // VERDICT r9 #2: losers grow with the corpus dup count (30–50% of a
+    // web crawl), so the join must never carry a forced broadcast hint.
+    // Auto regime (fixture scale: estimate broadcasts) and the forced
+    // shuffled regime (the 100 TB shape) must compute the same counts,
+    // and the shuffled plan must carry NO BroadcastExchange at all.
+    val auto = Dedup.dedupApply(docs).collect().toSeq
+    staticPlans {
+      val df = Dedup.dedupApply(docs)
+      val bcasts = collectPlan(df.queryExecution.executedPlan) {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      assert(bcasts.isEmpty,
+        "d6 forced-shuffle regime must carry no BroadcastExchange")
+      assert(df.collect().toSeq == auto, "d6 regimes must agree row-for-row")
+    }
+  }
+
   test("edit dedup = jaccard pairs verified by a local levenshtein recompute") {
     def lev(a: String, b: String): Long = {
       val prev = Array.range(0, b.length + 1)
