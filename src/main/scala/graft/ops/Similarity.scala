@@ -208,11 +208,13 @@ object Similarity {
   /** 63-bit sign signature (one bit per component, first component =
     * MSB): signBucket widened to a full binary code in a BIGINT. 63
     * bits, not 64, keeps every weight a positive Long in BOTH engines
-    * (1L << 63 is the sign bit here and an overflow error in DuckDB). */
+    * (1L << 63 is the sign bit here and an overflow error in DuckDB).
+    * Native codegen'd kernel (VectorKernels.signSig63): the composed
+    * 63-term when-chain it replaces was the hottest expression in the
+    * binary-ANN family — 2.5× the cost of a full float cosine over the
+    * same rows at bench scale. Bit-identical semantics. */
   def signSig(v: Column): Column =
-    (0 until 63).map(i =>
-      when(element_at(v, i + 1) >= 0f, lit(1L << (62 - i))).otherwise(lit(0L)))
-      .reduce(_ + _)
+    graft.functions.Expressions.signSig63(v)
 
   /** Binary-code Hamming top-k — the 8-bytes-per-vector scan tier of
     * ANN (below even PQ's m bytes): each vector collapses to its
