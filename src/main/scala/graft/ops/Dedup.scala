@@ -705,15 +705,40 @@ object Dedup {
     * bounded by the document's own chunk count, i.e. by max document
     * size, the same bound the corpus already implies). Three linear
     * shuffles, no all-pairs stage. */
+  /** The d18 chunk grid over a pre-split words column `w`: ceil(|w|/width)
+    * aligned `width`-word chunks. ONE definition shared by the batch
+    * scrub, the boilerplate-table build, and the streaming scrub — the
+    * streaming/batch parity contract is exact only because the grids are
+    * the same expression. */
+  private[graft] def chunkArray(width: Int): Column = expr(
+    s"""transform(sequence(0, (size(w) + ${width - 1}) div $width - 1),
+       |  i -> concat_ws(' ', slice(w, i * $width + 1, $width)))""".stripMargin)
+
+  /** (doc_id, chunk_idx, chunk, h) rows of the d18 grid; extra columns
+    * (e.g. a streaming event time) pass through. */
+  private[graft] def chunked(docs: DataFrame, width: Int,
+      carry: Seq[String] = Seq.empty): DataFrame = {
+    val cs = (Seq(col("doc_id")) ++ carry.map(col)) :+ split(col("text"), " ").as("w")
+    docs.select(cs: _*)
+      .select((Seq(col("doc_id")) ++ carry.map(col)) :+ posexplode(chunkArray(width)): _*)
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+      .withColumn("h", md5(col("chunk")))
+  }
+
+  /** The boilerplate digest table d18 removes: chunk digests appearing in
+    * MORE than `maxDf` distinct documents. Built batch-side (nightly, over
+    * the accumulated corpus) and consumed by [[graft.streaming
+    * .StreamingBoilerplate]] as its static scrub table. */
+  def boilerplateChunks(docs: DataFrame, width: Int = 20, maxDf: Int = 1): DataFrame =
+    chunked(docs, width).groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") > maxDf)
+      .select("h")
+
   def boilerplateScrub(docs: DataFrame, width: Int = 20, maxDf: Int = 1,
       ordered: Boolean = true): DataFrame = {
-    val chunks = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, (size(w) + ${width - 1}) div $width - 1),
-           |  i -> concat_ws(' ', slice(w, i * $width + 1, $width)))""".stripMargin)))
-      .toDF("doc_id", "chunk_idx", "chunk")
-      .withColumn("h", md5(col("chunk")))
+    val chunks = chunked(docs, width)
     val df = chunks.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     val keep = col("n_docs") <= maxDf

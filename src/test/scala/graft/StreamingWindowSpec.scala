@@ -294,4 +294,79 @@ class StreamingWindowSpec extends GraftSuite {
       assert(batch.nonEmpty, "corpus must contain contaminated docs")
     } finally q.stop()
   }
+
+  test("streaming bloom dedup (stream-static anti join) matches batch d17 exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // Same corpus split as the declared d17 row: stream = crawl slice,
+    // static = digest index over the rest (overlapping so dups exist).
+    val all = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    val crawl = all.where(col("doc_id") % 3 === 1)
+    val index = graft.ops.Dedup.digestIndex(
+      all.where(col("doc_id") % 3 =!= 1 || col("doc_id") < 50))
+    val batch = graft.ops.Dedup.bloomDedupAgainstIndex(crawl, index)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val rows = crawl.collect().map(r => (r.getLong(0), r.getString(1)))
+    val base = Timestamp.valueOf("2024-01-01 10:00:00")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = streaming.StreamingBloomDedup.dedup(
+      input.toDF().toDF("doc_id", "ts", "text"), index)
+    val q = out.writeStream
+      .format("memory").queryName("sbloom").outputMode("append").start()
+    try {
+      // STATELESS contract: rows emit batch-by-batch with no watermark
+      // advancement needed — the operator carries no streaming state.
+      rows.grouped(200).foreach { g =>
+        input.addData(g.map(x => (x._1, base, x._2)).toSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("sbloom").collect().map(_.getLong(0)).toSet
+      assert(got == batch,
+        s"stream/batch mismatch: extra=${got -- batch} missing=${batch -- got}")
+      assert(batch.nonEmpty && batch.size < rows.length,
+        "fixture must exercise both kept and dropped docs")
+    } finally q.stop()
+  }
+
+  test("streaming boilerplate scrub matches batch d18 against the same chunk table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val all = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    // The static scrub table is the batch-built artifact over the SAME
+    // corpus, so cleaned text must be IDENTICAL row-for-row; only the
+    // emission time is window-governed.
+    val boiler = graft.ops.Dedup.boilerplateChunks(all, 20, 1)
+    val batch = graft.ops.Dedup.boilerplateScrub(all, 20, 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+
+    val rows = all.collect().map(r => (r.getLong(0), r.getString(1)))
+    val base = Timestamp.valueOf("2024-01-01 10:00:00")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = streaming.StreamingBoilerplate.scrub(
+      input.toDF().toDF("doc_id", "ts", "text"), boiler)
+    val q = out.writeStream
+      .format("memory").queryName("sboiler").outputMode("append").start()
+    try {
+      // All docs inside one 10-min window, streamed in batches, then a
+      // far-future row advances the watermark and closes the window.
+      rows.grouped(500).foreach { g =>
+        input.addData(g.map(x => (x._1, base, x._2)).toSeq)
+        q.processAllAvailable()
+      }
+      input.addData((999999L,
+        Timestamp.valueOf("2024-01-01 12:00:00"), "late watermark row"))
+      q.processAllAvailable()
+      val got = spark.table("sboiler").collect()
+        .map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))).toSet
+      assert(got == batch, s"stream/batch mismatch: extra sample=" +
+        s"${(got -- batch).take(2)} missing sample=${(batch -- got).take(2)}")
+      assert(batch.nonEmpty, "corpus must contain boilerplate for this test to bite")
+    } finally q.stop()
+  }
 }
