@@ -25,6 +25,7 @@ object DeclaredMedia {
   private def media(s: SparkSession): DataFrame = fixtureDf(s, MediaFixture.ensure(_))
   private def video(s: SparkSession): DataFrame = fixtureDf(s, VideoFixture.ensure(_))
   private def audio(s: SparkSession): DataFrame = fixtureDf(s, AudioFixture.ensure(_))
+  private def pgm(s: SparkSession): DataFrame = fixtureDf(s, PgmFixture.ensure(_))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_decode"  -> ((s, _) => Multimodal.decodeDims(media(s))),
@@ -34,11 +35,13 @@ object DeclaredMedia {
     "m5_phash_pairs"   -> ((s, _) => Multimodal.phashPairs(media(s))),
     "m6_scene_cuts"    -> ((s, _) => Multimodal.sceneCuts(video(s))),
     "m7_audio_pairs"   -> ((s, _) => Multimodal.audioSigPairs(audio(s))),
-    "m8_video_pairs"   -> ((s, _) => Multimodal.videoSigPairs(video(s))))
+    "m8_video_pairs"   -> ((s, _) => Multimodal.videoSigPairs(video(s))),
+    "m9_pgm_decode"    -> ((s, _) => Multimodal.decodePgm(pgm(s))))
 
   private val Fixture = MediaFixture.DefaultPath
   private val VidFixture = VideoFixture.DefaultPath
   private val AudFixture = AudioFixture.DefaultPath
+  private val PgmPath = PgmFixture.DefaultPath
 
   val oracleSql: Map[String, String] = Map(
     "m1_media_decode" ->
@@ -86,6 +89,27 @@ object DeclaredMedia {
          |CAST(meta.n_samples AS BIGINT) AS n_samples
          |FROM read_parquet('$Fixture') WHERE kind = 'audio'
          |ORDER BY media_id""".stripMargin,
+
+    // m9: PIXEL-level ground truth — every raster byte re-read from the
+    // payload HEX (the raster is the LAST w*h bytes whatever the header
+    // shape, comments included), aggregated independently; dims/maxval
+    // cross-check the meta struct against Spark's byte-level P5 parse
+    // (the m1 contract, taken down to the pixels).
+    "m9_pgm_decode" ->
+      s"""WITH p AS (
+         |  SELECT media_id, hex(payload) AS hs, octet_length(payload) AS tot,
+         |    meta.width AS w, meta.height AS h, meta.maxval AS maxval
+         |  FROM read_parquet('$PgmPath')),
+         |px AS (
+         |  SELECT media_id, w, h, maxval,
+         |    list_transform(range(0, w * h), i -> CAST(concat('0x',
+         |      substr(hs, CAST((tot - w * h + i) * 2 + 1 AS INT), 2)) AS INT)) AS v
+         |  FROM p)
+         |SELECT media_id, w, h, maxval, CAST(w AS BIGINT) * h AS n_pixels,
+         |  list_min(v) AS px_min, list_max(v) AS px_max,
+         |  CAST(list_sum(v) AS BIGINT) AS px_sum,
+         |  CAST(list_sum(v) AS BIGINT) * 100 // (CAST(w AS BIGINT) * h) AS mean_x100
+         |FROM px ORDER BY media_id""".stripMargin,
 
     // Ground truth = all-pairs Hamming over the same integer phash
     // (count·16 > n bit rule re-derived byte-by-byte from the payload

@@ -146,7 +146,10 @@ object LlmViews {
       "llm_audio_pairs" -> (() => graft.ops.Multimodal.audioSigPairs(
         spark.read.parquet(graft.ops.AudioFixture.ensure(spark)))),
       "llm_video_pairs" -> (() => graft.ops.Multimodal.videoSigPairs(
-        spark.read.parquet(graft.ops.VideoFixture.ensure(spark)))))
+        spark.read.parquet(graft.ops.VideoFixture.ensure(spark)))),
+      // Pixel-level PGM decode (m9): real raster stats from SQL.
+      "llm_pgm_stats" -> (() => graft.ops.Multimodal.decodePgm(
+        spark.read.parquet(graft.ops.PgmFixture.ensure(spark)))))
 
     private val registered = scala.collection.mutable.Set.empty[String]
 

@@ -113,6 +113,45 @@ class MultimodalSpec extends GraftSuite {
     assert(DeclaredMedia.queries.keySet -- DeclaredMedia.oracleSql.keySet == Set.empty)
   }
 
+  test("pgm decode: real pixel stats match a local raster recompute") {
+    import org.apache.spark.sql.functions.col
+    val pgm = spark.read.parquet(graft.ops.PgmFixture.ensure(spark))
+    val out = Multimodal.decodePgm(pgm).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getInt(5), r.getInt(6), r.getLong(7), r.getLong(8))))
+      .toMap
+    val metas = pgm.selectExpr("media_id", "meta.width", "meta.height").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(metas.nonEmpty && out.size == metas.length,
+      "every fixture row must decode (headers are all valid P5)")
+    metas.foreach { case (id, w, h) =>
+      // Ground truth straight from the fixture's raster construction.
+      val px = graft.ops.PgmFixture.raster(id, w * h).map(_ & 0xff)
+      val (gw, gh, gmx, gn, gmin, gmax, gsum, gmean) = out(id)
+      assert((gw, gh, gmx) == ((w, h, 255)), s"dims parse for $id")
+      assert(gn == w.toLong * h)
+      assert(gmin == px.min && gmax == px.max, s"min/max for $id")
+      assert(gsum == px.map(_.toLong).sum, s"sum for $id")
+      assert(gmean == gsum * 100 / (w.toLong * h))
+    }
+    // At least one header carries a comment line; the parser must have
+    // skipped it (the fixture writes them for id % 3 == 1).
+    assert(metas.exists(_._1 % 3 == 1), "fixture must exercise comments")
+    // Malformed payloads decode to NULL, never a partial/garbage row.
+    import spark.implicits._
+    val bad = Seq(
+      "P6\n2 2\n255\nAAAA".getBytes("US-ASCII"),      // wrong magic
+      "P5\n3 3\n255\nAB".getBytes("US-ASCII"),        // truncated raster
+      "P5\n0 4\n255\n".getBytes("US-ASCII"),          // zero width
+      "P5\n2 2\n70000\nAAAA".getBytes("US-ASCII"),    // maxval > 255
+      Array[Byte]())                                   // empty
+      .toDF("payload")
+    val decoded = bad
+      .select(Multimodal.pgmStats(col("payload")).as("st"))
+      .collect()
+    assert(decoded.forall(_.isNullAt(0)), "malformed PGM must yield null")
+  }
+
   test("audio sig pairs: banded join equals a local all-pairs recompute") {
     val audio = spark.read.parquet(graft.ops.AudioFixture.ensure(spark))
     def sig(bytes: Array[Byte]): Int = {
