@@ -67,6 +67,54 @@ object ScaleCheck {
     out
   }
 
+  /** Synthetic 50k-VECTOR embedding corpus for the e15/e17 third decade
+    * (VERDICT r9 #5): cluster geometry is MEASURED from sf0.1 — per-
+    * (label, dim) centroid and stddev, label proportions — and vectors
+    * are centroid + measured-sigma gaussian noise (deterministic
+    * Box-Muller over splitmix). Honestly synthetic: the cluster
+    * STRUCTURE is the measured one, the vectors are not driver data.
+    * This is the corpus shape the earlier rounds declined to fake for
+    * cell-recall claims; it exists now precisely to measure the
+    * multiprobe recall lever a decade past driver data, labeled as
+    * such. */
+  private def synthEmb50k(spark: SparkSession, from: String): String = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft-sf1-emb-synth"
+    val marker = java.nio.file.Paths.get(out, "_SUCCESS")
+    if (java.nio.file.Files.exists(marker)) return out
+    val real = spark.read.parquet(s"$from/embeddings.parquet")
+    val stats = real
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(avg(col("v").cast("double")).as("m"),
+        stddev_pop(col("v").cast("double")).as("s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val dims = stats.keys.map(_._2).max + 1
+    val labelsByShare = real.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val totalN = labelsByShare.map(_._2).sum.toDouble
+    val cum = labelsByShare.scanLeft(0.0) { case (acc, (_, n)) => acc + n / totalN }
+    val nVecs = 50000
+    import spark.implicits._
+    val vecs = (0 until nVecs).map { id =>
+      val u = rand01(id * 2654435761L)
+      val li = cum.indexWhere(_ > u) match { case -1 => labelsByShare.length; case i => i }
+      val label = labelsByShare(math.min(li, labelsByShare.length) - 1 max 0)._1
+      val emb = Array.tabulate(dims) { i =>
+        val (m, s) = stats((label, i))
+        val u1 = math.max(rand01(id * 8191L + i * 2), 1e-12)
+        val u2 = rand01(id * 524287L + i * 2 + 1)
+        val g = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+        (m + s * g).toFloat
+      }
+      (id.toLong, emb, label)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .repartition(16).write.mode("overwrite").parquet(out)
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val dirs =
       if (args.length >= 2) Seq(args(0), args(1))
@@ -508,6 +556,40 @@ object ScaleCheck {
       println(s"T17LMSTATS $dir trigram_occ=${tri.count()} " +
         s"tri_types=${tri.distinct().count()} corpus_est_bytes=$est " +
         s"regime=${if (est <= BigInt(graft.ops.TextAnalysis.StatsBroadcastMaxCorpusBytes)) "broadcast" else "shuffled"}")
+
+      // e15/e17 at the third decade (VERDICT r9 #5): the single-probe
+      // plateau is P(true neighbor shares the query's one cell) — a
+      // GEOMETRY property, so it needs the measured-cluster synthetic
+      // embedding corpus, not the text one. Sweep probes at the plateau
+      // budget (m = 200, k = 10, the E15IVFBINARY protocol) and beside
+      // it the e15 single-probe m-sweep, a decade past driver data.
+      {
+        val semb = spark.read.parquet(synthEmb50k(spark, dirs.last))
+        def pairSet(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = pairSet(graft.ops.Similarity
+          .cosineTopK(semb, col("vec_id") < 10)
+          .select("query_id", "neighbor_id"))
+        def rec(s: Set[(Long, Long)]) =
+          if (exact.isEmpty) 1.0 else s.intersect(exact).size.toDouble / exact.size
+        val coarseCb = graft.ops.Similarity.collectCodebook(
+          graft.ops.Similarity.centroidFrame(semb))
+        val mRows = for (m <- Seq(50, 200)) yield {
+          val r = rec(pairSet(graft.ops.Similarity.ivfBinaryRerankTopK(
+              semb, coarseCb, col("vec_id") < 10, m = m, k = 10)
+            .select("query_id", "neighbor_id")))
+          f"m$m=$r%.3f"
+        }
+        println(s"E15IVFBINARY50K vecs=${semb.count()} cells=${coarseCb.size} " +
+          mRows.mkString(" "))
+        val probeRows = for (p <- Seq(1, 2, 4)) yield {
+          val r = rec(pairSet(graft.ops.Similarity.ivfBinaryRerankTopK(
+              semb, coarseCb, col("vec_id") < 10, m = 200, k = 10, probes = p)
+            .select("query_id", "neighbor_id")))
+          f"p$p=$r%.3f"
+        }
+        println(s"E17MULTIPROBE50K m200 ${probeRows.mkString(" ")}")
+      }
     }
 
     // m5: distinct-phash saturation curve on synthetic GIMG corpora —
