@@ -36,7 +36,8 @@ object DeclaredMedia {
     "m6_scene_cuts"    -> ((s, _) => Multimodal.sceneCuts(video(s))),
     "m7_audio_pairs"   -> ((s, _) => Multimodal.audioSigPairs(audio(s))),
     "m8_video_pairs"   -> ((s, _) => Multimodal.videoSigPairs(video(s))),
-    "m9_pgm_decode"    -> ((s, _) => Multimodal.decodePgm(pgm(s))))
+    "m9_pgm_decode"    -> ((s, _) => Multimodal.decodePgm(pgm(s))),
+    "m10_pgm_resize"   -> ((s, _) => Multimodal.resizePgm(pgm(s))))
 
   private val Fixture = MediaFixture.DefaultPath
   private val VidFixture = VideoFixture.DefaultPath
@@ -110,6 +111,39 @@ object DeclaredMedia {
          |  CAST(list_sum(v) AS BIGINT) AS px_sum,
          |  CAST(list_sum(v) AS BIGINT) * 100 // (CAST(w AS BIGINT) * h) AS mean_x100
          |FROM px ORDER BY media_id""".stripMargin,
+
+    // m10: every OUTPUT pixel of the 2x box-downsample re-derived from
+    // the payload hex (floor mean of each 2x2 input block), pinned
+    // position-sensitively by the t4 rolling fingerprint over the
+    // resized raster in row-major order — a wrong pixel VALUE or a
+    // wrong pixel POSITION both break the hash.
+    "m10_pgm_resize" ->
+      s"""WITH p AS (
+         |  SELECT media_id, hex(payload) AS hs, octet_length(payload) AS tot,
+         |    meta.width AS w, meta.height AS h
+         |  FROM read_parquet('$PgmPath')),
+         |px AS (
+         |  SELECT media_id, w, h,
+         |    CAST(w // 2 AS INT) AS ow, CAST(h // 2 AS INT) AS oh,
+         |    list_transform(range(0, w * h), i -> CAST(concat('0x',
+         |      substr(hs, CAST((tot - w * h + i) * 2 + 1 AS INT), 2)) AS INT)) AS v
+         |  FROM p),
+         |rz AS (
+         |  SELECT media_id, ow, oh,
+         |    list_transform(range(0, ow * oh), k ->
+         |      (v[CAST((k // ow) * 2 * w + (k % ow) * 2 + 1 AS INT)]
+         |     + v[CAST((k // ow) * 2 * w + (k % ow) * 2 + 2 AS INT)]
+         |     + v[CAST(((k // ow) * 2 + 1) * w + (k % ow) * 2 + 1 AS INT)]
+         |     + v[CAST(((k // ow) * 2 + 1) * w + (k % ow) * 2 + 2 AS INT)]) // 4) AS r
+         |  FROM px)
+         |SELECT media_id, ow AS out_w, oh AS out_h,
+         |  CAST(ow AS BIGINT) * oh AS n_pixels,
+         |  CAST(list_min(r) AS INT) AS px_min, CAST(list_max(r) AS INT) AS px_max,
+         |  CAST(list_sum(r) AS BIGINT) AS px_sum,
+         |  CAST(list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT), list_transform(r, x -> CAST(x AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fp
+         |FROM rz ORDER BY media_id""".stripMargin,
 
     // Ground truth = all-pairs Hamming over the same integer phash
     // (count·16 > n bit rule re-derived byte-by-byte from the payload

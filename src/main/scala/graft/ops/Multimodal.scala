@@ -320,6 +320,103 @@ object Multimodal {
 
   def pgmStats(c: Column): Column = column(PgmStats(expression(c)))
 
+  /** 2× box-downsample of a PGM raster at PIXEL level — the "resize"
+    * member of the decode/feature-extract/resize/frame-sample quartet,
+    * now on real pixels: output pixel (x, y) = floor mean of the 2×2
+    * input block (integer div 4, engine-exact); odd edge rows/columns
+    * are dropped (out dims = w div 2, h div 2 — the exact contract, no
+    * boundary interpolation ambiguity). Emits dims + stats + the t4
+    * rolling fingerprint of the RESIZED raster in row-major order, so
+    * the oracle pins every output pixel's value AND position, not just
+    * order-free sums. NULL on malformed/too-small payloads, like
+    * PgmStats. One pass, in-scan; the resized raster never leaves the
+    * expression. */
+  case class PgmResizeStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("out_w", IntegerType, nullable = false),
+      StructField("out_h", IntegerType, nullable = false),
+      StructField("px_sum", LongType, nullable = false),
+      StructField("px_min", IntegerType, nullable = false),
+      StructField("px_max", IntegerType, nullable = false),
+      StructField("fp", LongType, nullable = false)))
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[Array[Byte]]
+      // Re-walk the header with the SAME parser semantics as PgmStats
+      // (shared private logic would hide which expression a plan uses;
+      // the spec pins both against one local recompute).
+      var p = 0
+      def isWs(c: Int): Boolean =
+        c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0x0b
+      def skip(): Unit = {
+        var go = true
+        while (go && p < b.length) {
+          val c = b(p) & 0xff
+          if (isWs(c)) p += 1
+          else if (c == '#') {
+            while (p < b.length && (b(p) & 0xff) != '\n') p += 1
+          } else go = false
+        }
+      }
+      def int(): Int = {
+        skip()
+        var v = 0L; var any = false
+        while (p < b.length && (b(p) & 0xff) >= '0' && (b(p) & 0xff) <= '9' &&
+            v <= Int.MaxValue) {
+          v = v * 10 + ((b(p) & 0xff) - '0'); any = true; p += 1
+        }
+        if (any && v <= Int.MaxValue) v.toInt else -1
+      }
+      if (b.length < 2 || (b(0) & 0xff) != 'P' || (b(1) & 0xff) != '5') return null
+      p = 2
+      val w = int(); val h = int(); val mx = int()
+      if (w <= 0 || h <= 0 || mx <= 0 || mx > 255 ||
+          p >= b.length || !isWs(b(p) & 0xff)) return null
+      p += 1
+      if (b.length.toLong - p < w.toLong * h) return null
+      val ow = w / 2; val oh = h / 2
+      if (ow <= 0 || oh <= 0) return null
+      var mn = 255; var mxp = 0; var s = 0L; var fp = 0L
+      var y = 0
+      while (y < oh) {
+        var x = 0
+        val r0 = p + (2 * y) * w
+        val r1 = r0 + w
+        while (x < ow) {
+          val v = ((b(r0 + 2 * x) & 0xff) + (b(r0 + 2 * x + 1) & 0xff) +
+            (b(r1 + 2 * x) & 0xff) + (b(r1 + 2 * x + 1) & 0xff)) / 4
+          if (v < mn) mn = v
+          if (v > mxp) mxp = v
+          s += v
+          fp = (fp * 31 + v) % 1000000007L
+          x += 1
+        }
+        y += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(ow, oh, s, mn, mxp, fp)
+    }
+    override protected def withNewChildInternal(c: Expression): PgmResizeStats =
+      copy(child = c)
+  }
+
+  def pgmResizeStats(c: Column): Column = column(PgmResizeStats(expression(c)))
+
+  /** m10 — pixel-level 2× resize: real box-downsampled raster, pinned by
+    * the rolling fingerprint (position-sensitive) plus order-free stats;
+    * the oracle re-derives every OUTPUT pixel from the payload hex. Same
+    * in-scan map-only shape as m9. */
+  def resizePgm(media: DataFrame): DataFrame =
+    media
+      .select(col("media_id"), pgmResizeStats(col("payload")).as("st"))
+      .where(col("st").isNotNull)
+      .select(col("media_id"),
+        col("st.out_w").as("out_w"), col("st.out_h").as("out_h"),
+        (col("st.out_w").cast("long") * col("st.out_h")).as("n_pixels"),
+        col("st.px_min").as("px_min"), col("st.px_max").as("px_max"),
+        col("st.px_sum").as("px_sum"), col("st.fp").as("fp"))
+      .orderSmall("media_id")
+
   /** m9 — PGM pixel decode + stats: parse the P5 header from the bytes
     * alone, aggregate the real raster (min/max/sum and the exact integer
     * permille-free mean·100). The oracle recomputes every pixel from the

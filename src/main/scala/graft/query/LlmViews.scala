@@ -147,8 +147,10 @@ object LlmViews {
         spark.read.parquet(graft.ops.AudioFixture.ensure(spark)))),
       "llm_video_pairs" -> (() => graft.ops.Multimodal.videoSigPairs(
         spark.read.parquet(graft.ops.VideoFixture.ensure(spark)))),
-      // Pixel-level PGM decode (m9): real raster stats from SQL.
+      // Pixel-level PGM decode + resize (m9/m10): real raster ops in SQL.
       "llm_pgm_stats" -> (() => graft.ops.Multimodal.decodePgm(
+        spark.read.parquet(graft.ops.PgmFixture.ensure(spark)))),
+      "llm_pgm_resize" -> (() => graft.ops.Multimodal.resizePgm(
         spark.read.parquet(graft.ops.PgmFixture.ensure(spark)))))
 
     private val registered = scala.collection.mutable.Set.empty[String]

@@ -150,6 +150,32 @@ class MultimodalSpec extends GraftSuite {
       .select(Multimodal.pgmStats(col("payload")).as("st"))
       .collect()
     assert(decoded.forall(_.isNullAt(0)), "malformed PGM must yield null")
+    val resized = bad
+      .select(Multimodal.pgmResizeStats(col("payload")).as("st"))
+      .collect()
+    assert(resized.forall(_.isNullAt(0)), "malformed PGM resize must yield null")
+  }
+
+  test("pgm resize: every output pixel matches a local 2x box-downsample") {
+    val pgm = spark.read.parquet(graft.ops.PgmFixture.ensure(spark))
+    val out = Multimodal.resizePgm(pgm).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    val metas = pgm.selectExpr("media_id", "meta.width", "meta.height").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.size == metas.length)
+    metas.foreach { case (id, w, h) =>
+      val px = graft.ops.PgmFixture.raster(id, w * h).map(_ & 0xff)
+      val (ow, oh) = (w / 2, h / 2)
+      // Ground-truth resize straight from the raster construction.
+      val r = for (y <- 0 until oh; x <- 0 until ow) yield
+        (px(2 * y * w + 2 * x) + px(2 * y * w + 2 * x + 1) +
+         px((2 * y + 1) * w + 2 * x) + px((2 * y + 1) * w + 2 * x + 1)) / 4
+      val fp = r.foldLeft(0L)((a, v) => (a * 31 + v) % 1000000007L)
+      assert(out(id) == ((ow, oh, ow.toLong * oh, r.min, r.max,
+        r.map(_.toLong).sum, fp)), s"resize mismatch for $id")
+    }
   }
 
   test("audio sig pairs: banded join equals a local all-pairs recompute") {
