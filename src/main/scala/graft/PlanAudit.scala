@@ -470,6 +470,19 @@ object PlanAudit {
       "top-k collapses to TakeOrderedAndProject" ->
         (_.contains("TakeOrderedAndProject")))
 
+    // m9/m10 pixel ops: the entire decode/resize must live inside the
+    // scan projection — payloads never join, never shuffle; the only
+    // post-scan work is the bounded presentation sort.
+    for (name <- Seq("m9_pgm_decode", "m10_pgm_resize")) {
+      val df = qs(name)(spark, sfDir)
+      audit(name, df,
+        "pixel work is in-scan map-only: no join anywhere" ->
+          (p => !p.contains("Join") && !p.contains("CartesianProduct")),
+        "no Exchange carries the payload column" ->
+          (p => !p.linesIterator.exists(l =>
+            l.contains("Exchange") && l.contains("payload"))))
+    }
+
     println(s"\nplan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)
