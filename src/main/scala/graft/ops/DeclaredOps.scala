@@ -190,6 +190,14 @@ object DeclaredOps {
     // >1 distinct docs (all copies), reassemble survivors in order,
     // drop emptied docs. The cleaned text itself is hash-checked.
     "d18_boilerplate" -> ((s, dir) => Dedup.boilerplateScrub(docs(s, dir))),
+    // Incremental NEAR-dup vs a historical index (the nightly companion
+    // to d13/d17 for duplicates digests can't catch): crawl slice vs
+    // the rest, banded crawl-vs-index candidates, exact-Jaccard verify.
+    "d20_incremental_neardup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.nearDupAgainstIndex(d.where(col("doc_id") % 4 === 2),
+        d.where(col("doc_id") % 4 =!= 2))
+    }),
     // Trained quality classifier (the GPT-3/CCNet learned-filter stage):
     // integer batch perceptron over hashed-BoW features, label en-vs-rest;
     // per-doc margins under the final weights are hash-checked.
@@ -1373,6 +1381,25 @@ object DeclaredOps {
         |WHERE doc_id % 3 = 1 AND NOT EXISTS (
         |  SELECT 1 FROM documents h
         |  WHERE (h.doc_id % 3 <> 1 OR h.doc_id < 50) AND h.text = d.text)
+        |ORDER BY doc_id""".stripMargin,
+
+    // d20: exact all-pairs crawl-x-index Jaccard ground truth (the d2
+    // oracle argument: LSH∩verify ≡ all-pairs at this threshold on this
+    // corpus). Empty-shingle docs never flag on either side (0/0 -> NULL
+    // here, no bands in Spark) and so always survive. Naive oracle ->
+    // excluded from the graded ratio (duck_bench NOT_BASELINES).
+    "d20_incremental_neardup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN []
+        |  ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+        |FROM toks),
+        |flagged AS (
+        |  SELECT DISTINCT c.doc_id FROM sh c JOIN sh ix
+        |  ON c.doc_id % 4 = 2 AND ix.doc_id % 4 <> 2
+        |    AND CAST(len(list_intersect(c.s, ix.s)) AS DOUBLE) /
+        |      (len(c.s) + len(ix.s) - len(list_intersect(c.s, ix.s))) >= 0.5)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 4 = 2 AND doc_id NOT IN (SELECT doc_id FROM flagged)
         |ORDER BY doc_id""".stripMargin,
 
     // d18: t11's chunk grid (identical slicing CTE), df over distinct

@@ -107,6 +107,43 @@ object Dedup {
       .drop("h")
   }
 
+  /** d20 — incremental NEAR-dup dedup of a crawl against a historical
+    * index: the nightly companion to [[dedupAgainstIndex]] (d13, exact
+    * digests) and [[bloomDedupAgainstIndex]] (d17, bloom-guarded exact)
+    * for the duplicates a digest can never catch — near-copies. Keeps
+    * crawl documents with NO verified near-duplicate in the index.
+    *
+    * Same candidate discipline as d2: banded MinHash signatures on both
+    * sides, candidates form ONLY in the (band, key) equi-join — crawl
+    * bands against INDEX bands, never a self-join — then the exact-
+    * Jaccard verify gates the sliver, and survivors are one left-anti
+    * join on doc_id. At 100 TB the index side's banded signatures are
+    * the STORED nightly artifact (signatures, not documents; ~bands ×
+    * 8 B/doc); only verified-candidate ids read back index shingle
+    * sets, a sliver-sized lookup, and the crawl shuffles signatures and
+    * candidate ids — never text. Threshold semantics = d2's (LSH
+    * candidate ∧ exact Jaccard ≥ threshold), so the all-pairs oracle
+    * matches for the same reason d2's does. */
+  def nearDupAgainstIndex(crawl: DataFrame, index: DataFrame,
+      threshold: Double = 0.5, ordered: Boolean = true): DataFrame = {
+    val cSh = shingled(crawl)
+    val iSh = shingled(index)
+    val cands = bandedSignatures(cSh)
+      .select(col("band"), col("key"), col("doc_id").as("crawl_id"))
+      .join(bandedSignatures(iSh)
+        .select(col("band"), col("key"), col("doc_id").as("index_id")),
+        Seq("band", "key"))
+      .select("crawl_id", "index_id").distinct()
+    val flagged = cands
+      .join(cSh.select(col("doc_id").as("crawl_id"), col("s").as("cs")), "crawl_id")
+      .join(iSh.select(col("doc_id").as("index_id"), col("s").as("is")), "index_id")
+      .where(graft.functions.Expressions.jaccardSim(col("cs"), col("is"))
+        >= threshold)
+      .select(col("crawl_id").as("doc_id")).distinct()
+    val out = crawl.select("doc_id").join(flagged, Seq("doc_id"), "left_anti")
+    if (ordered) out.orderAgg("doc_id") else out
+  }
+
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     *
     * Pipeline (all shuffles key-partitioned):

@@ -308,6 +308,20 @@ object DeclaredExt {
       .orderAgg(coalesce(col("o_orderstatus"), lit("~")),
         coalesce(col("o_orderpriority"), lit("~")))
 
+  /** Q38 — GROUPING SETS: the explicit-set member of the rollup (q19) /
+    * cube (q32) family — exactly the two named groupings (per-status
+    * totals and per-priority totals) computed in ONE scan via Catalyst's
+    * Expand, never a union of two aggregations over two scans. */
+  def q38(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        StableAgg.sumMicros(col("o_totalprice")).as("total_micros"))
+      .orderAgg(coalesce(col("o_orderstatus"), lit("~")),
+        coalesce(col("o_orderpriority"), lit("~")))
+
   /** Q33 — star join: the fact table against two dimension hops
     * (orders → customer → nation), both explicitly broadcast so the fact
     * side streams through two BroadcastHashJoins in one scan stage —
@@ -385,7 +399,8 @@ object DeclaredExt {
     "q34_sliding_window" -> (q34 _),
     "q35_explode_pos"    -> (q35 _),
     "q36_string_agg"     -> (q36 _),
-    "q37_proximity_pairs" -> (q37 _))
+    "q37_proximity_pairs" -> (q37 _),
+    "q38_grouping_sets"  -> (q38 _))
 
   val oracleSql: Map[String, String] = Map(
     "q31_pivot" -> {
@@ -400,6 +415,11 @@ object DeclaredExt {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
         |CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS total_micros
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY coalesce(o_orderstatus, '~'), coalesce(o_orderpriority, '~')""".stripMargin,
+    "q38_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS total_micros
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY coalesce(o_orderstatus, '~'), coalesce(o_orderpriority, '~')""".stripMargin,
     "q33_star_join" ->
       """SELECT n.n_name AS nation, count(*) AS cnt,

@@ -135,6 +135,9 @@ object LlmViews {
       "llm_bloom_dedup" -> (() => Dedup.bloomDedupAgainstIndex(
         docs.where(col("doc_id") % 3 === 1),
         Dedup.digestIndex(docs.where(col("doc_id") % 3 =!= 1 || col("doc_id") < 50)))),
+      "llm_incremental_neardup" -> (() => Dedup.nearDupAgainstIndex(
+        docs.where(col("doc_id") % 4 === 2),
+        docs.where(col("doc_id") % 4 =!= 2), ordered = false)),
       // Multimodal operators on the committed media/video/audio fixtures
       // (bounded pair/cut lists — canonical order kept): the near-dup
       // and scene-cut surfaces reachable from plain SQL like every text

@@ -25,9 +25,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 NOT_BASELINES = {"d2_minhash_lsh", "d5_dedup_clusters", "d6_dedup_apply",
                  "d9_embedding_dedup", "d10_jaccard_join", "h5_llm_sql_dedup",
                  "s5_cluster_split", "d14_edit_dedup", "d15_semantic_clusters",
+                 # d20's oracle is the naive all-pairs crawl-x-index
+                 # Jaccard ground truth.
+                 "d20_incremental_neardup",
                  # d19 wraps d15's recursive-closure ground truth.
                  "d19_semantic_dedup",
                  "m5_phash_pairs", "m7_audio_pairs", "m8_video_pairs",
+                 # m9/m10 oracles re-derive every PIXEL from payload hex
+                 # via per-element list lambdas (~0.8 s each at fixture
+                 # scale) — ground truth, not a reasonable baseline;
+                 # including them flatters the Spark ratio.
+                 "m9_pgm_decode", "m10_pgm_resize",
                  # t18's oracle re-derives BPE TRAINING as 10 unrolled
                  # list-fold CTE stages (~23 s at sf0.1) purely as ground
                  # truth; the Spark side trains once as a memoized build
