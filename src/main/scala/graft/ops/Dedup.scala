@@ -249,14 +249,15 @@ object Dedup {
     * transform/array_min lambda form evaluates interpreted per element —
     * ~100× slower). */
   private[graft] def bandedSignatures(withSh: DataFrame,
-      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16,
+      carry: Seq[String] = Seq.empty): DataFrame = {
     val rowsPerBand = numHashes / bands
     withSh
       .withColumn("sig", graft.functions.Expressions.minhashSig(col("s"), numHashes))
-      .select(col("doc_id"), posexplode(expr(
+      .select((Seq(col("doc_id")) ++ carry.map(col)) :+ posexplode(expr(
         s"""transform(sequence(0, ${bands - 1}), b ->
            |  xxhash64(${(0 until rowsPerBand).map(r => s"element_at(sig, b * $rowsPerBand + ${r + 1})").mkString(", ")}))"""
-          .stripMargin)).as(Seq("band", "key")))
+          .stripMargin)).as(Seq("band", "key")): _*)
   }
 
   /** Connected components over the verified near-dup pairs — the step

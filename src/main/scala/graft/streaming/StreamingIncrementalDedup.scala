@@ -38,6 +38,56 @@ object StreamingBloomDedup {
     graft.ops.Dedup.bloomDedupAgainstIndex(docs, index, fpp, expectedItems)
 }
 
+/** Streaming form of d20 — incremental NEAR-dup dedup of a crawl stream
+  * against a STATIC historical index: the duplicates [[StreamingBloomDedup]]
+  * can never catch (near-copies, not byte-copies).
+  *
+  * Shape: each arriving doc shingles and bands IN-ROW (the SAME
+  * `bandedSignatures` machinery as batch d2/d20, with ts/shingles
+  * carried), candidates form ONLY in the stream-static (band, key)
+  * equi-join against the index's banded signatures — never a stream
+  * self-join — and the exact-Jaccard verify gates the sliver against
+  * the index shingle sets (stream-static again, stateless). The only
+  * STATE is the per-(window, doc) survivor aggregate: a doc emits when
+  * its window closes with NO verified near-dup — the append-mode
+  * finalization trade, same as [[StreamingBoilerplate]]; batch d20 is
+  * the window-free exact form and the parity spec pins survivor sets
+  * equal. At 100 TB the static side is the stored nightly signature
+  * artifact; index advances restart the stream (the
+  * StreamingBloomDedup discipline). */
+object StreamingNearDupIndex {
+
+  /** `docs`: streaming (doc_id, ts, text). `index`: STATIC (doc_id,
+    * text). Emits (window_start, doc_id) survivors, finalized per
+    * event-time window. */
+  def survivors(docs: DataFrame, index: DataFrame, threshold: Double = 0.5,
+      windowDur: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val iSh = graft.ops.Dedup.shingled(index)
+    val iB = graft.ops.Dedup.bandedSignatures(iSh)
+      .select(col("band"), col("key"), col("doc_id").as("index_id"))
+    val cSh = docs.select(col("doc_id"), col("ts"),
+      graft.ops.Dedup.shingles(col("text")).as("s"))
+    // Verified near-dup hits (empty-shingle docs have no bands and so
+    // can never flag — they ride the survivor branch below).
+    val flagged = graft.ops.Dedup
+      .bandedSignatures(cSh.where(size(col("s")) > 0), carry = Seq("ts", "s"))
+      .join(iB, Seq("band", "key"))
+      .join(iSh.select(col("doc_id").as("index_id"), col("s").as("is")),
+        "index_id")
+      .where(graft.functions.Expressions.jaccardSim(col("s"), col("is"))
+        >= threshold)
+      .select(col("doc_id"), col("ts"), lit(1).as("dup"))
+    docs.select(col("doc_id"), col("ts"), lit(0).as("dup"))
+      .unionByName(flagged)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("doc_id"))
+      .agg(max(col("dup")).as("dup"))
+      .where(col("dup") === 0)
+      .select(col("window.start").as("window_start"), col("doc_id"))
+  }
+}
+
 /** Streaming form of d18 — boilerplate removal of a live stream against
   * the STATIC boilerplate-chunk table the batch pass builds nightly
   * (`Dedup.boilerplateChunks`: chunk digests shared by more than maxDf

@@ -222,6 +222,37 @@ class PropertySpec extends GraftSuite {
     }, n = 30)
   }
 
+  test("property: PgmStats parses any spec-valid P5 header byte-exactly") {
+    // Arbitrary dims/maxval, arbitrary whitespace runs between tokens,
+    // optional '#' comment lines, arbitrary raster bytes: the parser
+    // must recover the exact header ints and exact pixel stats — the
+    // adversarial-bytes discipline for a SQL-exposed binary decoder.
+    val genPgm = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 25)
+      mx <- Gen.choose(1, 255)
+      ws1 <- Gen.oneOf(" ", "\n", "\t", "\r\n", "  \n")
+      ws2 <- Gen.oneOf(" ", "\n", "\t", " \n ")
+      comment <- Gen.option(Gen.alphaNumStr.map(s => s"# ${s.take(20)}\n"))
+      sep <- Gen.oneOf(" ", "\n", "\t")
+      px <- Gen.containerOfN[Array, Byte](w * h,
+        Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (w, h, mx,
+      s"P5$ws1${comment.getOrElse("")}$w$ws2$h\n$mx$sep".getBytes("US-ASCII") ++ px,
+      px)
+    check(Prop.forAll(genPgm) { case (w, h, mx, bytes, px) =>
+      val df = spark.createDataFrame(Seq(Tuple1(bytes))).toDF("payload")
+      val r = df.select(graft.ops.Multimodal.pgmStats(col("payload")).as("st"))
+        .selectExpr("st.width", "st.height", "st.maxval",
+          "st.px_min", "st.px_max", "st.px_sum")
+        .collect()(0)
+      val ints = px.map(_ & 0xff)
+      r.getInt(0) == w && r.getInt(1) == h && r.getInt(2) == mx &&
+        r.getInt(3) == ints.min && r.getInt(4) == ints.max &&
+        r.getLong(5) == ints.map(_.toLong).sum
+    }, n = 30)
+  }
+
   test("property: SortedIntersectSize equals set intersection on sorted distinct arrays") {
     check(Prop.forAll(genWords, genWords) { (a, b) =>
       val df = spark.createDataFrame(Seq((a.distinct.toArray, b.distinct.toArray)))

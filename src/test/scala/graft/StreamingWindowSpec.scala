@@ -331,6 +331,43 @@ class StreamingWindowSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup vs static index matches batch d20 survivors") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val all = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    val crawl = all.where(col("doc_id") % 4 === 2)
+    val index = all.where(col("doc_id") % 4 =!= 2)
+    val batch = graft.ops.Dedup.nearDupAgainstIndex(crawl, index)
+      .collect().map(_.getLong(0)).toSet
+
+    val rows = crawl.collect().map(r => (r.getLong(0), r.getString(1)))
+    val base = Timestamp.valueOf("2024-01-01 10:00:00")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = streaming.StreamingNearDupIndex.survivors(
+      input.toDF().toDF("doc_id", "ts", "text"), index)
+    val q = out.writeStream
+      .format("memory").queryName("sneardupidx").outputMode("append").start()
+    try {
+      rows.grouped(60).foreach { g =>
+        input.addData(g.map(x => (x._1, base, x._2)).toSeq)
+        q.processAllAvailable()
+      }
+      // Far-future row closes the 10:00 window (it rides the survivor
+      // branch directly, so no shingle requirement to advance the
+      // watermark); its own window stays open and never emits.
+      input.addData((999999L,
+        Timestamp.valueOf("2024-01-01 12:00:00"), "late row"))
+      q.processAllAvailable()
+      val got = spark.table("sneardupidx").collect().map(_.getLong(1)).toSet
+      assert(got == batch,
+        s"stream/batch mismatch: extra=${got -- batch} missing=${batch -- got}")
+      assert(batch.nonEmpty && batch.size < rows.length,
+        "fixture must exercise both survivors and flagged docs")
+    } finally q.stop()
+  }
+
   test("streaming boilerplate scrub matches batch d18 against the same chunk table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
