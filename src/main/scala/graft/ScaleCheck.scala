@@ -163,6 +163,30 @@ object ScaleCheck {
       println(s"D7POSTINGS $dir shingles=${d7.get(0)} max_df=${d7.get(1)} " +
         s"join_rows=${d7.get(2)}")
 
+      // d20: crawl-vs-index candidate discipline — candidate pairs form
+      // only in the (band, key) equi-join of crawl bands against index
+      // bands (never a self-join); the measured numbers are the join's
+      // actual fan-out and the verify filter's selectivity at each SF.
+      {
+        val crawl = docs.where(col("doc_id") % 4 === 2)
+        val index = docs.where(col("doc_id") % 4 =!= 2)
+        val cSh = graft.ops.Dedup.shingled(crawl)
+        val iSh = graft.ops.Dedup.shingled(index)
+        val cands = graft.ops.Dedup.bandedSignatures(cSh)
+          .select(col("band"), col("key"), col("doc_id").as("crawl_id"))
+          .join(graft.ops.Dedup.bandedSignatures(iSh)
+            .select(col("band"), col("key"), col("doc_id").as("index_id")),
+            Seq("band", "key"))
+        val joinRows = cands.count()
+        val pairs = cands.select("crawl_id", "index_id").distinct().count()
+        val survivors = graft.ops.Dedup
+          .nearDupAgainstIndex(crawl, index, ordered = false).count()
+        val nCrawl = crawl.count()
+        println(s"D20INCR $dir crawl=$nCrawl index=${index.count()} " +
+          s"band_join_rows=$joinRows cand_pairs=$pairs " +
+          s"flagged=${nCrawl - survivors} survivors=$survivors")
+      }
+
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val cells = emb
         .select(graft.ops.Similarity.signBucket(col("embedding"), 4).as("cell"))
