@@ -98,6 +98,13 @@ object DeclaredOps {
     "e8_knn_graph"     -> ((s, dir) => Similarity.knnGraph(emb(s, dir))),
     "d11_decontaminate" -> ((s, dir) =>
       Dedup.decontaminate(docs(s, dir), col("doc_id") % 11 === 0)),
+    // Published 13-gram removal rule (GPT-3 decontamination spec) at
+    // its published n, eval slice distinct from d11's.
+    "d21_ngram13_decontam" -> ((s, dir) =>
+      Dedup.ngramDecontaminate(docs(s, dir), col("doc_id") % 7 === 0)),
+    // kNN label prediction over the first 10 labeled queries.
+    "e18_knn_predict" -> ((s, dir) =>
+      Similarity.knnPredict(emb(s, dir), col("vec_id") < 10)),
     "t12_repetition"   -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
     "e9_embed_decontam" -> ((s, dir) =>
       Similarity.crossContamination(emb(s, dir), col("vec_id") % 11 === 0)),
@@ -532,6 +539,39 @@ object DeclaredOps {
         |     sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) AS cos
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
         |WHERE cos >= 0.5 ORDER BY vec_a, vec_b""".stripMargin,
+
+    // d21: 13-word windows (consecutive, space-joined, distinct per doc —
+    // the wordShingles construction at n = 13), eval grams deduped
+    // across the whole eval slice, flagged = corpus docs sharing ANY.
+    "d21_ngram13_decontam" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) < 13 THEN []
+        |  ELSE list_transform(range(1, len(w) - 11),
+        |    i -> array_to_string(w[CAST(i AS INT):CAST(i + 12 AS INT)], ' ')) END) AS s
+        |FROM toks),
+        |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 7 = 0),
+        |corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 7 <> 0)
+        |SELECT doc_id, count(*) AS shared_grams
+        |FROM corpus JOIN ev USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // e18: e1's exact ranking CTE (same fold, rounding, tie-break), then
+    // the majority vote with the (votes DESC, label ASC) tie rule.
+    "e18_knn_predict" ->
+      s"""WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label AS qlabel, CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings WHERE vec_id < 10),
+         |nb AS (SELECT query_id, neighbor_id, nl FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS nl,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY $DuckCos DESC, c.vec_id) AS rn
+         |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+         |  WHERE rn <= 10),
+         |v AS (SELECT query_id, nl, count(*) AS votes FROM nb GROUP BY query_id, nl),
+         |w AS (SELECT query_id, nl AS pred_label, votes,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nl) AS rn FROM v)
+         |SELECT w.query_id, q.qlabel AS true_label, w.pred_label, w.votes
+         |FROM w JOIN q ON w.query_id = q.query_id WHERE w.rn = 1
+         |ORDER BY w.query_id""".stripMargin,
 
     "e1_cosine_topk" ->
       s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

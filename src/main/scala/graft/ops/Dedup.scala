@@ -461,6 +461,33 @@ object Dedup {
       .orderAgg("doc_id", "eval_id")
   }
 
+  /** d21 — published 13-gram collision decontamination (the GPT-3 /
+    * published-eval rule: a training document is DIRTY if it shares ANY
+    * 13-gram with an eval document — d11's minShared-shingle variant is
+    * the overlap REPORT, this is the published removal rule at its
+    * published n). The eval side collapses to one DISTINCT gram set
+    * (bounded by the benchmark's text volume — the d11/crossContamination
+    * bounded-eval premise, so it broadcasts); the corpus explodes its
+    * per-doc distinct grams once, map-only into the broadcast join, and
+    * the flagged report is a doc-keyed count. At 100 TB: corpus-linear
+    * scan, no corpus-side shuffle before the join, output bounded by
+    * dirty docs. */
+  def ngramDecontaminate(docs: DataFrame, evalPred: Column,
+      n: Int = 13): DataFrame = {
+    // Null predicate rows land on the corpus side (see containment).
+    val p = coalesce(evalPred, lit(false))
+    val sh = docs.select(col("doc_id"),
+      graft.functions.Expressions.wordShingles(col("text"), n).as("s"))
+    val ev = sh.where(p).select(explode(col("s")).as("g")).distinct()
+    sh.where(!p).select(col("doc_id"), explode(col("s")).as("g"))
+      .join(broadcast(ev), "g")
+      // Per-doc grams are DISTINCT (wordShingles' contract) and the eval
+      // set is deduped, so the join-row count per doc IS its distinct
+      // shared-gram count.
+      .groupBy("doc_id").agg(count(lit(1)).as("shared_grams"))
+      .orderAgg("doc_id")
+  }
+
   def sourceOverlap(docs: DataFrame,
       maxSourcesPerShingle: Int = Int.MaxValue): DataFrame = {
     // ONE exchange, keyed by the join key, placed BEFORE the distinct:

@@ -87,6 +87,36 @@ object Similarity {
     rankTopKScaled(scored, "vec_id", k, "cos_x10k")
   }
 
+  /** e18 — kNN label prediction: majority label among the k exact-cosine
+    * nearest neighbors, the standard embedding-quality eval a labeled
+    * corpus runs (does nearest-neighbor structure recover the labels?).
+    * Neighbors come from e1's bounded top-k aggregate (corpus scanned
+    * once, queries broadcast, O(queries·k) past the shuffle); the vote
+    * attaches neighbor labels through ONE broadcast join of the
+    * (queries·k)-row shortlist back to the corpus, then two bounded
+    * aggregates. Deterministic tiebreak: more votes, then the SMALLER
+    * label — integer rules only, so the row is hash-exact. */
+  def knnPredict(emb: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+    val nb = cosineTopK(emb, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val voted = broadcast(nb)
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("label").as("nl")),
+        "neighbor_id")
+      .groupBy(col("query_id"), col("nl"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("votes"), (-col("nl")).as("neg"))).as("w"))
+      .select(col("query_id"), (-col("w.neg")).as("pred_label"),
+        col("w.votes").as("votes"))
+    voted
+      .join(emb.where(queryPred)
+        .select(col("vec_id").as("query_id"), col("label").as("true_label")),
+        "query_id")
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        col("votes"))
+      .orderAgg("query_id")
+  }
+
   /** MMR (maximal-marginal-relevance) diversified top-k: greedy
     * selection maximizing λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s)
     * — retrieval that refuses to return k near-copies of the same

@@ -138,6 +138,10 @@ object LlmViews {
       "llm_incremental_neardup" -> (() => Dedup.nearDupAgainstIndex(
         docs.where(col("doc_id") % 4 === 2),
         docs.where(col("doc_id") % 4 =!= 2), ordered = false)),
+      "llm_ngram_decontam" -> (() =>
+        Dedup.ngramDecontaminate(docs, col("doc_id") % 7 === 0)),
+      "llm_knn_predict" -> (() =>
+        Similarity.knnPredict(emb, col("vec_id") < 10)),
       // Multimodal operators on the committed media/video/audio fixtures
       // (bounded pair/cut lists — canonical order kept): the near-dup
       // and scene-cut surfaces reachable from plain SQL like every text

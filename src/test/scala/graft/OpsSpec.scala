@@ -92,6 +92,44 @@ class OpsSpec extends GraftSuite {
     assert(viaLoop == clusters, "driver and distributed CC must agree")
   }
 
+  test("d21 13-gram decontamination equals a driver recompute of shared grams") {
+    val got = Dedup.ngramDecontaminate(docs, col("doc_id") % 7 === 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 13) Set.empty
+      else w.sliding(13).map(_.mkString(" ")).toSet
+    }
+    val ev = texts.filter(_._1 % 7 == 0).flatMap(x => grams(x._2)).toSet
+    val expect = texts.filter(_._1 % 7 != 0)
+      .map { case (id, t) => id -> grams(t).count(ev.contains).toLong }
+      .filter(_._2 > 0).toMap
+    assert(got == expect, s"diff=${(got.toSet diff expect.toSet).take(3)}")
+    assert(expect.nonEmpty, "fixture must contain 13-gram contamination")
+  }
+
+  test("e18 knn label prediction equals a local majority vote over exact neighbors") {
+    // Neighbor ranking delegates to the independently-verified e1
+    // operator; this pins the VOTE: counts, (votes desc, label asc)
+    // tiebreak, and the true-label attach.
+    val nb = Similarity.cosineTopK(emb, col("vec_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expect = nb.groupBy(_._1).map { case (q, ns) =>
+      val votes = ns.map(n => labels(n._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val (pl, v) = votes.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      (q, labels(q), pl, v.toLong)
+    }.toSet
+    val got = Similarity.knnPredict(emb, col("vec_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got == expect, s"extra=${got -- expect} missing=${expect -- got}")
+    assert(got.size == 10)
+  }
+
   test("d20 incremental near-dup vs index equals a local all-pairs recompute") {
     val crawl = docs.where(col("doc_id") % 4 === 2)
     val index = docs.where(col("doc_id") % 4 =!= 2)
