@@ -98,6 +98,16 @@ object DeclaredOps {
     "e8_knn_graph"     -> ((s, dir) => Similarity.knnGraph(emb(s, dir))),
     "d11_decontaminate" -> ((s, dir) =>
       Dedup.decontaminate(docs(s, dir), col("doc_id") % 11 === 0)),
+    // Soft dedup: per-doc loss weight 1/copies instead of removal. The
+    // fixture corpus is (nearly) exact-dup-free, so the declared corpus
+    // re-appends the first 40 texts under fresh ids — every weight
+    // branch (copies 1 and 2) is exercised and hashed.
+    "d22_soft_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      Dedup.softDedupWeights(d.unionByName(
+        d.where(col("doc_id") < 40)
+          .withColumn("doc_id", col("doc_id") + 100000L)))
+    }),
     // Published 13-gram removal rule (GPT-3 decontamination spec) at
     // its published n, eval slice distinct from d11's.
     "d21_ngram13_decontam" -> ((s, dir) =>
@@ -539,6 +549,19 @@ object DeclaredOps {
         |     sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) AS cos
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
         |WHERE cos >= 0.5 ORDER BY vec_a, vec_b""".stripMargin,
+
+    // d22: copies per exact-duplicate text class over the dup-injected
+    // corpus, weight = floor division 10000 // copies — integer
+    // arithmetic end to end.
+    "d22_soft_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 40),
+        |c AS (SELECT text, CAST(count(*) AS BIGINT) AS copies
+        |      FROM corpus GROUP BY text)
+        |SELECT d.doc_id, c.copies, 10000 // c.copies AS weight_x10k
+        |FROM corpus d JOIN c ON d.text = c.text
+        |ORDER BY d.doc_id""".stripMargin,
 
     // d21: 13-word windows (consecutive, space-joined, distinct per doc —
     // the wordShingles construction at n = 13), eval grams deduped

@@ -32,6 +32,32 @@ object Dedup {
     if (ordered) out.orderAgg("doc_id") else out
   }
 
+  /** d22 — soft dedup: instead of DROPPING duplicates, every document
+    * keeps a loss weight w = 1/copies of its exact-duplicate class (the
+    * published alternative when removal is too aggressive — total loss
+    * mass per distinct text stays 1 however many copies exist, so
+    * training neither over-weights boilerplate nor loses rare
+    * phrasings). Scaled-integer weight (·10⁴ floor division) keeps the
+    * hashed surface engine-exact.
+    *
+    * Scale: ONE digest-keyed map-side-combined aggregate (the d1
+    * shuffle, ~70 B/row) produces the copy counts, then one digest-keyed
+    * equi-join of two corpus-keyed frames attaches them — the
+    * optimizer-chosen join discipline of d6 (the counts frame GROWS with
+    * the corpus and must never carry a forced broadcast). */
+  def softDedupWeights(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+    val counts = docs.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(count(lit(1)).as("copies"))
+    val out = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(counts, "h")
+      // `div`, not `/`: Column `/` is double division (the q-family
+      // lesson); weight must be the exact integer floor both engines
+      // compute.
+      .select(col("doc_id"), col("copies"),
+        expr("10000L div copies").as("weight_x10k"))
+    if (ordered) out.orderAgg("doc_id") else out
+  }
+
   /** Digest index of a corpus — the persisted state for cross-run
     * incremental dedup (one 64-hex row per distinct text). */
   def digestIndex(docs: DataFrame): DataFrame =

@@ -140,6 +140,7 @@ object LlmViews {
         docs.where(col("doc_id") % 4 =!= 2), ordered = false)),
       "llm_ngram_decontam" -> (() =>
         Dedup.ngramDecontaminate(docs, col("doc_id") % 7 === 0)),
+      "llm_soft_dedup" -> (() => Dedup.softDedupWeights(docs, ordered = false)),
       "llm_knn_predict" -> (() =>
         Similarity.knnPredict(emb, col("vec_id") < 10)),
       // Multimodal operators on the committed media/video/audio fixtures

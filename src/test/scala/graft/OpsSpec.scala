@@ -92,6 +92,37 @@ class OpsSpec extends GraftSuite {
     assert(viaLoop == clusters, "driver and distributed CC must agree")
   }
 
+  test("d22 soft-dedup weights equal a local recompute and conserve loss mass") {
+    // Guarantee exact-duplicate classes whatever the fixture corpus
+    // holds: append copies of the first 20 docs under fresh ids.
+    val corpus = docs.unionByName(
+      docs.limit(20).withColumn("doc_id", col("doc_id") + 1000000L))
+    val got = Dedup.softDedupWeights(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val copies = corpus.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val byText = copies.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expect = copies.map { case (id, t) =>
+      (id, byText(t), 10000L / byText(t)) }.sortBy(_._1).toSeq
+    assert(got.toSeq == expect)
+    // Mass conservation: every duplicate CLASS carries total weight
+    // copies·floor(10000/copies) ∈ (10000 − copies, 10000].
+    byText.values.foreach { c =>
+      val mass = c * (10000L / c)
+      assert(mass <= 10000L && mass > 10000L - c)
+    }
+    assert(byText.values.exists(_ > 1), "corpus must contain exact dups")
+    // The counts side grows with the corpus: no broadcast may survive
+    // the forced-shuffle regime (the d6 rule).
+    staticPlans {
+      val bcasts = collectPlan(
+        Dedup.softDedupWeights(corpus).queryExecution.executedPlan) {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      assert(bcasts.isEmpty, "d22 forced-shuffle regime must not broadcast")
+    }
+  }
+
   test("d21 13-gram decontamination equals a driver recompute of shared grams") {
     val got = Dedup.ngramDecontaminate(docs, col("doc_id") % 7 === 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -16,6 +16,26 @@ class RegressionSpec extends GraftSuite {
 
   // --- VERDICT #1: time literals must parse in UTC, not the JVM zone ---
 
+  test("BloomMightContain probes with identical bytes are semantically equal") {
+    // ADVICE r9: expression equality on a raw Array[Byte] param was
+    // reference-based, so two identical probes never compared equal —
+    // blocking subexpression elimination/plan reuse — and plan toString
+    // rendered the raw bytes. The BloomBytes wrapper fixes both.
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    bf.putString("x")
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val child = org.apache.spark.sql.catalyst.expressions.Literal("x")
+    val e1 = graft.functions.Expressions.BloomMightContain(
+      new graft.functions.Expressions.BloomBytes(bos.toByteArray), child)
+    val e2 = graft.functions.Expressions.BloomMightContain(
+      new graft.functions.Expressions.BloomBytes(bos.toByteArray.clone), child)
+    assert(e1 == e2, "distinct byte arrays with equal content must compare equal")
+    assert(e1.semanticEquals(e2))
+    assert(!e1.toString.contains("[B@"),
+      s"plan string must carry a digest, not raw bytes: $e1")
+  }
+
   test("parseTs is UTC regardless of JVM default timezone") {
     val prev = java.util.TimeZone.getDefault
     try {
