@@ -152,17 +152,39 @@ object Dedup {
     * matches for the same reason d2's does. */
   def nearDupAgainstIndex(crawl: DataFrame, index: DataFrame,
       threshold: Double = 0.5, ordered: Boolean = true): DataFrame = {
-    val cSh = shingled(crawl)
     val iSh = shingled(index)
+    nearDupAgainstSignatureIndex(crawl, signatureIndex(index), iSh,
+      threshold, ordered)
+  }
+
+  /** The STORABLE nightly artifact d20 consumes at scale: one (doc_id,
+    * band, key) row per band per indexed doc (~bands × 16 B/doc however
+    * large the documents). Persist this and the shingle store once per
+    * index advance; the per-crawl run then never re-shingles the
+    * accumulated corpus. */
+  def signatureIndex(docs: DataFrame): DataFrame =
+    bandedSignatures(shingled(docs))
+
+  /** [[nearDupAgainstIndex]] over PREBUILT artifacts — the serving-path
+    * form (the e7-codebook / s5-label build-artifact discipline):
+    * `sigIndex` = [[signatureIndex]] rows, `indexShingles` = the
+    * (doc_id, s) shingle store the verify join reads back for
+    * CANDIDATE ids only. Output identical to the inline form by
+    * construction (OpsSpec pins the parity). */
+  def nearDupAgainstSignatureIndex(crawl: DataFrame, sigIndex: DataFrame,
+      indexShingles: DataFrame, threshold: Double = 0.5,
+      ordered: Boolean = true): DataFrame = {
+    val cSh = shingled(crawl)
     val cands = bandedSignatures(cSh)
       .select(col("band"), col("key"), col("doc_id").as("crawl_id"))
-      .join(bandedSignatures(iSh)
+      .join(sigIndex
         .select(col("band"), col("key"), col("doc_id").as("index_id")),
         Seq("band", "key"))
       .select("crawl_id", "index_id").distinct()
     val flagged = cands
       .join(cSh.select(col("doc_id").as("crawl_id"), col("s").as("cs")), "crawl_id")
-      .join(iSh.select(col("doc_id").as("index_id"), col("s").as("is")), "index_id")
+      .join(indexShingles.select(col("doc_id").as("index_id"), col("s").as("is")),
+        "index_id")
       .where(graft.functions.Expressions.jaccardSim(col("cs"), col("is"))
         >= threshold)
       .select(col("crawl_id").as("doc_id")).distinct()

@@ -186,6 +186,16 @@ class OpsSpec extends GraftSuite {
     // Candidates come only from band buckets — never an all-pairs join.
     val plan = d20.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
+    // Serving-path parity: d20 over a MATERIALIZED signature index (the
+    // stored nightly artifact, round-tripped through parquet) answers
+    // identically to the inline form.
+    val dir = java.nio.file.Files.createTempDirectory("d20idx").toString
+    Dedup.signatureIndex(index).write.mode("overwrite").parquet(s"$dir/sig")
+    Dedup.shingled(index).write.mode("overwrite").parquet(s"$dir/sh")
+    val viaArtifact = Dedup.nearDupAgainstSignatureIndex(crawl,
+        spark.read.parquet(s"$dir/sig"), spark.read.parquet(s"$dir/sh"))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaArtifact == got, "stored-artifact path must answer identically")
   }
 
   test("d6 dedupApply: loser join optimizer-chosen, both regimes identical") {
