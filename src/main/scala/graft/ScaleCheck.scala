@@ -187,6 +187,23 @@ object ScaleCheck {
           s"flagged=${nCrawl - survivors} survivors=$survivors")
       }
 
+      // d21: the eval-gram broadcast premise measured — the DISTINCT
+      // eval 13-gram set is the broadcast side (bounded by the eval
+      // slice's text volume, growing with IT, not the corpus), and the
+      // corpus side is a map-only explode into the join.
+      {
+        val sh13 = docs.select(col("doc_id"),
+          graft.functions.Expressions.wordShingles(col("text"), 13).as("s"))
+        val ev = sh13.where(col("doc_id") % 7 === 0)
+          .select(explode(col("s")).as("g")).distinct()
+        val cg = sh13.where(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), explode(col("s")).as("g"))
+        val hits = cg.join(ev, "g")
+        println(s"D21NGRAM $dir eval_grams=${ev.count()} " +
+          s"corpus_grams=${cg.count()} hit_rows=${hits.count()} " +
+          s"dirty_docs=${hits.select("doc_id").distinct().count()}")
+      }
+
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val cells = emb
         .select(graft.ops.Similarity.signBucket(col("embedding"), 4).as("cell"))
