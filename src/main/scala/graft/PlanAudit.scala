@@ -85,6 +85,13 @@ object PlanAudit {
       "corpus side is map-only into the pair count: only the (doc, eval) aggregate shuffles" ->
         (p => "hashpartitioning\\(".r.findAllIn(p).length == 1))
 
+    audit("d21_ngram13_decontam", qs("d21_ngram13_decontam")(spark, sfDir),
+      "deduped eval-gram set broadcast (corpus never reshuffles for the join)" ->
+        (_.contains("BroadcastHashJoin")),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")),
+      "only the eval dedup and the doc-keyed count shuffle" ->
+        (p => "hashpartitioning\\(".r.findAllIn(p).length <= 2))
+
     audit("e1_cosine_topk", qs("e1_cosine_topk")(spark, sfDir),
       "query side broadcast (corpus scanned once, no N-way shuffle)" ->
         (p => p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange")),
