@@ -247,9 +247,27 @@ class PropertySpec extends GraftSuite {
           "st.px_min", "st.px_max", "st.px_sum")
         .collect()(0)
       val ints = px.map(_ & 0xff)
-      r.getInt(0) == w && r.getInt(1) == h && r.getInt(2) == mx &&
+      val ok = r.getInt(0) == w && r.getInt(1) == h && r.getInt(2) == mx &&
         r.getInt(3) == ints.min && r.getInt(4) == ints.max &&
         r.getLong(5) == ints.map(_.toLong).sum
+      // Resize under the same arbitrary header: every output pixel is
+      // the floor mean of its 2x2 block; sub-2x2 rasters yield NULL.
+      val rz = df.select(graft.ops.Multimodal.pgmResizeStats(col("payload")).as("st"))
+        .collect()(0)
+      val rok =
+        if (w < 2 || h < 2) rz.isNullAt(0)
+        else {
+          val ow = w / 2; val oh = h / 2
+          val vals = for (y <- 0 until oh; x <- 0 until ow) yield
+            (ints(2 * y * w + 2 * x) + ints(2 * y * w + 2 * x + 1) +
+             ints((2 * y + 1) * w + 2 * x) + ints((2 * y + 1) * w + 2 * x + 1)) / 4
+          val st = rz.getStruct(0)
+          st.getInt(0) == ow && st.getInt(1) == oh &&
+            st.getLong(2) == vals.map(_.toLong).sum &&
+            st.getInt(3) == vals.min && st.getInt(4) == vals.max &&
+            st.getLong(5) == vals.foldLeft(0L)((a, v) => (a * 31 + v) % 1000000007L)
+        }
+      ok && rok
     }, n = 30)
   }
 
