@@ -322,8 +322,12 @@ object Bench {
       extra += 1
     }
     duck.foreach(_.quit())
+    // A voided gate (-1: failed probe or missing samples) voids the
+    // CERTIFICATE, not just its own comparison — a window with a
+    // throwing probe must never read "ok" (the duck-basket's rule,
+    // applied to all three gates).
     val window =
-      if (basket < 0) "no_canary"
+      if (basket < 0 || dispatchGate < 0 || shuffleGate < 0) "no_canary"
       else if (windowDegraded) "degraded"
       else "ok"
     val results = qs.map { case (name, _) =>

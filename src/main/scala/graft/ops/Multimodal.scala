@@ -247,11 +247,53 @@ object Multimodal {
       copy(child = c)
   }
 
+  /** ONE P5 header parse shared by PgmStats and PgmResizeStats (the two
+    * expression classes stay distinct in plans; the byte-level grammar
+    * — magic, whitespace runs, `#` comments to end-of-line, ASCII ints
+    * with overflow guard, exactly ONE whitespace byte before the
+    * raster, raster-length check — must have a single definition so
+    * m9 and m10 can never disagree on which payloads decode). Returns
+    * Array(width, height, maxval, rasterOffset), or null for
+    * malformed/truncated payloads. */
+  private[ops] def parsePgmHeader(b: Array[Byte]): Array[Int] = {
+    var p = 0
+    def isWs(c: Int): Boolean =
+      c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0x0b
+    def skip(): Unit = {
+      var go = true
+      while (go && p < b.length) {
+        val c = b(p) & 0xff
+        if (isWs(c)) p += 1
+        else if (c == '#') {
+          while (p < b.length && (b(p) & 0xff) != '\n') p += 1
+        } else go = false
+      }
+    }
+    def int(): Int = {
+      skip()
+      var v = 0L
+      var any = false
+      while (p < b.length && (b(p) & 0xff) >= '0' && (b(p) & 0xff) <= '9' &&
+          v <= Int.MaxValue) {
+        v = v * 10 + ((b(p) & 0xff) - '0'); any = true; p += 1
+      }
+      if (any && v <= Int.MaxValue) v.toInt else -1
+    }
+    if (b.length < 2 || (b(0) & 0xff) != 'P' || (b(1) & 0xff) != '5') return null
+    p = 2
+    val w = int(); val h = int(); val mx = int()
+    if (w <= 0 || h <= 0 || mx <= 0 || mx > 255 ||
+        p >= b.length || !isWs(b(p) & 0xff)) return null
+    p += 1 // the single post-maxval whitespace byte
+    if (b.length.toLong - p < w.toLong * h) return null
+    Array(w, h, mx, p)
+  }
+
   /** Full PIXEL-level decode of a binary PGM (netpbm "P5") payload — the
     * first real end-to-end pixel contract in the media family (VERDICT
     * r9 #6: phash/histogram analyses operate on container bytes; this
     * one parses the public P5 format to the raster and aggregates the
-    * actual pixels). Parser follows the netpbm spec: ASCII magic "P5",
+    * actual pixels). Parser = [[parsePgmHeader]]: ASCII magic "P5",
     * whitespace-separated width/height/maxval with `#` comments skipped
     * to end-of-line, exactly ONE whitespace byte before the raster,
     * then width*height single-byte samples (maxval <= 255). Malformed
@@ -271,39 +313,11 @@ object Multimodal {
 
     override def nullSafeEval(input: Any): Any = {
       val b = input.asInstanceOf[Array[Byte]]
-      var p = 0
-      def isWs(c: Int): Boolean =
-        c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0x0b
-      def skip(): Unit = {
-        var go = true
-        while (go && p < b.length) {
-          val c = b(p) & 0xff
-          if (isWs(c)) p += 1
-          else if (c == '#') {
-            while (p < b.length && (b(p) & 0xff) != '\n') p += 1
-          } else go = false
-        }
-      }
-      def int(): Int = {
-        skip()
-        var v = 0L
-        var any = false
-        while (p < b.length && (b(p) & 0xff) >= '0' && (b(p) & 0xff) <= '9' &&
-            v <= Int.MaxValue) {
-          v = v * 10 + ((b(p) & 0xff) - '0'); any = true; p += 1
-        }
-        if (any && v <= Int.MaxValue) v.toInt else -1
-      }
-      if (b.length < 2 || (b(0) & 0xff) != 'P' || (b(1) & 0xff) != '5') return null
-      p = 2
-      val w = int(); val h = int(); val mx = int()
-      if (w <= 0 || h <= 0 || mx <= 0 || mx > 255 ||
-          p >= b.length || !isWs(b(p) & 0xff)) return null
-      p += 1 // the single post-maxval whitespace byte
-      val n = w.toLong * h
-      if (b.length.toLong - p < n) return null
-      var i = p
-      val end = p + n.toInt
+      val hd = parsePgmHeader(b)
+      if (hd == null) return null
+      val Array(w, h, mx, off) = hd
+      var i = off
+      val end = off + w * h
       var mn = 255; var mxp = 0; var s = 0L
       while (i < end) {
         val v = b(i) & 0xff
@@ -343,45 +357,16 @@ object Multimodal {
     override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any = {
       val b = input.asInstanceOf[Array[Byte]]
-      // Re-walk the header with the SAME parser semantics as PgmStats
-      // (shared private logic would hide which expression a plan uses;
-      // the spec pins both against one local recompute).
-      var p = 0
-      def isWs(c: Int): Boolean =
-        c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0x0b
-      def skip(): Unit = {
-        var go = true
-        while (go && p < b.length) {
-          val c = b(p) & 0xff
-          if (isWs(c)) p += 1
-          else if (c == '#') {
-            while (p < b.length && (b(p) & 0xff) != '\n') p += 1
-          } else go = false
-        }
-      }
-      def int(): Int = {
-        skip()
-        var v = 0L; var any = false
-        while (p < b.length && (b(p) & 0xff) >= '0' && (b(p) & 0xff) <= '9' &&
-            v <= Int.MaxValue) {
-          v = v * 10 + ((b(p) & 0xff) - '0'); any = true; p += 1
-        }
-        if (any && v <= Int.MaxValue) v.toInt else -1
-      }
-      if (b.length < 2 || (b(0) & 0xff) != 'P' || (b(1) & 0xff) != '5') return null
-      p = 2
-      val w = int(); val h = int(); val mx = int()
-      if (w <= 0 || h <= 0 || mx <= 0 || mx > 255 ||
-          p >= b.length || !isWs(b(p) & 0xff)) return null
-      p += 1
-      if (b.length.toLong - p < w.toLong * h) return null
+      val hd = parsePgmHeader(b)
+      if (hd == null) return null
+      val Array(w, h, _, off) = hd
       val ow = w / 2; val oh = h / 2
       if (ow <= 0 || oh <= 0) return null
       var mn = 255; var mxp = 0; var s = 0L; var fp = 0L
       var y = 0
       while (y < oh) {
         var x = 0
-        val r0 = p + (2 * y) * w
+        val r0 = off + (2 * y) * w
         val r1 = r0 + w
         while (x < ow) {
           val v = ((b(r0 + 2 * x) & 0xff) + (b(r0 + 2 * x + 1) & 0xff) +

@@ -242,9 +242,13 @@ object Similarity {
     * Native codegen'd kernel (VectorKernels.signSig63): the composed
     * 63-term when-chain it replaces was the hottest expression in the
     * binary-ANN family — 2.5× the cost of a full float cosine over the
-    * same rows at bench scale. Bit-identical semantics. */
+    * same rows at bench scale. Bit-identical semantics INCLUDING null
+    * handling: the old chain's otherwise(0) made a NULL array signature
+    * 0L (the row still participated in sig joins), so the kernel's
+    * null-in/null-out is coalesced back to 0L — arbitrary server
+    * corpora may carry null embeddings even though fixtures don't. */
   def signSig(v: Column): Column =
-    graft.functions.Expressions.signSig63(v)
+    coalesce(graft.functions.Expressions.signSig63(v), lit(0L))
 
   /** Binary-code Hamming top-k — the 8-bytes-per-vector scan tier of
     * ANN (below even PQ's m bytes): each vector collapses to its

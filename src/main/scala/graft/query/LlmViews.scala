@@ -192,14 +192,22 @@ object LlmViews {
   // keep serving dir B after a caller switched back to A), INCLUDING the
   // source tables' bytes+mtime — a corpus regenerated in-session gets a
   // fresh Builders whose first-touch re-registration replaces the stale
-  // plans (ADVICE r5). Sessions are held weakly so ephemeral test
-  // sessions are not retained for the process lifetime.
+  // plans (ADVICE r5). RETENTION: a touched Builders strongly references
+  // its session (built DataFrames do), which pins this map's weak KEY —
+  // the value→key self-reference WeakHashMap cannot see — so entries of
+  // STOPPED sessions are purged explicitly on every access; weak keys
+  // still cover sessions dropped before ever registering.
   private val holders =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, (String, Builders)]())
 
   private def holderFor(spark: SparkSession, dir: String): Builders =
     holders.synchronized {
+      val it = holders.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey != null && e.getKey.sparkContext.isStopped) it.remove()
+      }
       val key = s"$dir@${graft.core.Tables.dataSignature(dir)}"
       val cur = holders.get(spark)
       if (cur == null || cur._1 != key) {
