@@ -88,6 +88,7 @@ object LlmViews {
       "llm_substring_dedup" -> (() => Dedup.substringDedup(docs, ordered = false)),
       "llm_novelty" -> (() => Dedup.noveltyScore(docs, ordered = false)),
       "llm_pmi_quality" -> (() => TextAnalysis.pmiQuality(docs, ordered = false)),
+      "llm_tfidf_topk" -> (() => TextAnalysis.tfidfTopK(docs, ordered = false)),
       "llm_quantile_audit" -> (() => TextAnalysis.quantileAudit(docs)),
       "llm_weighted_sample" -> (() => graft.ops.Sampling.weightedSample(
         docs, col("doc_id"), expr("n_chars div 2"))),
