@@ -178,15 +178,28 @@ object Bench {
     // 75–80% inflated (graded ratio_min 2.21 vs 1.69 like-for-like —
     // bursts are not uniform across stage widths). The median over
     // seven shapes is robust to both failure modes; 1.15 keeps the
-    // established ~15% headroom discipline. Re-pin the floors whenever
-    // a code change drops a probe's quiet floor (the same retightening
-    // rule the single canary followed). d10's individual min stays in
-    // the artifact as a diagnostic.
-    val canaryFloors = Map(
-      "d10_jaccard_join" -> 0.958, "d7_source_overlap" -> 0.467,
-      "d12_substring_dedup" -> 0.629, "t15_novelty" -> 0.458,
-      "t10_tfidf_topk" -> 0.403, "e8_knn_graph" -> 0.390,
-      "e10_twostage_topk" -> 0.347)
+    // established ~15% headroom discipline. d10's individual min stays
+    // in the artifact as a diagnostic.
+    //
+    // ALL floor maps load from the committed bench_floors.json, pinned
+    // from the latest quiet closing artifact by tools/pin_floors.py
+    // (VERDICT r10 "What's wrong" #3: hardcoded literals drifted stale
+    // round-over-round — a stale-HIGH floor absorbs real inflation
+    // before its gate sees it, a stale-LOW one burns the retry budget
+    // on phantom degradation; deriving from the artifact FILE makes
+    // re-pinning one command instead of an edit). SPARK_GRAFT_FLOORS
+    // overrides the path — the foreign-hardware hook (ADVICE r10:
+    // absolute seconds are host-specific; bootstrap a new host with
+    // pin_floors.py --force from its own first run). The inline
+    // literals below are the same r10-closing values, used only when
+    // the file is absent.
+    val floorsFile = FloorsFile.load(
+      sys.env.getOrElse("SPARK_GRAFT_FLOORS", "/root/repo/bench_floors.json"))
+    val canaryFloors = floorsFile.map(_.canary).getOrElse(Map(
+      "d10_jaccard_join" -> 1.1637, "d7_source_overlap" -> 0.5221,
+      "d12_substring_dedup" -> 0.6661, "t15_novelty" -> 0.4558,
+      "t10_tfidf_topk" -> 0.3670, "e8_knn_graph" -> 0.3685,
+      "e10_twostage_topk" -> 0.2707))
     // SPARK_GRAFT_CANARY_RATIO is the basket-ratio cap. The legacy name
     // SPARK_GRAFT_CANARY is still honored but warned about: through r6 it
     // was an ABSOLUTE d10 seconds cap, and r7 silently reinterpreted the
@@ -243,17 +256,16 @@ object Bench {
     //    dispatch inflation, the mode that actually poisoned r9's
     //    driver artifact. Probes chosen mid-weight (0.1–0.35 s floors,
     //    4–8 jobs) and NOT overlapping the duck-ratio basket.
-    // Floors = queries_min of the committed quiet closing artifact
-    // (1becc8f, ratio 1.85/1.69, canary 0.92). Re-pin whenever a code
-    // change moves a probe's quiet floor (same retightening rule as
-    // canaryFloors).
-    val dispatchFloors = Map(
-      "q1_filter_order_limit" -> 0.0441, "q2_like" -> 0.0480,
-      "q5_time_range" -> 0.0521, "q7_string_funcs" -> 0.0433)
-    val shuffleFloors = Map(
-      "q19_rollup" -> 0.1063, "q4_group_by" -> 0.1243,
-      "q22_salted_agg" -> 0.1558, "m5_phash_pairs" -> 0.1643,
-      "m7_audio_pairs" -> 0.1978, "d18_boilerplate" -> 0.3338)
+    // Floors = queries_min of the committed quiet closing artifact,
+    // loaded from bench_floors.json above (fallback literals = the r10
+    // closing values, 396b947, ratio 1.63 window ok).
+    val dispatchFloors = floorsFile.map(_.dispatch).getOrElse(Map(
+      "q1_filter_order_limit" -> 0.0555, "q2_like" -> 0.0469,
+      "q5_time_range" -> 0.0552, "q7_string_funcs" -> 0.0468))
+    val shuffleFloors = floorsFile.map(_.shuffle).getOrElse(Map(
+      "q19_rollup" -> 0.1295, "q4_group_by" -> 0.1195,
+      "q22_salted_agg" -> 0.1666, "m5_phash_pairs" -> 0.2064,
+      "m7_audio_pairs" -> 0.2000, "d18_boilerplate" -> 0.3822))
     val dispatchMax = sys.env.getOrElse("SPARK_GRAFT_DISPATCH_RATIO", "1.2").toDouble
     val shuffleMax = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_RATIO", "1.3").toDouble
     (dispatchFloors.keys ++ shuffleFloors.keys).foreach { k =>
@@ -294,32 +306,76 @@ object Bench {
     }
     def canaryMin: Double =
       samples.get("d10_jaccard_join").filter(_.nonEmpty).map(_.min).getOrElse(-1.0)
-    // Retry-on-degraded (VERDICT r8 #6): the driver runs this main ONCE,
-    // so the bench itself must wait out a bad window rather than publish
-    // a degraded artifact (r7 and r8 both shipped window:"degraded"
-    // drivers while same-code quiet runs passed). Host noise arrives in
-    // MULTI-MINUTE bursts, so back-to-back retries land in the same
-    // burst — the first two extra pass pairs run immediately (cheap, and
-    // enough when the burst ends mid-run), later ones sleep 45 s first
-    // to let the burst pass. Bounded: default 5 extra pairs (~4 min of
-    // sleep worst-case); SPARK_GRAFT_RETRY_DEGRADED overrides.
-    val maxExtra = sys.env.getOrElse("SPARK_GRAFT_RETRY_DEGRADED", "5").toInt
+    // Retry-on-degraded (VERDICT r8 #6, rebuilt per r10 next-round #1):
+    // the driver runs this main ONCE, so the bench itself must OUTLAST a
+    // bad window rather than publish a degraded artifact. r10 proved
+    // detection works (the gates correctly flagged the driver window)
+    // but the escape didn't: 5 pass pairs × 45 s backoff spans ~4 min,
+    // and the r10 burst evidently spanned the whole ~17-minute run. So:
+    //  - the retry horizon is a WALL-CLOCK budget scaled to the
+    //    measured gate excess at first detection (hard trips — a gate
+    //    ≥1.25× its cap, the r10 shuffle-round 1.90/1.3 shape — get the
+    //    full 15 min; marginal trips 5 min), not a fixed pair count;
+    //  - burst END is sensed with cheap PROBE-ONLY passes (the 17 gate
+    //    probes, ~4 s quiet vs ~40 s for a full pass pair) spaced 30 s
+    //    apart, grading each sense pass's own ratios — accumulated mins
+    //    can't read the host's CURRENT state — and the full pass pair
+    //    is paid only once the probes read quiet.
     // A window is degraded when ANY gate trips: the duck-ratio basket
     // (cross-engine, heavy joins), the dispatch floor basket (job-launch
     // latency), or the shuffle-round floor basket (per-stage dispatch —
     // the r9 Spark-side-only mode). Extra passes can only IMPROVE mins,
     // so retrying is sound for all three min-based gates.
+    val maxExtra = sys.env.getOrElse("SPARK_GRAFT_RETRY_DEGRADED", "8").toInt
     def windowDegraded: Boolean =
       basket > canaryMax || dispatchGate > dispatchMax || shuffleGate > shuffleMax
+    def worstExcess: Double = Seq(
+      basket / canaryMax, dispatchGate / dispatchMax, shuffleGate / shuffleMax)
+      .filter(_ > 0).maxOption.getOrElse(0.0)
+    val probeFns = (canaryFloors.keySet ++ dispatchFloors.keySet ++
+      shuffleFloors.keySet).toSeq.sorted
+      .flatMap(n => SparkEntry.queries.get(n).map(fn => (n, fn)))
+    def probeQuiet(): Boolean = {
+      val now = probeFns.flatMap { case (n, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).collect(); Some(n -> (System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }.toMap
+      // A throwing probe can never certify quiet; ONLY-filtered dev
+      // runs (probe set not fully declared) sense on what's present.
+      if (now.size < probeFns.size) return false
+      def g(fl: Map[String, Double]): Double =
+        median(fl.toSeq.map { case (q, f) => now(q) / f.max(1e-9) })
+      val (cb, db, sb) = (g(canaryFloors), g(dispatchFloors), g(shuffleFloors))
+      System.err.println(f"[bench] probe sense: canary $cb%.2f/$canaryMax%.2f " +
+        f"dispatch $db%.2f/$dispatchMax%.2f shuffle $sb%.2f/$shuffleMax%.2f")
+      cb <= canaryMax && db <= dispatchMax && sb <= shuffleMax
+    }
     var extra = 0
-    while (windowDegraded && extra < maxExtra) {
-      System.err.println(f"[bench] degraded window (duck-basket ${basket}%.2f/" +
-        f"$canaryMax%.2f, dispatch ${dispatchGate}%.2f/$dispatchMax%.2f, " +
-        f"shuffle-round ${shuffleGate}%.2f/$shuffleMax%.2f) - " +
-        s"extra interleaved pass pair ${extra + 1}/$maxExtra")
-      if (extra >= 2) Thread.sleep(45000)
-      sparkPass(); duckPass()
-      extra += 1
+    if (windowDegraded) {
+      val budgetSec = sys.env.get("SPARK_GRAFT_RETRY_BUDGET_SEC").map(_.toInt)
+        .getOrElse(if (worstExcess >= 1.25) 900 else 300)
+      val deadline = System.nanoTime() + budgetSec * 1000000000L
+      System.err.println(s"[bench] retry budget $budgetSec s " +
+        f"(worst gate excess ${worstExcess}%.2fx)")
+      while (windowDegraded && extra < maxExtra && System.nanoTime() < deadline) {
+        System.err.println(f"[bench] degraded window (duck-basket ${basket}%.2f/" +
+          f"$canaryMax%.2f, dispatch ${dispatchGate}%.2f/$dispatchMax%.2f, " +
+          f"shuffle-round ${shuffleGate}%.2f/$shuffleMax%.2f) - " +
+          s"extra interleaved pass pair ${extra + 1}/$maxExtra, " +
+          s"${(deadline - System.nanoTime()) / 1000000000L} s budget left")
+        // First two extra pairs run immediately (cheap, and enough when
+        // the burst ends mid-run); after that, sense until quiet.
+        if (extra >= 2) {
+          var quiet = probeQuiet()
+          while (!quiet && System.nanoTime() + 35L * 1000000000L < deadline) {
+            Thread.sleep(30000)
+            quiet = probeQuiet()
+          }
+        }
+        sparkPass(); duckPass()
+        extra += 1
+      }
     }
     duck.foreach(_.quit())
     // A voided gate (-1: failed probe or missing samples) voids the
@@ -447,6 +503,49 @@ private[graft] class DuckPair(proc: Process) {
       if (!proc.waitFor(10, java.util.concurrent.TimeUnit.SECONDS))
         proc.destroyForcibly()
     } catch { case _: Exception => proc.destroyForcibly() }
+  }
+}
+
+/** The pinned window-gate floors, committed as bench_floors.json and
+  * regenerated from each quiet closing artifact by tools/pin_floors.py
+  * (one command, no literal edits — VERDICT r10 "What's wrong" #3). */
+private[graft] case class FloorsFile(canary: Map[String, Double],
+    dispatch: Map[String, Double], shuffle: Map[String, Double])
+
+private[graft] object FloorsFile {
+  def load(path: String): Option[FloorsFile] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    try {
+      val p = Paths.get(path)
+      if (!Files.isRegularFile(p)) {
+        System.err.println(s"[bench] no floors file at $path - using inline fallbacks")
+        return None
+      }
+      val j = JsonMethods.parse(Files.readString(p))
+      def m(key: String): Map[String, Double] = (j \ key) match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v)) => k -> v.toDouble
+          case (k, JDecimal(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+      val f = FloorsFile(m("canary"), m("dispatch"), m("shuffle"))
+      if (f.canary.isEmpty || f.dispatch.isEmpty || f.shuffle.isEmpty) {
+        System.err.println(s"[bench] floors file $path missing baskets - using inline fallbacks")
+        None
+      } else {
+        System.err.println(s"[bench] floors loaded from $path " +
+          s"(${f.canary.size}+${f.dispatch.size}+${f.shuffle.size} probes, " +
+          s"pinned_from ${(j \ "pinned_from" \ "artifact") match {
+            case JString(s) => s; case _ => "?" }})")
+        Some(f)
+      }
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] floors file $path unreadable ($e) - using inline fallbacks")
+      None
+    }
   }
 }
 
