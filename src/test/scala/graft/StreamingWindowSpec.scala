@@ -406,4 +406,88 @@ class StreamingWindowSpec extends GraftSuite {
       assert(batch.nonEmpty, "corpus must contain boilerplate for this test to bite")
     } finally q.stop()
   }
+
+  test("composed nightly-crawl pipeline (d17+d20+d18, two nights) matches the batch composition") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Dedup
+
+    val all = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+
+    // The batch ground truth: the SAME three stages composed window-free
+    // over the same static artifacts.
+    def batchNight(crawl: org.apache.spark.sql.DataFrame,
+        indexDocs: org.apache.spark.sql.DataFrame,
+        boiler: org.apache.spark.sql.DataFrame) = {
+      val fresh = Dedup.dedupAgainstIndex(crawl, Dedup.digestIndex(indexDocs))
+      val kept = fresh.join(
+        Dedup.nearDupAgainstIndex(fresh, indexDocs, ordered = false), Seq("doc_id"))
+      val keep = col("is_boiler").isNull
+      Dedup.chunked(kept, 20)
+        .join(boiler.select(col("h"), lit(1).as("is_boiler")), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(
+          array_join(transform(array_sort(collect_list(
+              when(keep, struct(col("chunk_idx"), col("chunk"))))),
+            x => x("chunk")), " ").as("clean_text"),
+          sum(when(keep, 1L).otherwise(0L)).as("kept_chunks"),
+          sum(when(keep, 0L).otherwise(1L)).as("dropped_chunks"))
+        .where(col("kept_chunks") > 0)
+    }
+
+    def streamNight(crawl: org.apache.spark.sql.DataFrame,
+        indexDocs: org.apache.spark.sql.DataFrame,
+        boiler: org.apache.spark.sql.DataFrame, name: String) = {
+      val rows = crawl.collect().map(r => (r.getLong(0), r.getString(1)))
+      val base = Timestamp.valueOf("2024-01-01 10:00:00")
+      val input = MemoryStream[(Long, Timestamp, String)]
+      val out = streaming.StreamingNightlyCrawl.pipeline(
+        input.toDF().toDF("doc_id", "ts", "text"), indexDocs, boiler)
+      val q = out.writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try {
+        rows.grouped(40).foreach { g =>
+          input.addData(g.map(x => (x._1, base, x._2)).toSeq)
+          q.processAllAvailable()
+        }
+        // Far-future doc advances the watermark and closes the 10:00
+        // window; its own window never emits.
+        input.addData((999999L,
+          Timestamp.valueOf("2024-01-01 12:00:00"), "late watermark row"))
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+          .toSet
+      } finally q.stop()
+    }
+
+    // Night 1: crawl slice A against the historical corpus.
+    val corpus0 = all.where(col("doc_id") % 4 =!= 2)
+    val night1 = all.where(col("doc_id") % 8 === 2)
+    val boiler1 = Dedup.boilerplateChunks(corpus0, 20, 1).localCheckpoint(true)
+    val want1 = batchNight(night1, corpus0, boiler1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val got1 = streamNight(night1, corpus0, boiler1, "nightly1")
+    assert(got1 == want1, s"night 1 mismatch: extra=${(got1 -- want1).take(2)} " +
+      s"missing=${(want1 -- got1).take(2)}")
+    assert(want1.nonEmpty && want1.size < night1.count(),
+      "night 1 must exercise both accepted and dropped docs")
+
+    // Index advance: accepted docs are INGESTED (scrubbed text) and all
+    // three artifacts rebuild over the accumulated corpus; night 2
+    // restarts against them (the StreamingBloomDedup discipline).
+    val accepted1 = spark.createDataFrame(
+      want1.toSeq.map(t => (t._1, t._2))).toDF("doc_id", "text")
+    val corpus1 = corpus0.unionByName(accepted1).localCheckpoint(true)
+    val night2 = all.where(col("doc_id") % 8 === 6)
+    val boiler2 = Dedup.boilerplateChunks(corpus1, 20, 1).localCheckpoint(true)
+    val want2 = batchNight(night2, corpus1, boiler2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val got2 = streamNight(night2, corpus1, boiler2, "nightly2")
+    assert(got2 == want2, s"night 2 mismatch: extra=${(got2 -- want2).take(2)} " +
+      s"missing=${(want2 -- got2).take(2)}")
+    assert(want2.nonEmpty && want2.size < night2.count(),
+      "night 2 must exercise both accepted and dropped docs")
+  }
 }
