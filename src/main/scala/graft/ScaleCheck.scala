@@ -731,7 +731,11 @@ object ScaleCheck {
           f"intra_cos=${cos2.getOrElse(true, Double.NaN)}%.3f " +
           f"inter_cos=${cos2.getOrElse(false, Double.NaN)}%.3f " +
           f"chance_recall=${1.0 / coarseCb.size}%.3f")
-        val mRows = for (m <- Seq(50, 200)) yield {
+        // With cell recall at 1.0 (below), the composed e15's binding
+        // stage is the BINARY shortlist inside the (5k-vector) cell —
+        // so the m budget, not nprobe, is the closing lever here; sweep
+        // it a decade further to show the convergence.
+        val mRows = for (m <- Seq(50, 200, 1000)) yield {
           val r = rec(pairSet(graft.ops.Similarity.ivfBinaryRerankTopK(
               cemb, coarseCb, col("vec_id") < 10, m = m, k = 10)
             .select("query_id", "neighbor_id")))

@@ -38,18 +38,28 @@ object DeclaredOps {
       m.computeIfAbsent((s, dir, sig), _ => build)
     }
   }
+  // The in-session memo fronts the CROSS-SESSION artifact store
+  // (Artifacts.trained, same names LlmViews uses — VERDICT r10
+  // missing-#2): a fresh Verify/Bench process deserializes the stored
+  // object instead of retraining at warmup.
   private val pqCb = new SigMemo[Seq[Seq[(Int, Seq[Double])]]]
   private def pqCodebooks(s: SparkSession, dir: String): Seq[Seq[(Int, Seq[Double])]] =
-    pqCb(s, dir)(Similarity.labelPqCodebooks(emb(s, dir)))
+    pqCb(s, dir)(graft.core.Artifacts.trained(dir, "pq_codebooks") {
+      Similarity.labelPqCodebooks(emb(s, dir))
+    })
   private val mmrShort = new SigMemo[DataFrame]
   // The trained BPE merge list is a build artifact like the codebooks:
   // one vocabulary-sized training job per (session, dir, signature).
   private val bpeM = new SigMemo[Seq[(String, String)]]
   private def bpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
-    bpeM(s, dir)(TextAnalysis.trainBpe(docs(s, dir)))
+    bpeM(s, dir)(graft.core.Artifacts.trained(dir, "bpe_merges") {
+      TextAnalysis.trainBpe(docs(s, dir))
+    })
   private val centCb = new SigMemo[Seq[(Int, Seq[Double])]]
   private def centroidCodebook(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
-    centCb(s, dir)(Similarity.collectCodebook(Similarity.centroidFrame(emb(s, dir))))
+    centCb(s, dir)(graft.core.Artifacts.trained(dir, "coarse_codebook") {
+      Similarity.collectCodebook(Similarity.centroidFrame(emb(s, dir)))
+    })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup"   -> ((s, dir) => Dedup.exact(docs(s, dir))),
