@@ -158,7 +158,12 @@ object LlmViews {
       "llm_bloom_dedup" -> (() => {
         val idx = Dedup.digestIndex(
           docs.where(col("doc_id") % 3 =!= 1 || col("doc_id") < 50))
-        val bytes = graft.core.Artifacts.trained(dir, "bloom_bytes") {
+        // The artifact NAME encodes the index definition: a bloom built
+        // over a DIFFERENT index slice must never be served (a bloom
+        // false NEGATIVE lets a true duplicate skip the verify join —
+        // a correctness bug, not a recall trade). The data signature
+        // covers data changes; the name covers code changes.
+        val bytes = graft.core.Artifacts.trained(dir, "bloom_bytes_idx_mod3ne1_lt50") {
           Dedup.buildBloomBytes(idx)
         }
         Dedup.bloomDedupWithBloom(docs.where(col("doc_id") % 3 === 1), idx, bytes)
