@@ -99,6 +99,24 @@ object PlanAudit {
       "top-k is a bounded partial aggregate, scored set never shuffles whole" ->
         (p => p.contains("ObjectHashAggregate") && !p.contains("Window")))
 
+    audit("e18_knn_predict", qs("e18_knn_predict")(spark, sfDir),
+      "one corpus pass: neighbor labels ride the top-k aggregate payload, no join back" ->
+        (p => !p.contains("BroadcastHashJoin")),
+      "majority vote is an in-row array fold, no second aggregate round" ->
+        (p => p.contains("ObjectHashAggregate") && !p.contains("Window")))
+
+    audit("d17_bloom_dedup (stored-bloom serving path)", qs("d17_bloom_dedup")(spark, sfDir),
+      "bloom guard is an in-scan filter over stored bytes (no build pass in the plan)" ->
+        (p => p.toLowerCase.contains("bloommightcontain")),
+      "maybe-hit sliver verifies through one anti-join" ->
+        (p => p.contains("LeftAnti")))
+
+    audit("t21_quality_classifier (stored-weights serving path)", qs("t21_quality_classifier")(spark, sfDir),
+      "scoring is join-free: weights are an inlined literal, no per-epoch rounds" ->
+        (p => !p.contains("Join")),
+      "per-doc feature fold is the only corpus-keyed shuffle chain" ->
+        (p => "hashpartitioning\\(".r.findAllIn(p).length <= 2))
+
     audit("e4_quantized_topk", qs("e4_quantized_topk")(spark, sfDir),
       "query side broadcast (corpus scanned once)" ->
         (p => p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange")),

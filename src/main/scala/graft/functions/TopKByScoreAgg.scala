@@ -54,3 +54,47 @@ object TopKByScoreAgg {
     udaf(new TopKByScoreAgg(k), ExpressionEncoder[(Double, Long)]())
       .apply(score, id)
 }
+
+/** [[TopKByScoreAgg]] carrying one Long payload per candidate (a label,
+  * a cell id, …) through the bounded aggregate, so a consumer that needs
+  * it avoids a join back to the corpus (the e18 fold: neighbor labels
+  * ride the shuffle as 8 bytes/candidate instead of a second
+  * broadcast-join pass over the corpus). Ordering is (score DESC, id
+  * ASC) exactly as the payload-free form — ids are unique within a
+  * group, so the payload never participates in ordering and the
+  * selected set is identical. */
+class TopKByScorePayloadAgg(k: Int)
+    extends Aggregator[(Double, Long, Long), Seq[(Double, Long, Long)], Seq[(Double, Long, Long)]] {
+
+  private def ahead(a: (Double, Long, Long), b: (Double, Long, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def insert(acc: Seq[(Double, Long, Long)],
+      x: (Double, Long, Long)): Seq[(Double, Long, Long)] =
+    if (acc.length >= k && ahead(acc.last, x)) acc
+    else {
+      val i = acc.indexWhere(e => ahead(x, e))
+      val ins = if (i < 0) acc :+ x else (acc.take(i) :+ x) ++ acc.drop(i)
+      if (ins.length > k) ins.take(k) else ins
+    }
+
+  override def zero: Seq[(Double, Long, Long)] = Vector.empty
+  override def reduce(acc: Seq[(Double, Long, Long)],
+      x: (Double, Long, Long)): Seq[(Double, Long, Long)] = insert(acc, x)
+  override def merge(a: Seq[(Double, Long, Long)],
+      b: Seq[(Double, Long, Long)]): Seq[(Double, Long, Long)] = b.foldLeft(a)(insert)
+  override def finish(acc: Seq[(Double, Long, Long)]): Seq[(Double, Long, Long)] = acc
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long, Long)]] =
+    ExpressionEncoder[Seq[(Double, Long, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Double, Long, Long)]] =
+    ExpressionEncoder[Seq[(Double, Long, Long)]]()
+}
+
+object TopKByScorePayloadAgg {
+  /** `topK(score, id, payload)` over a group → array<struct<_1,_2,_3>>
+    * sorted by (score desc, id asc), length ≤ k. */
+  def column(k: Int, score: Column, id: Column, payload: Column): Column =
+    udaf(new TopKByScorePayloadAgg(k), ExpressionEncoder[(Double, Long, Long)]())
+      .apply(score, id, payload)
+}

@@ -90,30 +90,33 @@ object Similarity {
   /** e18 — kNN label prediction: majority label among the k exact-cosine
     * nearest neighbors, the standard embedding-quality eval a labeled
     * corpus runs (does nearest-neighbor structure recover the labels?).
-    * Neighbors come from e1's bounded top-k aggregate (corpus scanned
-    * once, queries broadcast, O(queries·k) past the shuffle); the vote
-    * attaches neighbor labels through ONE broadcast join of the
-    * (queries·k)-row shortlist back to the corpus, then two bounded
-    * aggregates. Deterministic tiebreak: more votes, then the SMALLER
-    * label — integer rules only, so the row is hash-exact. */
+    *
+    * ONE corpus pass, e1's bounded top-k aggregate with the neighbor
+    * label riding the shuffle as an 8-byte payload (TopKByScorePayloadAgg
+    * — the e12 fold: everything downstream of the bounded shortlist is
+    * per-query local state); the query's own true label rides the query
+    * broadcast. The majority vote is then a codegen'd array fold over
+    * the ≤k in-row candidates — no join back to the corpus, no second
+    * aggregate round. Deterministic tiebreak: more votes, then the
+    * SMALLER label — integer rules only, so the row is hash-exact. */
   def knnPredict(emb: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
-    val nb = cosineTopK(emb, queryPred, k)
-      .select(col("query_id"), col("neighbor_id"))
-    val voted = broadcast(nb)
-      .join(emb.select(col("vec_id").as("neighbor_id"), col("label").as("nl")),
-        "neighbor_id")
-      .groupBy(col("query_id"), col("nl"))
-      .agg(count(lit(1)).as("votes"))
-      .groupBy(col("query_id"))
-      .agg(max(struct(col("votes"), (-col("nl")).as("neg"))).as("w"))
-      .select(col("query_id"), (-col("w.neg")).as("pred_label"),
-        col("w.votes").as("votes"))
-    voted
-      .join(emb.where(queryPred)
-        .select(col("vec_id").as("query_id"), col("label").as("true_label")),
-        "query_id")
-      .select(col("query_id"), col("true_label"), col("pred_label"),
-        col("votes"))
+    val q = emb.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("tl"))
+    val top = emb.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("embedding"), col("qv")) * 10000, 0))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScorePayloadAgg.column(k, col("cos"),
+          col("vec_id"), col("label").cast("long")).as("top"),
+        first(col("tl")).as("true_label"))
+    top
+      .select(col("query_id"), col("true_label"),
+        expr("""array_max(transform(array_distinct(transform(top, t -> t._3)),
+                l -> struct(CAST(size(filter(top, t -> t._3 = l)) AS BIGINT) AS votes,
+                            -l AS neg)))""").as("w"))
+      .select(col("query_id"), col("true_label"),
+        (-col("w.neg")).cast("int").as("pred_label"), col("w.votes").as("votes"))
       .orderAgg("query_id")
   }
 

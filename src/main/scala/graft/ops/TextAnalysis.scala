@@ -528,6 +528,17 @@ object TextAnalysis {
       if (useBc) uniBase.withColumn("n", sum(col("c3")).over(
         Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       else uniBase.crossJoin(broadcast(c123.agg(sum(col("c123")).as("n"))))
+    // Three per-level joins by design. A single-broadcast variant (the
+    // three stats frames level-tagged into one union, every join probing
+    // one composite struct key so physical planning materializes ONE
+    // BroadcastExchange + two ReusedExchange) was built and MEASURED
+    // this round: jobs dropped 4 → 2 but the query went 0.39 → 0.76 s
+    // at sf0.1 — per-row struct-key construction on the probe side plus
+    // hash lookups against the 3×-larger unified relation cost far more
+    // than the two saved broadcast-build jobs. The e12 job-round lever
+    // does not pay when it fattens the per-row probe (the signSig
+    // lesson in reverse: check expression cost before buying job
+    // count).
     def side(stats: DataFrame): DataFrame = if (useBc) broadcast(stats) else stats
     val scored = tri.where(col("held"))
       .join(side(triW), Seq("w1", "w2", "w3"), "left")
