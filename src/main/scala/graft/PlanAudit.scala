@@ -525,7 +525,7 @@ object PlanAudit {
     // m9/m10 pixel ops: the entire decode/resize must live inside the
     // scan projection — payloads never join, never shuffle; the only
     // post-scan work is the bounded presentation sort.
-    for (name <- Seq("m9_pgm_decode", "m10_pgm_resize")) {
+    for (name <- Seq("m9_pgm_decode", "m10_pgm_resize", "m11_ppm_decode")) {
       val df = qs(name)(spark, sfDir)
       audit(name, df,
         "pixel work is in-scan map-only: no join anywhere" ->

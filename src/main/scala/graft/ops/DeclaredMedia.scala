@@ -26,6 +26,7 @@ object DeclaredMedia {
   private def video(s: SparkSession): DataFrame = fixtureDf(s, VideoFixture.ensure(_))
   private def audio(s: SparkSession): DataFrame = fixtureDf(s, AudioFixture.ensure(_))
   private def pgm(s: SparkSession): DataFrame = fixtureDf(s, PgmFixture.ensure(_))
+  private def ppm(s: SparkSession): DataFrame = fixtureDf(s, PpmFixture.ensure(_))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_decode"  -> ((s, _) => Multimodal.decodeDims(media(s))),
@@ -37,12 +38,14 @@ object DeclaredMedia {
     "m7_audio_pairs"   -> ((s, _) => Multimodal.audioSigPairs(audio(s))),
     "m8_video_pairs"   -> ((s, _) => Multimodal.videoSigPairs(video(s))),
     "m9_pgm_decode"    -> ((s, _) => Multimodal.decodePgm(pgm(s))),
-    "m10_pgm_resize"   -> ((s, _) => Multimodal.resizePgm(pgm(s))))
+    "m10_pgm_resize"   -> ((s, _) => Multimodal.resizePgm(pgm(s))),
+    "m11_ppm_decode"   -> ((s, _) => Multimodal.decodePpm(ppm(s))))
 
   private val Fixture = MediaFixture.DefaultPath
   private val VidFixture = VideoFixture.DefaultPath
   private val AudFixture = AudioFixture.DefaultPath
   private val PgmPath = PgmFixture.DefaultPath
+  private val PpmPath = PpmFixture.DefaultPath
 
   val oracleSql: Map[String, String] = Map(
     "m1_media_decode" ->
@@ -144,6 +147,37 @@ object DeclaredMedia {
          |    list_prepend(CAST(0 AS BIGINT), list_transform(r, x -> CAST(x AS BIGINT))),
          |    (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fp
          |FROM rz ORDER BY media_id""".stripMargin,
+
+    // m11: COLOR pixel ground truth — every channel byte of the
+    // interleaved RGB raster re-read from the payload hex (raster =
+    // last w*h*3 bytes whatever the header shape); per-channel sums,
+    // global range, and the rolling fingerprint over the integer
+    // Rec.601 luma pin value, channel ORDER, and pixel POSITION.
+    "m11_ppm_decode" ->
+      s"""WITH p AS (
+         |  SELECT media_id, hex(payload) AS hs, octet_length(payload) AS tot,
+         |    meta.width AS w, meta.height AS h, meta.maxval AS maxval
+         |  FROM read_parquet('$PpmPath')),
+         |px AS (
+         |  SELECT media_id, w, h, maxval,
+         |    list_transform(range(0, w * h * 3), i -> CAST(concat('0x',
+         |      substr(hs, CAST((tot - w * h * 3 + i) * 2 + 1 AS INT), 2)) AS INT)) AS v
+         |  FROM p),
+         |ch AS (
+         |  SELECT media_id, w, h, maxval,
+         |    CAST(list_sum(list_transform(range(0, w * h), i -> v[CAST(3*i + 1 AS INT)])) AS BIGINT) AS r_sum,
+         |    CAST(list_sum(list_transform(range(0, w * h), i -> v[CAST(3*i + 2 AS INT)])) AS BIGINT) AS g_sum,
+         |    CAST(list_sum(list_transform(range(0, w * h), i -> v[CAST(3*i + 3 AS INT)])) AS BIGINT) AS b_sum,
+         |    CAST(list_min(v) AS INT) AS px_min, CAST(list_max(v) AS INT) AS px_max,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(0, w * h), i -> CAST(
+         |        (299 * v[CAST(3*i + 1 AS INT)] + 587 * v[CAST(3*i + 2 AS INT)]
+         |         + 114 * v[CAST(3*i + 3 AS INT)]) // 1000 AS BIGINT))),
+         |      (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS luma_fp
+         |  FROM px)
+         |SELECT media_id, w, h, maxval, CAST(w AS BIGINT) * h AS n_pixels,
+         |  r_sum, g_sum, b_sum, px_min, px_max, luma_fp
+         |FROM ch ORDER BY media_id""".stripMargin,
 
     // Ground truth = all-pairs Hamming over the same integer phash
     // (count·16 > n bit rule re-derived byte-by-byte from the payload

@@ -247,15 +247,18 @@ object Multimodal {
       copy(child = c)
   }
 
-  /** ONE P5 header parse shared by PgmStats and PgmResizeStats (the two
-    * expression classes stay distinct in plans; the byte-level grammar
-    * — magic, whitespace runs, `#` comments to end-of-line, ASCII ints
-    * with overflow guard, exactly ONE whitespace byte before the
-    * raster, raster-length check — must have a single definition so
-    * m9 and m10 can never disagree on which payloads decode). Returns
-    * Array(width, height, maxval, rasterOffset), or null for
+  /** ONE netpbm binary header parse shared by PgmStats, PgmResizeStats
+    * and PpmStats (the expression classes stay distinct in plans; the
+    * byte-level grammar — magic, whitespace runs, `#` comments to
+    * end-of-line, ASCII ints with overflow guard, exactly ONE
+    * whitespace byte before the raster, raster-length check — must have
+    * a single definition so m9/m10/m11 can never disagree on which
+    * payloads decode). `magic` is the format digit ('5' = PGM gray,
+    * '6' = PPM color) and `channels` its samples per pixel (1 / 3).
+    * Returns Array(width, height, maxval, rasterOffset), or null for
     * malformed/truncated payloads. */
-  private[ops] def parsePgmHeader(b: Array[Byte]): Array[Int] = {
+  private[ops] def parsePnmHeader(b: Array[Byte], magic: Int,
+      channels: Int): Array[Int] = {
     var p = 0
     def isWs(c: Int): Boolean =
       c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0x0b
@@ -279,15 +282,19 @@ object Multimodal {
       }
       if (any && v <= Int.MaxValue) v.toInt else -1
     }
-    if (b.length < 2 || (b(0) & 0xff) != 'P' || (b(1) & 0xff) != '5') return null
+    if (b.length < 2 || (b(0) & 0xff) != 'P' || (b(1) & 0xff) != magic) return null
     p = 2
     val w = int(); val h = int(); val mx = int()
     if (w <= 0 || h <= 0 || mx <= 0 || mx > 255 ||
         p >= b.length || !isWs(b(p) & 0xff)) return null
     p += 1 // the single post-maxval whitespace byte
-    if (b.length.toLong - p < w.toLong * h) return null
+    if (b.length.toLong - p < w.toLong * h * channels) return null
     Array(w, h, mx, p)
   }
+
+  /** The P5 (grayscale) instantiation m9/m10 parse with. */
+  private[ops] def parsePgmHeader(b: Array[Byte]): Array[Int] =
+    parsePnmHeader(b, '5', 1)
 
   /** Full PIXEL-level decode of a binary PGM (netpbm "P5") payload — the
     * first real end-to-end pixel contract in the media family (VERDICT
@@ -400,6 +407,74 @@ object Multimodal {
         (col("st.out_w").cast("long") * col("st.out_h")).as("n_pixels"),
         col("st.px_min").as("px_min"), col("st.px_max").as("px_max"),
         col("st.px_sum").as("px_sum"), col("st.fp").as("fp"))
+      .orderSmall("media_id")
+
+  /** Full PIXEL-level decode of a binary PPM (netpbm "P6") payload — the
+    * COLOR member of the m9/m10 pixel-contract family: same shared
+    * header grammar ([[parsePnmHeader]] with magic '6', 3 samples per
+    * pixel), then one pass over the interleaved RGB raster producing
+    * per-channel sums, global min/max, and a position-sensitive rolling
+    * fingerprint over the integer Rec.601 luma
+    * ((299·R + 587·G + 114·B) div 1000 — the published integer
+    * grayscale weights, engine-exact), so a wrong channel VALUE, a
+    * swapped channel ORDER, or a transposed pixel POSITION all break
+    * the hash. Malformed/truncated payloads yield NULL, never a partial
+    * decode. One in-scan pass; the raster never leaves the expression. */
+  case class PpmStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("maxval", IntegerType, nullable = false),
+      StructField("r_sum", LongType, nullable = false),
+      StructField("g_sum", LongType, nullable = false),
+      StructField("b_sum", LongType, nullable = false),
+      StructField("px_min", IntegerType, nullable = false),
+      StructField("px_max", IntegerType, nullable = false),
+      StructField("luma_fp", LongType, nullable = false)))
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[Array[Byte]]
+      val hd = parsePnmHeader(b, '6', 3)
+      if (hd == null) return null
+      val Array(w, h, mx, off) = hd
+      var i = off
+      val end = off + w * h * 3
+      var mn = 255; var mxp = 0
+      var rs = 0L; var gs = 0L; var bs = 0L; var fp = 0L
+      while (i < end) {
+        val r = b(i) & 0xff; val g = b(i + 1) & 0xff; val bl = b(i + 2) & 0xff
+        if (r < mn) mn = r; if (g < mn) mn = g; if (bl < mn) mn = bl
+        if (r > mxp) mxp = r; if (g > mxp) mxp = g; if (bl > mxp) mxp = bl
+        rs += r; gs += g; bs += bl
+        fp = (fp * 31 + (299 * r + 587 * g + 114 * bl) / 1000) % 1000000007L
+        i += 3
+      }
+      org.apache.spark.sql.catalyst.InternalRow(w, h, mx, rs, gs, bs, mn, mxp, fp)
+    }
+    override protected def withNewChildInternal(c: Expression): PpmStats =
+      copy(child = c)
+  }
+
+  def ppmStats(c: Column): Column = column(PpmStats(expression(c)))
+
+  /** m11 — pixel-level P6 color decode: per-channel sums + global range
+    * + the position-sensitive luma fingerprint; the oracle re-derives
+    * every channel byte from the payload hex. Same in-scan map-only
+    * shape as m9/m10. */
+  def decodePpm(media: DataFrame): DataFrame =
+    media
+      .select(col("media_id"), ppmStats(col("payload")).as("st"))
+      .where(col("st").isNotNull)
+      .select(col("media_id"),
+        col("st.width").as("w"), col("st.height").as("h"),
+        col("st.maxval").as("maxval"),
+        (col("st.width").cast("long") * col("st.height")).as("n_pixels"),
+        col("st.r_sum").as("r_sum"), col("st.g_sum").as("g_sum"),
+        col("st.b_sum").as("b_sum"),
+        col("st.px_min").as("px_min"), col("st.px_max").as("px_max"),
+        col("st.luma_fp").as("luma_fp"))
       .orderSmall("media_id")
 
   /** m9 — PGM pixel decode + stats: parse the P5 header from the bytes
@@ -933,6 +1008,48 @@ object VideoFixture {
   * independently-written width/height/maxval so the m9 oracle can
   * cross-check the byte-level header parse while recomputing the PIXEL
   * stats from the payload hex tail. */
+object PpmFixture {
+
+  val DefaultPath = "/root/repo/fixtures/media/ppm.parquet"
+
+  /** Reference raster bytes (w·h·3 interleaved RGB) for media_id —
+    * specs recompute stats from exactly this construction. Seed differs
+    * from PgmFixture's so a PGM/PPM raster mixup cannot silently pass. */
+  def raster(id: Long, n: Int): Array[Byte] = MediaFixture.body(id * 37L + 11L, n)
+
+  def header(id: Long, w: Int, h: Int, maxval: Int): Array[Byte] = {
+    val comment = if (id % 3 == 1) s"# synthetic ppm $id\n" else ""
+    s"P6\n$comment$w $h\n$maxval\n".getBytes("US-ASCII")
+  }
+
+  def ensure(spark: SparkSession, path: String = DefaultPath): String = synchronized {
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) return path
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("format", StringType, nullable = false),
+        StructField("width", IntegerType, nullable = false),
+        StructField("height", IntegerType, nullable = false),
+        StructField("maxval", IntegerType, nullable = false))), nullable = false)))
+    val rows: Seq[Row] = (0 until 12).map { idInt =>
+      val id = idInt.toLong
+      // Varied digit widths force real ASCII parsing, not fixed offsets;
+      // dims deliberately differ from PgmFixture's cycle.
+      val w = Seq(5, 21, 64, 320, 11, 48)(idInt % 6)
+      val h = Seq(7, 24, 4, 36)(idInt % 4)
+      val payload = header(id, w, h, 255) ++ raster(id, w * h * 3)
+      Row(id, "image", payload, Row("ppm", w, h, 255))
+    }
+    val jrows = new java.util.ArrayList[Row](rows.size)
+    rows.foreach(jrows.add)
+    MediaFixture.writeSingle(spark.createDataFrame(jrows, schema), path)
+    path
+  }
+}
+
 object PgmFixture {
 
   val DefaultPath = "/root/repo/fixtures/media/pgm.parquet"

@@ -192,7 +192,10 @@ object LlmViews {
       "llm_pgm_stats" -> (() => graft.ops.Multimodal.decodePgm(
         spark.read.parquet(graft.ops.PgmFixture.ensure(spark)))),
       "llm_pgm_resize" -> (() => graft.ops.Multimodal.resizePgm(
-        spark.read.parquet(graft.ops.PgmFixture.ensure(spark)))))
+        spark.read.parquet(graft.ops.PgmFixture.ensure(spark)))),
+      // Pixel-level PPM color decode (m11): per-channel stats + luma fp.
+      "llm_ppm_stats" -> (() => graft.ops.Multimodal.decodePpm(
+        spark.read.parquet(graft.ops.PpmFixture.ensure(spark)))))
 
     private val registered = scala.collection.mutable.Set.empty[String]
 

@@ -178,6 +178,49 @@ class MultimodalSpec extends GraftSuite {
     }
   }
 
+  test("ppm decode: per-channel stats and luma fp match a local raster recompute") {
+    import org.apache.spark.sql.functions.col
+    val ppm = spark.read.parquet(graft.ops.PpmFixture.ensure(spark))
+    val out = Multimodal.decodePpm(ppm).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getInt(8), r.getInt(9), r.getLong(10))))
+      .toMap
+    val metas = ppm.selectExpr("media_id", "meta.width", "meta.height").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(metas.nonEmpty && out.size == metas.length,
+      "every fixture row must decode (headers are all valid P6)")
+    metas.foreach { case (id, w, h) =>
+      // Ground truth straight from the fixture's raster construction.
+      val px = graft.ops.PpmFixture.raster(id, w * h * 3).map(_ & 0xff)
+      val r = (0 until w * h).map(i => px(3 * i))
+      val g = (0 until w * h).map(i => px(3 * i + 1))
+      val b = (0 until w * h).map(i => px(3 * i + 2))
+      val luma = (0 until w * h).map(i =>
+        (299 * px(3 * i) + 587 * px(3 * i + 1) + 114 * px(3 * i + 2)) / 1000)
+      val fp = luma.foldLeft(0L)((a, v) => (a * 31 + v) % 1000000007L)
+      assert(out(id) == ((w, h, 255, w.toLong * h,
+        r.map(_.toLong).sum, g.map(_.toLong).sum, b.map(_.toLong).sum,
+        px.min, px.max, fp)), s"ppm decode mismatch for $id")
+    }
+    assert(metas.exists(_._1 % 3 == 1), "fixture must exercise comments")
+    // Malformed payloads decode to NULL — including a VALID P5 payload
+    // (wrong magic for the P6 parser) and a raster long enough for
+    // grayscale but truncated for 3 channels.
+    import spark.implicits._
+    val bad = Seq(
+      "P5\n2 2\n255\nAAAA".getBytes("US-ASCII"),          // P5 magic
+      "P6\n2 2\n255\nAAAA".getBytes("US-ASCII"),          // 1-channel-length raster
+      "P6\n0 4\n255\n".getBytes("US-ASCII"),              // zero width
+      "P6\n2 2\n70000\n".getBytes("US-ASCII") ++ Array.fill(12)('A'.toByte),
+      Array[Byte]())
+      .toDF("payload")
+    val decoded = bad
+      .select(Multimodal.ppmStats(col("payload")).as("st"))
+      .collect()
+    assert(decoded.forall(_.isNullAt(0)), "malformed PPM must yield null")
+  }
+
   test("audio sig pairs: banded join equals a local all-pairs recompute") {
     val audio = spark.read.parquet(graft.ops.AudioFixture.ensure(spark))
     def sig(bytes: Array[Byte]): Int = {

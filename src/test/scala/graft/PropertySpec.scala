@@ -278,6 +278,46 @@ class PropertySpec extends GraftSuite {
     }, n = 30)
   }
 
+  test("property: PpmStats parses any spec-valid P6 header byte-exactly") {
+    // The P5 property's adversarial header grammar (whitespace runs,
+    // comment at every legal position) applied to the 3-channel parse:
+    // per-channel sums, global range, and the Rec.601 luma fingerprint
+    // must match a local recompute over arbitrary raster bytes.
+    val genPpm = for {
+      w <- Gen.choose(1, 24)
+      h <- Gen.choose(1, 16)
+      mx <- Gen.choose(1, 255)
+      ws1 <- Gen.oneOf(" ", "\n", "\t", "\r\n", "  \n")
+      ws2 <- Gen.oneOf(" ", "\n", "\t", " \n ")
+      comment <- Gen.option(Gen.alphaNumStr.map(s => s"# ${s.take(20)}\n"))
+      cpos <- Gen.choose(0, 2)
+      sep <- Gen.oneOf(" ", "\n", "\t")
+      px <- Gen.containerOfN[Array, Byte](w * h * 3,
+        Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield {
+      def at(p: Int) = if (cpos == p) comment.getOrElse("") else ""
+      (w, h, mx,
+        s"P6$ws1${at(0)}$w$ws2${at(1)}$h\n${at(2)}$mx$sep".getBytes("US-ASCII") ++ px,
+        px)
+    }
+    check(Prop.forAll(genPpm) { case (w, h, mx, bytes, px) =>
+      val df = spark.createDataFrame(Seq(Tuple1(bytes))).toDF("payload")
+      val r = df.select(graft.ops.Multimodal.ppmStats(col("payload")).as("st"))
+        .selectExpr("st.width", "st.height", "st.maxval", "st.r_sum",
+          "st.g_sum", "st.b_sum", "st.px_min", "st.px_max", "st.luma_fp")
+        .collect()(0)
+      val ints = px.map(_ & 0xff)
+      val luma = (0 until w * h).map(i =>
+        (299 * ints(3 * i) + 587 * ints(3 * i + 1) + 114 * ints(3 * i + 2)) / 1000)
+      r.getInt(0) == w && r.getInt(1) == h && r.getInt(2) == mx &&
+        r.getLong(3) == (0 until w * h).map(i => ints(3 * i).toLong).sum &&
+        r.getLong(4) == (0 until w * h).map(i => ints(3 * i + 1).toLong).sum &&
+        r.getLong(5) == (0 until w * h).map(i => ints(3 * i + 2).toLong).sum &&
+        r.getInt(6) == ints.min && r.getInt(7) == ints.max &&
+        r.getLong(8) == luma.foldLeft(0L)((a, v) => (a * 31 + v) % 1000000007L)
+    }, n = 30)
+  }
+
   test("property: SortedIntersectSize equals set intersection on sorted distinct arrays") {
     check(Prop.forAll(genWords, genWords) { (a, b) =>
       val df = spark.createDataFrame(Seq((a.distinct.toArray, b.distinct.toArray)))

@@ -36,6 +36,9 @@ NOT_BASELINES = {"d2_minhash_lsh", "d5_dedup_clusters", "d6_dedup_apply",
                  # scale) — ground truth, not a reasonable baseline;
                  # including them flatters the Spark ratio.
                  "m9_pgm_decode", "m10_pgm_resize",
+                 # m11's oracle likewise re-derives every RGB channel
+                 # byte + the luma fingerprint from payload hex.
+                 "m11_ppm_decode",
                  # t18's oracle re-derives BPE TRAINING as 10 unrolled
                  # list-fold CTE stages (~23 s at sf0.1) purely as ground
                  # truth; the Spark side trains once as a memoized build
