@@ -220,6 +220,17 @@ object DeclaredOps {
     "s9_epoch_shuffle" -> ((s, dir) => Sampling.epochShuffle(docs(s, dir))),
     // Tokenizer fertility: per-lang chars-per-token under the TRAINED
     // tokenizer (t18's apply feeding a languages-sized aggregate).
+    // Mojibake QA: the doc_id % 5 slice is deterministically damaged
+    // (UTF-8 bytes mis-decoded as Latin-1, the classic crawl bug) and
+    // the detector scans the whole crawl; the oracle re-derives each
+    // signature count from ORIGINAL codepoint ranges — an independent
+    // byte-level equivalence, not the same replace arithmetic.
+    "t22_mojibake" -> ((s, dir) =>
+      TextAnalysis.mojibake(docs(s, dir), col("doc_id") % 5 === 0)),
+    // Zipf top-k coverage: corpus-token share of the 10/100/1000 most
+    // frequent vocabulary types, integer permille.
+    "t23_zipf_coverage" -> ((s, dir) =>
+      TextAnalysis.zipfCoverage(docs(s, dir))),
     "t20_fertility" -> ((s, dir) =>
       TextAnalysis.bpeFertility(docs(s, dir), bpeMerges(s, dir))),
     // Bloom-guarded incremental dedup: d13's semantics on a disjoint
@@ -1416,6 +1427,46 @@ object DeclaredOps {
     // Training is deterministic, so both engines land on identical
     // merges and identical per-doc counts.
     "t18_bpe_tokens" -> bpeTokensOracle(10),
+    // t22: mangled-slice counts re-derived from ORIGINAL codepoint
+    // ranges (byte 0xC3 ⇔ one char in U+00C0–U+00FF, byte pair 0xE2 0x80
+    // ⇔ one char in U+2000–U+203F, byte 0xC2 ⇔ one char in
+    // U+0080–U+00BF — UTF-8 lead-byte structure); clean-slice counts are
+    // literal signature occurrences. chr() keeps the SQL ASCII-only.
+    "t22_mojibake" ->
+      """WITH i AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN translate(text, 'aqk', chr(225) || chr(8217) || chr(183))
+        |      ELSE text END AS t,
+        |    doc_id % 5 = 0 AS mangled
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(CASE WHEN mangled
+        |    THEN length(t) - length(regexp_replace(t, '[' || chr(192) || '-' || chr(255) || ']', '', 'g'))
+        |    ELSE length(t) - length(replace(t, chr(195), '')) END AS BIGINT) AS n_c3,
+        |  CAST(CASE WHEN mangled
+        |    THEN length(t) - length(regexp_replace(t, '[' || chr(8192) || '-' || chr(8255) || ']', '', 'g'))
+        |    ELSE (length(t) - length(replace(t, chr(226) || chr(128), ''))) // 2 END AS BIGINT) AS n_e2_80,
+        |  CAST(CASE WHEN mangled
+        |    THEN length(t) - length(regexp_replace(t, '[' || chr(128) || '-' || chr(191) || ']', '', 'g'))
+        |    ELSE length(t) - length(replace(t, chr(194), '')) END AS BIGINT) AS n_c2
+        |  FROM i)
+        |SELECT doc_id, n_c3, n_e2_80, n_c2,
+        |  n_c3 + n_e2_80 + n_c2 AS n_moji,
+        |  CAST(CASE WHEN n_c3 + n_e2_80 + n_c2 > 0 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "t23_zipf_coverage" ->
+      """WITH v AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0 GROUP BY w),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rnk FROM v),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |             CAST(count(*) AS BIGINT) AS vocab_size FROM v),
+        |c AS (SELECT k, CAST(sum(CASE WHEN rnk <= k THEN cnt ELSE 0 END) AS BIGINT) AS covered
+        |  FROM r, (SELECT unnest([3, 10, 30]) AS k) GROUP BY k)
+        |SELECT k, vocab_size, covered, total,
+        |  covered * 1000 // total AS coverage_permille
+        |FROM c, t ORDER BY k""".stripMargin,
     "t20_fertility" -> bpeFertilityOracle(10),
 
     // Novelty / memorization risk: permille of a doc's 8-word windows

@@ -555,6 +555,97 @@ object TextAnalysis {
     if (ordered) out.orderAgg("doc_id") else out
   }
 
+  /** t22 — mojibake (encoding-damage) detection, the ftfy-class QA gate
+    * a web-crawl pipeline runs before training: documents whose bytes
+    * were decoded with the wrong charset carry tell-tale UTF-8-lead-byte
+    * sequences ("Ã…", "â€¦", "Â·"). Because the fixture corpus is clean,
+    * the declared operator reproduces the damage deterministically
+    * first — `manglePred` docs are round-tripped UTF-8-encode →
+    * ISO-8859-1-decode, the exact classic mis-decode — and the detector
+    * then scans the WHOLE crawl. Counted signatures (each an exact
+    * byte-level equivalence the oracle re-derives from original
+    * CODEPOINT RANGES, an independent derivation):
+    *   - 'Ã' (U+00C3) = one per original char in U+00C0–U+00FF
+    *     (Latin-1 accents: é → "Ã©"),
+    *   - "â" = one per original char in U+2000–U+203F
+    *     (typographic quotes/dashes),
+    *   - 'Â' (U+00C2) = one per original char in U+0080–U+00BF.
+    * flagged = any signature present. Trail bytes of CJK sequences land
+    * on none of the three (lead bytes E4–E9), so legit multilingual
+    * text in the clean slice scores 0 — the detector's precision claim.
+    *
+    * The synthetic corpus is ASCII-only (a mis-decode of ASCII is the
+    * identity — every count would be trivially 0), so the mangle slice
+    * is first deterministically INTERNATIONALIZED: a → á (U+00E1),
+    * q → ’ (U+2019), k → · (U+00B7) — one witness character per
+    * signature class. The oracle applies the same translate and then
+    * counts original CODEPOINT RANGES, so the byte-level equivalence
+    * stays independently derived.
+    *
+    * Scale: map-only per doc (translate + charset round-trip + three
+    * replace-length counts), one scan; the presentation sort is the
+    * only exchange. */
+  def mojibake(docs: DataFrame, manglePred: Column,
+      ordered: Boolean = true): DataFrame = {
+    val intl = translate(col("text"), "aqk", "\u00E1\u2019\u00B7")
+    val t = when(coalesce(manglePred, lit(false)),
+      decode(encode(intl, "UTF-8"), "ISO-8859-1")).otherwise(col("text"))
+    def cnt(sig: String): org.apache.spark.sql.Column =
+      ((length(col("t")) - length(replace(col("t"), lit(sig), lit("")))) /
+        lit(sig.length)).cast("long")
+    val scored = docs.select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"),
+        cnt("\u00C3").as("n_c3"),
+        cnt("\u00E2\u0080").as("n_e2_80"),
+        cnt("\u00C2").as("n_c2"))
+      .withColumn("n_moji", col("n_c3") + col("n_e2_80") + col("n_c2"))
+      .withColumn("flagged", when(col("n_moji") > 0, 1L).otherwise(0L))
+    if (ordered) scored.orderAgg("doc_id") else scored
+  }
+
+  /** t23 — Zipf top-k coverage audit: the fraction of corpus TOKEN
+    * OCCURRENCES covered by the k most frequent vocabulary types
+    * (k = 10 / 100 / 1000) — the statistic that sizes a tokenizer
+    * vocabulary and sanity-checks corpus naturalness (natural language
+    * is Zipfian: a few hundred types cover most tokens; near-uniform
+    * coverage is a synthetic/spam signal). Integer permille output, so
+    * the row is hash-exact.
+    *
+    * Scale: one explode → vocabulary-sized hash aggregate (map-side
+    * combined, the t7 shape); the top-1000 cut collapses to
+    * TakeOrderedAndProject (bounded per-partition top-k, never a full
+    * vocab sort), and the rank window then runs over ≤ 1000 rows —
+    * bounded state however large the corpus. The corpus total rides a
+    * second consumer of the SAME vocab aggregate (ReusedExchange) into
+    * a 1-row broadcast. */
+  def zipfCoverage(docs: DataFrame, ks: Seq[Int] = Seq(3, 10, 30)): DataFrame = {
+    require(ks.nonEmpty && ks == ks.sorted && ks.distinct == ks,
+      s"ks must be strictly increasing: $ks")
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    // Bounded global top-k: TakeOrderedAndProject keeps ≤ max(ks) rows
+    // per partition, and the rank window then runs over ≤ max(ks) rows
+    // total — never a full-vocabulary sort through one task.
+    val top = vocab.orderBy(col("cnt").desc, col("w")).limit(ks.max)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("w"))))
+    // Second consumer of the SAME vocab aggregate (ReusedExchange).
+    val tot = vocab.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("vocab_size"))
+    val sums = ks.map(k =>
+      sum(when(col("rnk") <= k, col("cnt")).otherwise(0L)).as(s"c$k"))
+    top.agg(sums.head, sums.tail: _*)
+      .crossJoin(broadcast(tot))
+      .select(explode(array(ks.map(k =>
+          struct(lit(k).as("k"), col(s"c$k").as("covered"))): _*)).as("e"),
+        col("vocab_size"), col("total"))
+      .select(col("e.k").as("k"), col("vocab_size"),
+        col("e.covered").as("covered"), col("total"),
+        expr("e.covered * 1000 div total").as("coverage_permille"))
+      .orderBy("k")
+  }
+
   /** Corpus-weighted adjacent character-pair frequencies — the statistic
     * a byte-pair-encoding (BPE) tokenizer trainer maximizes at every
     * merge step; the declared top-k IS the first merge's candidate

@@ -149,6 +149,11 @@ object LlmViews {
         ordered = false)),
       // Structured-PII detect/redact (map-only regexp chain).
       "llm_pii_scrub" -> (() => TextAnalysis.piiScrub(docs, ordered = false)),
+      // Encoding-damage QA over the %5 mangled slice (t22).
+      "llm_mojibake" -> (() =>
+        TextAnalysis.mojibake(docs, col("doc_id") % 5 === 0, ordered = false)),
+      // Zipf top-k coverage audit (t23), single-row.
+      "llm_zipf_coverage" -> (() => TextAnalysis.zipfCoverage(docs)),
       "llm_incremental_dedup" -> (() => Dedup.dedupAgainstIndex(
         docs.where(col("doc_id") % 3 === 0),
         Dedup.digestIndex(docs.where(col("doc_id") % 3 =!= 0 || col("doc_id") < 100)))),

@@ -1661,4 +1661,61 @@ class OpsSpec extends GraftSuite {
       expected.map(_.getLong(0)).toSet,
       "rebuild-at-true-count path must match too")
   }
+
+  test("t22 mojibake: signature counts equal a driver charset round-trip recompute") {
+    import org.apache.spark.sql.functions.col
+    val out = TextAnalysis.mojibake(docs, col("doc_id") % 5 === 0).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))))
+      .toMap
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.size == raw.length)
+    var flaggedMangled = 0
+    raw.foreach { case (id, text) =>
+      // Ground truth: the same i18n + mis-decode pipeline in plain Java.
+      val t =
+        if (id % 5 == 0) {
+          val intl = text.map {
+            case 'a' => '\u00E1'; case 'q' => '\u2019'; case 'k' => '\u00B7'
+            case c => c
+          }
+          new String(intl.getBytes("UTF-8"), "ISO-8859-1")
+        } else text
+      def cnt(sig: String): Long = {
+        var c = 0; var i = t.indexOf(sig)
+        while (i >= 0) { c += 1; i = t.indexOf(sig, i + sig.length) }
+        c.toLong
+      }
+      val (c3, e280, c2) = (cnt("\u00C3"), cnt("\u00E2\u0080"), cnt("\u00C2"))
+      val moji = c3 + e280 + c2
+      assert(out(id) == ((c3, e280, c2, moji, if (moji > 0) 1L else 0L)),
+        s"mojibake counts for $id")
+      if (id % 5 == 0 && moji > 0) flaggedMangled += 1
+    }
+    // The mangle slice must actually fire (the corpus is ASCII-only, so
+    // this pins the i18n injection step's effectiveness).
+    assert(flaggedMangled > 0, "the mangled slice must produce signatures")
+  }
+
+  test("t23 zipf coverage: permille curve equals a driver vocabulary recompute") {
+    val out = TextAnalysis.zipfCoverage(docs).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))))
+      .toMap
+    val words = docs.select("text").collect()
+      .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+    val byCnt = words.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (w, c) => (-c, w) }
+    val total = words.length.toLong
+    assert(out.keySet == Set(3, 10, 30))
+    Seq(3, 10, 30).foreach { k =>
+      val covered = byCnt.take(k).map(_._2).sum
+      assert(out(k) == ((byCnt.size.toLong, covered, total,
+        covered * 1000 / total)), s"coverage at k=$k")
+    }
+    // The curve must be informative on this corpus: strictly increasing
+    // and not saturated at the smallest k.
+    assert(out(3)._2 < out(10)._2 && out(10)._2 < out(30)._2)
+  }
 }
