@@ -262,6 +262,12 @@ object PlanAudit {
       "no window, no join, no aggregate over the corpus" ->
         (p => !p.contains("Window") && !p.contains("Join") && !p.contains("HashAggregate")))
 
+    audit("t24_lexical_diversity", qs("t24_lexical_diversity")(spark, sfDir),
+      "map-only: the LexStats kernel runs inside the scan stage, no corpus shuffle" ->
+        (p => p.linesIterator.count(_.contains("Exchange (")) <= 1),
+      "no window, no join, no aggregate over the corpus" ->
+        (p => !p.contains("Window") && !p.contains("Join") && !p.contains("HashAggregate")))
+
     audit("e9_embed_decontam", qs("e9_embed_decontam")(spark, sfDir),
       "eval side broadcast against one train scan; no shuffle carries embeddings" ->
         (p => p.contains("Broadcast") &&
@@ -525,7 +531,8 @@ object PlanAudit {
     // m9/m10 pixel ops: the entire decode/resize must live inside the
     // scan projection — payloads never join, never shuffle; the only
     // post-scan work is the bounded presentation sort.
-    for (name <- Seq("m9_pgm_decode", "m10_pgm_resize", "m11_ppm_decode")) {
+    for (name <- Seq("m9_pgm_decode", "m10_pgm_resize", "m11_ppm_decode",
+        "m12_wav_decode")) {
       val df = qs(name)(spark, sfDir)
       audit(name, df,
         "pixel work is in-scan map-only: no join anywhere" ->

@@ -512,6 +512,27 @@ object HashKernels {
     }
     new GenericArrayData(out.toArray[Any])
   }
+
+  /** Token-count moments for lexical diversity (t24): total tokens n,
+    * distinct types, and the second moment Σc² of per-type counts — the
+    * sufficient statistics for the Simpson repeat probability and
+    * Yule's K. Same " "-split (limit -1, empty tokens kept) as wordTfs
+    * so t10/t24 can never disagree on tokenization, but counts via one
+    * hash map pass — no sort, and no token strings ever materialize in
+    * the output. */
+  def lexStats(text: UTF8String): InternalRow = {
+    val toks = text.toString.split(" ", -1)
+    val counts = new java.util.HashMap[String, Int](toks.length * 2)
+    var i = 0
+    while (i < toks.length) {
+      counts.merge(toks(i), 1, (a, b) => a + b)
+      i += 1
+    }
+    var s2 = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next().toLong; s2 += c * c }
+    InternalRow(toks.length.toLong, counts.size.toLong, s2)
+  }
 }
 
 /** Custom Catalyst expressions for the hot per-row loops of the LLM-data
@@ -969,6 +990,24 @@ object Expressions {
       copy(child = newChild)
   }
 
+  /** Sufficient statistics (n, types, Σc²) for per-doc lexical
+    * diversity, computed in one codegen'd hash-map pass per row
+    * ([[HashKernels.lexStats]]) — no token array, no explode, no
+    * shuffle; the whole t24 statistic lives inside the scan. */
+  case class LexStats(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("types", LongType, nullable = false),
+      StructField("s2", LongType, nullable = false)))
+    override def nullSafeEval(input: Any): Any =
+      HashKernels.lexStats(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.lexStats($c)")
+    override protected def withNewChildInternal(newChild: Expression): LexStats =
+      copy(child = newChild)
+  }
+
   /** Membership probe against a serialized Spark `BloomFilter`
     * (`DataFrameStatFunctions.bloomFilter` build) inlined into the plan —
     * the guard expression of the bloom-prefiltered anti-join (d17). NO
@@ -1041,6 +1080,7 @@ object Expressions {
   def bpeTokenCount(c: Column, merges: Seq[(String, String)]): Column =
     column(BpeTokenCount(expression(c), merges))
   def wordTfs(c: Column): Column = column(WordTfs(expression(c)))
+  def lexStats(c: Column): Column = column(LexStats(expression(c)))
   def xorMinHashSig(c: Column, numHashes: Int): Column =
     column(XorMinHashSig(expression(c), numHashes))
   def quantize8(c: Column): Column = column(Quantize8(expression(c)))

@@ -39,13 +39,17 @@ object DeclaredMedia {
     "m8_video_pairs"   -> ((s, _) => Multimodal.videoSigPairs(video(s))),
     "m9_pgm_decode"    -> ((s, _) => Multimodal.decodePgm(pgm(s))),
     "m10_pgm_resize"   -> ((s, _) => Multimodal.resizePgm(pgm(s))),
-    "m11_ppm_decode"   -> ((s, _) => Multimodal.decodePpm(ppm(s))))
+    "m11_ppm_decode"   -> ((s, _) => Multimodal.decodePpm(ppm(s))),
+    "m12_wav_decode"   -> ((s, _) => Multimodal.decodeWav(wavpcm(s))))
+
+  private def wavpcm(s: SparkSession): DataFrame = fixtureDf(s, WavFixture.ensure(_))
 
   private val Fixture = MediaFixture.DefaultPath
   private val VidFixture = VideoFixture.DefaultPath
   private val AudFixture = AudioFixture.DefaultPath
   private val PgmPath = PgmFixture.DefaultPath
   private val PpmPath = PpmFixture.DefaultPath
+  private val WavPath = WavFixture.DefaultPath
 
   val oracleSql: Map[String, String] = Map(
     "m1_media_decode" ->
@@ -93,6 +97,44 @@ object DeclaredMedia {
          |CAST(meta.n_samples AS BIGINT) AS n_samples
          |FROM read_parquet('$Fixture') WHERE kind = 'audio'
          |ORDER BY media_id""".stripMargin,
+
+    // m12: SAMPLE-level ground truth — every little-endian int16 sample
+    // re-read from the payload HEX. The data chunk is written LAST with
+    // an even size, so its bytes are the final 2·channels·n_frames of
+    // the payload with channels/n_frames taken from the INDEPENDENTLY-
+    // written meta: Spark walks the RIFF chunks (pad bytes included),
+    // the oracle walks the tail arithmetic — equality requires both to
+    // be right (the m5/m6 offset-arithmetic contract, on audio).
+    "m12_wav_decode" ->
+      s"""WITH p AS (
+         |  SELECT media_id, hex(payload) AS hs, octet_length(payload) AS tot,
+         |    meta.channels AS c, meta.sample_rate AS sample_rate, meta.n_frames AS f
+         |  FROM read_parquet('$WavPath')),
+         |u AS (
+         |  SELECT media_id, c, sample_rate, f,
+         |    list_transform(range(0, c * f), i ->
+         |      CAST(concat('0x', substr(hs, CAST((tot - 2*c*f + 2*i + 1) * 2 + 1 AS INT), 2)) AS INT) * 256
+         |      + CAST(concat('0x', substr(hs, CAST((tot - 2*c*f + 2*i) * 2 + 1 AS INT), 2)) AS INT)) AS us
+         |  FROM p),
+         |v AS (
+         |  SELECT media_id, c, sample_rate, f,
+         |    list_transform(us, x -> CASE WHEN x >= 32768 THEN x - 65536 ELSE x END) AS vs
+         |  FROM u),
+         |ch AS (
+         |  SELECT media_id, c, sample_rate, f, vs,
+         |    list_transform(range(0, f), j -> vs[CAST(c*j + 1 AS INT)]) AS v0
+         |  FROM v)
+         |SELECT media_id, c AS channels, sample_rate, CAST(f AS BIGINT) AS n_frames,
+         |  CAST(list_sum(v0) AS BIGINT) AS ch0_sum,
+         |  CAST(CASE WHEN c = 2 THEN list_sum(list_transform(range(0, f),
+         |    j -> vs[CAST(c*j + 2 AS INT)])) ELSE 0 END AS BIGINT) AS ch1_sum,
+         |  CAST(list_min(vs) AS INT) AS smp_min, CAST(list_max(vs) AS INT) AS smp_max,
+         |  CAST(len(list_filter(range(1, f),
+         |    j -> (v0[CAST(j AS INT)] < 0) <> (v0[CAST(j + 1 AS INT)] < 0))) AS BIGINT) AS zero_cross,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(vs, x -> CAST(x + 32768 AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fp
+         |FROM ch ORDER BY media_id""".stripMargin,
 
     // m9: PIXEL-level ground truth — every raster byte re-read from the
     // payload HEX (the raster is the LAST w*h bytes whatever the header

@@ -231,6 +231,10 @@ object DeclaredOps {
     // frequent vocabulary types, integer permille.
     "t23_zipf_coverage" -> ((s, dir) =>
       TextAnalysis.zipfCoverage(docs(s, dir))),
+    // Lexical diversity: TTR / Simpson / Yule's K in exact integers,
+    // map-only via the one-pass LexStats kernel.
+    "t24_lexical_diversity" -> ((s, dir) =>
+      TextAnalysis.lexicalDiversity(docs(s, dir))),
     "t20_fertility" -> ((s, dir) =>
       TextAnalysis.bpeFertility(docs(s, dir), bpeMerges(s, dir))),
     // Bloom-guarded incremental dedup: d13's semantics on a disjoint
@@ -1468,6 +1472,23 @@ object DeclaredOps {
         |  covered * 1000 // total AS coverage_permille
         |FROM c, t ORDER BY k""".stripMargin,
     "t20_fertility" -> bpeFertilityOracle(10),
+
+    // Lexical diversity: the (n, types, Σc²) moments re-derived via the
+    // independent unnest → GROUP BY path (Spark computes them in-row);
+    // " "-split with empty tokens KEPT, matching LexStats/wordTfs.
+    "t24_lexical_diversity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |               CAST(count(*) AS BIGINT) AS types,
+        |               CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM cnt GROUP BY 1)
+        |SELECT doc_id, n AS n_tokens, types AS n_types,
+        |  types * 1000 // n AS ttr_permille,
+        |  (s2 - n) * 1000000 // (n * (n - 1)) AS simpson_ppm,
+        |  (s2 - n) * 1000000 // (n * n) AS yule_k_x100
+        |FROM agg WHERE n >= 2 ORDER BY doc_id""".stripMargin,
 
     // Novelty / memorization risk: permille of a doc's 8-word windows
     // repeated in >= 1 other document. Same 60-bit fingerprints as d12.

@@ -499,6 +499,135 @@ object Multimodal {
           .as("mean_x100"))
       .orderSmall("media_id")
 
+  /** RIFF/WAVE PCM16 locator shared by [[WavStats]] (and any future
+    * sample-level WAV op — the parsePnmHeader single-grammar rule
+    * applied to audio): chunk-walks from "RIFF…WAVE" with word
+    * alignment and Long-guarded advances (the MediaHeader adversarial-
+    * size lesson — a declared u32 near 2^32 must exit the loop, never
+    * wrap to a negative offset), requires an UNCOMPRESSED 16-bit fmt
+    * chunk (formatTag 1, bits 16, 1 or 2 channels, consistent
+    * blockAlign) and a data chunk whose declared length fits inside the
+    * payload. Returns Array(channels, sampleRate, nFrames, dataOffset)
+    * or null for anything malformed — never a partial decode. */
+  private[ops] def parseWavPcm16(b: Array[Byte]): Array[Int] = {
+    if (b.length < 12) return null
+    def tag4(o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    if (tag4(0) != "RIFF" || tag4(8) != "WAVE") return null
+    var p = 12L
+    var channels = -1; var rate = -1
+    var dataOff = -1L; var dataLen = -1L
+    while (p + 8 <= b.length) {
+      val id = tag4(p.toInt)
+      val sz = u32(p.toInt + 4)
+      if (id == "fmt " && sz >= 16 && p + 8 + 16 <= b.length) {
+        val fmtTag = u16(p.toInt + 8)
+        val ch = u16(p.toInt + 10)
+        val r = u32(p.toInt + 12)
+        val blockAlign = u16(p.toInt + 20)
+        val bits = u16(p.toInt + 22)
+        if (fmtTag == 1 && bits == 16 && (ch == 1 || ch == 2) &&
+            blockAlign == ch * 2 && r > 0 && r <= Int.MaxValue) {
+          channels = ch; rate = r.toInt
+        }
+      } else if (id == "data" && dataOff < 0) {
+        dataOff = p + 8; dataLen = sz
+      }
+      p += 8L + sz + (sz & 1L)
+    }
+    if (channels < 0 || dataOff < 0 || dataLen < channels * 2L ||
+        dataOff + dataLen > b.length) return null
+    val frames = dataLen / (channels * 2L)
+    if (frames > Int.MaxValue) return null
+    Array(channels, rate, frames.toInt, dataOff.toInt)
+  }
+
+  /** Full SAMPLE-level decode of a RIFF/WAVE PCM16 payload — the m9/m11
+    * pixel contract extended to AUDIO (m4 stops at the header; this one
+    * decodes every little-endian signed 16-bit sample): per-channel
+    * sums, global sample range, zero-crossing count on channel 0 (the
+    * classic coarse pitch/energy statistic — a sign flip between
+    * consecutive frames), and a position-sensitive rolling fingerprint
+    * over the interleaved samples biased to [0, 65535], so a wrong
+    * value, a swapped channel, or a transposed frame all break the
+    * hash. Mono payloads report ch1_sum = 0 (channels disambiguates).
+    * Malformed/truncated/compressed payloads yield NULL, never a
+    * partial decode. One in-scan pass; samples never leave the
+    * expression. */
+  case class WavStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("channels", IntegerType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("ch0_sum", LongType, nullable = false),
+      StructField("ch1_sum", LongType, nullable = false),
+      StructField("smp_min", IntegerType, nullable = false),
+      StructField("smp_max", IntegerType, nullable = false),
+      StructField("zero_cross", LongType, nullable = false),
+      StructField("fp", LongType, nullable = false)))
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[Array[Byte]]
+      val hd = parseWavPcm16(b)
+      if (hd == null) return null
+      val Array(ch, rate, frames, off) = hd
+      var s0 = 0L; var s1 = 0L
+      var mn = 32767; var mx = -32768
+      var zc = 0L; var fp = 0L
+      var prevNeg = false
+      var f = 0
+      while (f < frames) {
+        var c = 0
+        while (c < ch) {
+          val o = off + (f * ch + c) * 2
+          val v = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toInt
+          if (c == 0) {
+            s0 += v
+            val neg = v < 0
+            if (f > 0 && neg != prevNeg) zc += 1
+            prevNeg = neg
+          } else s1 += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          fp = (fp * 31 + (v + 32768)) % 1000000007L
+          c += 1
+        }
+        f += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(
+        ch, rate, frames.toLong, s0, s1, mn, mx, zc, fp)
+    }
+    override protected def withNewChildInternal(c: Expression): WavStats =
+      copy(child = c)
+  }
+
+  def wavStats(c: Column): Column = column(WavStats(expression(c)))
+
+  /** m12 — WAV PCM16 sample decode: real RIFF chunk walk to fmt/data,
+    * then every int16 sample aggregated in-scan; the oracle re-derives
+    * every sample byte pair from the payload hex with the data offset
+    * computed from the INDEPENDENTLY-written meta (the m5/m6
+    * cross-validation contract — Spark walks the chunks, the oracle
+    * walks the arithmetic; they agree only if both are right). Same
+    * in-scan map-only shape as m9/m10/m11. */
+  def decodeWav(media: DataFrame): DataFrame =
+    media
+      .select(col("media_id"), wavStats(col("payload")).as("st"))
+      .where(col("st").isNotNull)
+      .select(col("media_id"),
+        col("st.channels").as("channels"),
+        col("st.sample_rate").as("sample_rate"),
+        col("st.n_frames").as("n_frames"),
+        col("st.ch0_sum").as("ch0_sum"), col("st.ch1_sum").as("ch1_sum"),
+        col("st.smp_min").as("smp_min"), col("st.smp_max").as("smp_max"),
+        col("st.zero_cross").as("zero_cross"), col("st.fp").as("fp"))
+      .orderSmall("media_id")
+
   def mediaHeader(c: Column): Column = column(MediaHeader(expression(c)))
 
   def phash16(c: Column): Column = column(Phash16(expression(c)))
@@ -1042,6 +1171,77 @@ object PpmFixture {
       val h = Seq(7, 24, 4, 36)(idInt % 4)
       val payload = header(id, w, h, 255) ++ raster(id, w * h * 3)
       Row(id, "image", payload, Row("ppm", w, h, 255))
+    }
+    val jrows = new java.util.ArrayList[Row](rows.size)
+    rows.foreach(jrows.add)
+    MediaFixture.writeSingle(spark.createDataFrame(jrows, schema), path)
+    path
+  }
+}
+
+/** Deterministic RIFF/WAVE PCM16 fixture for m12: real chunk layouts a
+  * naive fixed-offset reader gets wrong — an odd-sized LIST chunk (pad
+  * byte) BEFORE fmt, a LIST between fmt and data, a bare fmt+data file —
+  * across mono and stereo at varied rates/frame counts. The data chunk
+  * is always LAST with an even declared size, so the oracle can locate
+  * the sample bytes as the payload tail from the independently-written
+  * meta (the m5/m6 offset-arithmetic contract). `meta` carries
+  * channels/sample_rate/n_frames written independently of the header
+  * bytes so the byte-level chunk walk is cross-checked. */
+object WavFixture {
+
+  val DefaultPath = "/root/repo/fixtures/media/wav.parquet"
+
+  private def u16le(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+  private def u32le(v: Long): Array[Byte] =
+    Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+  /** Reference PCM bytes (2·channels·frames, interleaved LE int16) for
+    * media_id — specs recompute stats from exactly this construction.
+    * Seed differs from the image fixtures' so a raster/PCM mixup cannot
+    * silently pass. */
+  def pcm(id: Long, nBytes: Int): Array[Byte] = MediaFixture.body(id * 43L + 17L, nBytes)
+
+  /** Payload for media_id: RIFF(WAVE + extra chunks + fmt + data). */
+  def payload(id: Long, channels: Int, rate: Int, frames: Int): Array[Byte] = {
+    val fmt = "fmt ".getBytes("US-ASCII") ++ u32le(16) ++
+      u16le(1) ++ u16le(channels) ++ u32le(rate.toLong) ++
+      u32le(rate.toLong * channels * 2) ++ u16le(channels * 2) ++ u16le(16)
+    val data = "data".getBytes("US-ASCII") ++ u32le(channels * 2L * frames) ++
+      pcm(id, channels * 2 * frames)
+    // Odd-sized LIST payload forces the word-alignment pad-byte rule.
+    val oddList = "LIST".getBytes("US-ASCII") ++ u32le(5) ++
+      "INFO".getBytes("US-ASCII") ++ Array('x'.toByte, 0.toByte)
+    val evenList = "LIST".getBytes("US-ASCII") ++ u32le(4) ++ "INFO".getBytes("US-ASCII")
+    val content = (id % 4) match {
+      case 0 => oddList ++ fmt ++ data              // pad byte before fmt
+      case 1 => fmt ++ evenList ++ data             // chunk between fmt and data
+      case 2 => fmt ++ data                         // bare minimum
+      case _ => evenList ++ fmt ++ oddList ++ data  // two extras, one odd
+    }
+    val c = "WAVE".getBytes("US-ASCII") ++ content
+    "RIFF".getBytes("US-ASCII") ++ u32le(c.length.toLong) ++ c
+  }
+
+  def ensure(spark: SparkSession, path: String = DefaultPath): String = synchronized {
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) return path
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("format", StringType, nullable = false),
+        StructField("channels", IntegerType, nullable = false),
+        StructField("sample_rate", IntegerType, nullable = false),
+        StructField("n_frames", IntegerType, nullable = false))), nullable = false)))
+    val rows: Seq[Row] = (0 until 12).map { idInt =>
+      val id = idInt.toLong
+      val channels = 1 + idInt % 2
+      val rate = Seq(8000, 16000, 22050, 44100)(idInt % 4)
+      val frames = Seq(63, 128, 300, 31, 512, 97)(idInt % 6)
+      Row(id, "audio", payload(id, channels, rate, frames),
+        Row("wav", channels, rate, frames))
     }
     val jrows = new java.util.ArrayList[Row](rows.size)
     rows.foreach(jrows.add)

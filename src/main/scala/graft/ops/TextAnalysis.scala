@@ -646,6 +646,35 @@ object TextAnalysis {
       .orderBy("k")
   }
 
+  /** Per-document lexical diversity (t24) — the classic repeated-
+    * vocabulary statistics a quality filter thresholds on, in exact
+    * integers: type-token ratio (types·1000 div n permille), the
+    * Simpson repeat probability D = (Σc² − n) / (n(n−1)) in ppm (the
+    * chance two random distinct token positions hold the same type),
+    * and Yule's K = 10⁴·(Σc² − n)/n² (reported ×100). Machine-
+    * generated or template text reads high on all three; n < 2 rows
+    * are excluded (both denominators need two tokens).
+    *
+    * Scale: the sufficient statistics (n, types, Σc²) come from ONE
+    * codegen'd hash-map pass per row ([[graft.functions.Expressions
+    * .LexStats]]) — no token explode, no (doc, token) shuffle, no
+    * corpus-sized aggregate; the entire operator is map-only inside
+    * the scan, so it composes with any corpus filter for free. The
+    * oracle recomputes the same moments via the independent
+    * unnest → GROUP BY derivation. */
+  def lexicalDiversity(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+    val out = docs
+      .select(col("doc_id"),
+        graft.functions.Expressions.lexStats(col("text")).as("ls"))
+      .where(col("ls.n") >= 2)
+      .select(col("doc_id"),
+        col("ls.n").as("n_tokens"), col("ls.types").as("n_types"),
+        expr("ls.types * 1000 div ls.n").as("ttr_permille"),
+        expr("(ls.s2 - ls.n) * 1000000 div (ls.n * (ls.n - 1))").as("simpson_ppm"),
+        expr("(ls.s2 - ls.n) * 1000000 div (ls.n * ls.n)").as("yule_k_x100"))
+    if (ordered) out.orderSmall("doc_id") else out
+  }
+
   /** Corpus-weighted adjacent character-pair frequencies — the statistic
     * a byte-pair-encoding (BPE) tokenizer trainer maximizes at every
     * merge step; the declared top-k IS the first merge's candidate

@@ -154,6 +154,8 @@ object LlmViews {
         TextAnalysis.mojibake(docs, col("doc_id") % 5 === 0, ordered = false)),
       // Zipf top-k coverage audit (t23), single-row.
       "llm_zipf_coverage" -> (() => TextAnalysis.zipfCoverage(docs)),
+      "llm_lexical_diversity" -> (() =>
+        TextAnalysis.lexicalDiversity(docs, ordered = false)),
       "llm_incremental_dedup" -> (() => Dedup.dedupAgainstIndex(
         docs.where(col("doc_id") % 3 === 0),
         Dedup.digestIndex(docs.where(col("doc_id") % 3 =!= 0 || col("doc_id") < 100)))),
@@ -200,7 +202,10 @@ object LlmViews {
         spark.read.parquet(graft.ops.PgmFixture.ensure(spark)))),
       // Pixel-level PPM color decode (m11): per-channel stats + luma fp.
       "llm_ppm_stats" -> (() => graft.ops.Multimodal.decodePpm(
-        spark.read.parquet(graft.ops.PpmFixture.ensure(spark)))))
+        spark.read.parquet(graft.ops.PpmFixture.ensure(spark)))),
+      // Sample-level WAV PCM16 decode (m12): the pixel contract on audio.
+      "llm_wav_stats" -> (() => graft.ops.Multimodal.decodeWav(
+        spark.read.parquet(graft.ops.WavFixture.ensure(spark)))))
 
     private val registered = scala.collection.mutable.Set.empty[String]
 

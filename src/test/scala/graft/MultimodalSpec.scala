@@ -221,6 +221,64 @@ class MultimodalSpec extends GraftSuite {
     assert(decoded.forall(_.isNullAt(0)), "malformed PPM must yield null")
   }
 
+  test("wav decode: sample stats and fp match a local PCM recompute") {
+    import org.apache.spark.sql.functions.col
+    val wav = spark.read.parquet(graft.ops.WavFixture.ensure(spark))
+    val out = Multimodal.decodeWav(wav).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6), r.getInt(7),
+        r.getLong(8), r.getLong(9))))
+      .toMap
+    val metas = wav
+      .selectExpr("media_id", "meta.channels", "meta.sample_rate", "meta.n_frames")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(metas.nonEmpty && out.size == metas.length,
+      "every fixture row must decode (all payloads are valid PCM16)")
+    metas.foreach { case (id, c, rate, f) =>
+      // Ground truth straight from the fixture's PCM construction.
+      val bytes = graft.ops.WavFixture.pcm(id, c * 2 * f)
+      val v = (0 until c * f).map(i =>
+        ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt)
+      val v0 = (0 until f).map(j => v(c * j))
+      val ch1 = if (c == 2) (0 until f).map(j => v(c * j + 1)).map(_.toLong).sum else 0L
+      val zc = (1 until f).count(j => (v0(j) < 0) != (v0(j - 1) < 0)).toLong
+      val fp = v.foldLeft(0L)((a, s) => (a * 31 + (s + 32768)) % 1000000007L)
+      assert(out(id) == ((c, rate, f.toLong, v0.map(_.toLong).sum, ch1,
+        v.min, v.max, zc, fp)), s"wav decode mismatch for $id")
+    }
+    // All four chunk layouts (pad-byte LIST before fmt, LIST between fmt
+    // and data, bare, double-extras) must be present in the fixture.
+    assert((0 until 4).forall(k => metas.exists(_._1 % 4 == k)),
+      "fixture must exercise every chunk layout")
+    // Malformed payloads decode to NULL — wrong magic, float fmt, 8-bit,
+    // inconsistent blockAlign, truncated data, and a valid GAUD payload.
+    import spark.implicits._
+    def le16(x: Int) = Array(x.toByte, (x >> 8).toByte)
+    def le32(x: Int) = Array(x.toByte, (x >> 8).toByte, (x >> 16).toByte, (x >> 24).toByte)
+    def riff(fmtTag: Int, ch: Int, bits: Int, blockAlign: Int, dataLen: Int,
+        dataBytes: Int): Array[Byte] = {
+      val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(fmtTag) ++
+        le16(ch) ++ le32(8000) ++ le32(8000 * blockAlign) ++ le16(blockAlign) ++ le16(bits)
+      val data = "data".getBytes("US-ASCII") ++ le32(dataLen) ++ Array.fill(dataBytes)(7.toByte)
+      val c = "WAVE".getBytes("US-ASCII") ++ fmt ++ data
+      "RIFF".getBytes("US-ASCII") ++ le32(c.length) ++ c
+    }
+    val bad = Seq(
+      riff(3, 1, 16, 2, 8, 8).patch(0, "RIFX".getBytes("US-ASCII"), 4), // bad magic
+      riff(3, 1, 16, 2, 8, 8),                                         // float fmt
+      riff(1, 1, 8, 1, 8, 8),                                          // 8-bit
+      riff(1, 2, 16, 2, 8, 8),                                         // blockAlign != ch*2
+      riff(1, 1, 16, 2, 64, 8),                                        // data overshoots
+      "GAUD".getBytes("US-ASCII") ++ Array.fill(12)(1.toByte),         // other container
+      Array[Byte]())
+      .toDF("payload")
+    val decoded = bad
+      .select(Multimodal.wavStats(col("payload")).as("st"))
+      .collect()
+    assert(decoded.forall(_.isNullAt(0)), "malformed WAV must yield null")
+  }
+
   test("audio sig pairs: banded join equals a local all-pairs recompute") {
     val audio = spark.read.parquet(graft.ops.AudioFixture.ensure(spark))
     def sig(bytes: Array[Byte]): Int = {

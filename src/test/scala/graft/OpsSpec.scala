@@ -1718,4 +1718,33 @@ class OpsSpec extends GraftSuite {
     // and not saturated at the smallest k.
     assert(out(3)._2 < out(10)._2 && out(10)._2 < out(30)._2)
   }
+
+  test("t24 lexical diversity: moments equal a driver token-count recompute") {
+    val out = TextAnalysis.lexicalDiversity(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))))
+      .toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty)
+    var informative = 0
+    texts.foreach { case (id, text) =>
+      // Same tokenization as LexStats: " "-split, empty tokens KEPT.
+      val toks = text.split(" ", -1)
+      val n = toks.length.toLong
+      val counts = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      val s2 = counts.values.map(c => c * c).sum
+      val types = counts.size.toLong
+      if (n >= 2) {
+        assert(out(id) == ((n, types, types * 1000 / n,
+          (s2 - n) * 1000000 / (n * (n - 1)), (s2 - n) * 1000000 / (n * n))),
+          s"lexical diversity mismatch for doc $id")
+        if (s2 > n) informative += 1
+      } else assert(!out.contains(id), s"doc $id has n < 2, must be excluded")
+    }
+    // The statistic must actually fire on this corpus: some docs repeat
+    // vocabulary (s2 > n) — otherwise every simpson/yule reads 0 and the
+    // test pins nothing.
+    assert(informative > 0, "corpus must contain repeated tokens")
+  }
 }
