@@ -40,7 +40,8 @@ object DeclaredMedia {
     "m9_pgm_decode"    -> ((s, _) => Multimodal.decodePgm(pgm(s))),
     "m10_pgm_resize"   -> ((s, _) => Multimodal.resizePgm(pgm(s))),
     "m11_ppm_decode"   -> ((s, _) => Multimodal.decodePpm(ppm(s))),
-    "m12_wav_decode"   -> ((s, _) => Multimodal.decodeWav(wavpcm(s))))
+    "m12_wav_decode"   -> ((s, _) => Multimodal.decodeWav(wavpcm(s))),
+    "m13_wav_resample" -> ((s, _) => Multimodal.resampleWav(wavpcm(s))))
 
   private def wavpcm(s: SparkSession): DataFrame = fixtureDf(s, WavFixture.ensure(_))
 
@@ -135,6 +136,44 @@ object DeclaredMedia {
          |    list_transform(vs, x -> CAST(x + 32768 AS BIGINT))),
          |    (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fp
          |FROM ch ORDER BY media_id""".stripMargin,
+
+    // m13: every OUTPUT sample re-derived from the payload hex — stereo
+    // downmix (truncating mean, DuckDB // ≡ Java /) then 2× decimation
+    // (truncating mean of consecutive mono pairs), position-pinned by
+    // the rolling fingerprint. Same tail-offset contract as m12.
+    "m13_wav_resample" ->
+      s"""WITH p AS (
+         |  SELECT media_id, hex(payload) AS hs, octet_length(payload) AS tot,
+         |    meta.channels AS c, meta.sample_rate AS rate, meta.n_frames AS f
+         |  FROM read_parquet('$WavPath') WHERE meta.n_frames >= 2),
+         |u AS (
+         |  SELECT media_id, c, rate, f,
+         |    list_transform(range(0, c * f), i ->
+         |      CAST(concat('0x', substr(hs, CAST((tot - 2*c*f + 2*i + 1) * 2 + 1 AS INT), 2)) AS INT) * 256
+         |      + CAST(concat('0x', substr(hs, CAST((tot - 2*c*f + 2*i) * 2 + 1 AS INT), 2)) AS INT)) AS us
+         |  FROM p),
+         |v AS (
+         |  SELECT media_id, c, rate, f,
+         |    list_transform(us, x -> CASE WHEN x >= 32768 THEN x - 65536 ELSE x END) AS vs
+         |  FROM u),
+         |mono AS (
+         |  SELECT media_id, rate, f,
+         |    CASE WHEN c = 1 THEN vs
+         |         ELSE list_transform(range(0, f), j ->
+         |           (vs[CAST(2*j + 1 AS INT)] + vs[CAST(2*j + 2 AS INT)]) // 2) END AS m
+         |  FROM v),
+         |o AS (
+         |  SELECT media_id, rate, f,
+         |    list_transform(range(0, f // 2), j ->
+         |      (m[CAST(2*j + 1 AS INT)] + m[CAST(2*j + 2 AS INT)]) // 2) AS os
+         |  FROM mono)
+         |SELECT media_id, rate // 2 AS out_rate, CAST(f // 2 AS BIGINT) AS n_out,
+         |  CAST(list_sum(os) AS BIGINT) AS smp_sum,
+         |  CAST(list_min(os) AS INT) AS smp_min, CAST(list_max(os) AS INT) AS smp_max,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(os, x -> CAST(x + 32768 AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fp
+         |FROM o ORDER BY media_id""".stripMargin,
 
     // m9: PIXEL-level ground truth — every raster byte re-read from the
     // payload HEX (the raster is the LAST w*h bytes whatever the header

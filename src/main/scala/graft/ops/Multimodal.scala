@@ -608,6 +608,78 @@ object Multimodal {
 
   def wavStats(c: Column): Column = column(WavStats(expression(c)))
 
+  /** 2× downmix-and-decimate of a WAV PCM16 stream at SAMPLE level — the
+    * m10 "resize" member of the audio quartet: stereo frames first
+    * downmix to mono as the truncating integer mean of the two channels
+    * ((l + r) / 2 toward zero — DuckDB `//` truncates identically, so
+    * the arithmetic is engine-exact; mono passes through), then each
+    * output sample is the truncating mean of two consecutive mono
+    * samples (the 1-D box filter; an odd tail frame is dropped —
+    * out frames = frames div 2, out rate = rate div 2, the exact
+    * contract with no boundary ambiguity). Emits the resampled
+    * stream's stats plus the t4 rolling fingerprint (samples biased to
+    * [0, 65535]) so every output sample's value AND position is
+    * pinned. NULL on malformed payloads or fewer than 2 frames. One
+    * in-scan pass; the resampled stream never leaves the expression. */
+  case class WavResampleStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("out_rate", IntegerType, nullable = false),
+      StructField("n_out", LongType, nullable = false),
+      StructField("smp_sum", LongType, nullable = false),
+      StructField("smp_min", IntegerType, nullable = false),
+      StructField("smp_max", IntegerType, nullable = false),
+      StructField("fp", LongType, nullable = false)))
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[Array[Byte]]
+      val hd = parseWavPcm16(b)
+      if (hd == null) return null
+      val Array(ch, rate, frames, off) = hd
+      val nOut = frames / 2
+      if (nOut <= 0) return null
+      def mono(f: Int): Int = {
+        val o = off + f * ch * 2
+        val v0 = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toInt
+        if (ch == 1) v0
+        else {
+          val v1 = ((b(o + 2) & 0xff) | (b(o + 3) << 8)).toShort.toInt
+          (v0 + v1) / 2
+        }
+      }
+      var s = 0L; var mn = 32767; var mx = -32768; var fp = 0L
+      var j = 0
+      while (j < nOut) {
+        val v = (mono(2 * j) + mono(2 * j + 1)) / 2
+        s += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        fp = (fp * 31 + (v + 32768)) % 1000000007L
+        j += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(rate / 2, nOut.toLong, s, mn, mx, fp)
+    }
+    override protected def withNewChildInternal(c: Expression): WavResampleStats =
+      copy(child = c)
+  }
+
+  def wavResampleStats(c: Column): Column = column(WavResampleStats(expression(c)))
+
+  /** m13 — WAV 2× downmix + decimate: real resampled samples, pinned
+    * position-sensitively by the rolling fingerprint; the oracle
+    * re-derives every output sample from the payload hex. Same in-scan
+    * map-only shape as m10/m12. */
+  def resampleWav(media: DataFrame): DataFrame =
+    media
+      .select(col("media_id"), wavResampleStats(col("payload")).as("st"))
+      .where(col("st").isNotNull)
+      .select(col("media_id"),
+        col("st.out_rate").as("out_rate"), col("st.n_out").as("n_out"),
+        col("st.smp_sum").as("smp_sum"),
+        col("st.smp_min").as("smp_min"), col("st.smp_max").as("smp_max"),
+        col("st.fp").as("fp"))
+      .orderSmall("media_id")
+
   /** m12 — WAV PCM16 sample decode: real RIFF chunk walk to fmt/data,
     * then every int16 sample aggregated in-scan; the oracle re-derives
     * every sample byte pair from the payload hex with the data offset

@@ -205,6 +205,9 @@ object LlmViews {
         spark.read.parquet(graft.ops.PpmFixture.ensure(spark)))),
       // Sample-level WAV PCM16 decode (m12): the pixel contract on audio.
       "llm_wav_stats" -> (() => graft.ops.Multimodal.decodeWav(
+        spark.read.parquet(graft.ops.WavFixture.ensure(spark)))),
+      // 2x downmix+decimate (m13): the m10 resize analog for audio.
+      "llm_wav_resample" -> (() => graft.ops.Multimodal.resampleWav(
         spark.read.parquet(graft.ops.WavFixture.ensure(spark)))))
 
     private val registered = scala.collection.mutable.Set.empty[String]

@@ -279,6 +279,72 @@ class MultimodalSpec extends GraftSuite {
     assert(decoded.forall(_.isNullAt(0)), "malformed WAV must yield null")
   }
 
+  test("wav resample: every output sample matches a local downmix+decimate") {
+    val wav = spark.read.parquet(graft.ops.WavFixture.ensure(spark))
+    val out = Multimodal.resampleWav(wav).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getLong(6))))
+      .toMap
+    val metas = wav
+      .selectExpr("media_id", "meta.channels", "meta.sample_rate", "meta.n_frames")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(out.size == metas.length, "every fixture row has >= 2 frames")
+    metas.foreach { case (id, c, rate, f) =>
+      val bytes = graft.ops.WavFixture.pcm(id, c * 2 * f)
+      val v = (0 until c * f).map(i =>
+        ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt)
+      // Truncating mean downmix, then truncating mean 2x decimation —
+      // exactly the declared contract (odd tail frame dropped).
+      val mono = (0 until f).map(j => if (c == 1) v(j) else (v(2 * j) + v(2 * j + 1)) / 2)
+      val o = (0 until f / 2).map(j => (mono(2 * j) + mono(2 * j + 1)) / 2)
+      val fp = o.foldLeft(0L)((a, s) => (a * 31 + (s + 32768)) % 1000000007L)
+      assert(out(id) == ((rate / 2, (f / 2).toLong, o.map(_.toLong).sum,
+        o.min, o.max, fp)), s"wav resample mismatch for $id")
+    }
+    // Odd frame counts must drop the tail frame (fixture has f = 63, 31, 97).
+    assert(metas.exists(_._4 % 2 == 1), "fixture must exercise odd frame counts")
+  }
+
+  test("wav parser property: arbitrary chunk layouts parse like a reference walk") {
+    // Adversarial layout sweep (the P5/P6 comment-position discipline for
+    // RIFF): unknown chunks of arbitrary odd/even sizes at every position
+    // around fmt/data, deterministic from the case index.
+    def le16(x: Int) = Array(x.toByte, (x >> 8).toByte)
+    def le32(x: Int) = Array(x.toByte, (x >> 8).toByte, (x >> 16).toByte, (x >> 24).toByte)
+    def junk(sz: Int, tagName: String): Array[Byte] =
+      tagName.getBytes("US-ASCII") ++ le32(sz) ++
+        Array.fill(sz + (sz & 1))(0x5a.toByte) // writer pads odd sizes
+    for (k <- 0 until 64) {
+      val ch = 1 + k % 2
+      val frames = 2 + k % 7
+      val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(ch) ++
+        le32(8000) ++ le32(8000 * ch * 2) ++ le16(ch * 2) ++ le16(16)
+      val pcm = Array.tabulate(ch * 2 * frames)(i => ((k * 31 + i * 7) & 0xff).toByte)
+      val data = "data".getBytes("US-ASCII") ++ le32(ch * 2 * frames) ++ pcm
+      val pre = if (k % 4 >= 2) junk(1 + k % 5, "JUNK") else Array.emptyByteArray
+      val mid = if (k % 2 == 1) junk(k % 6, "LIST") else Array.emptyByteArray
+      val post = if (k % 8 >= 4) junk(3, "fact") else Array.emptyByteArray
+      val content = "WAVE".getBytes("US-ASCII") ++ pre ++ fmt ++ mid ++ data ++ post
+      val payload = "RIFF".getBytes("US-ASCII") ++ le32(content.length) ++ content
+      // Decode through the SQL-exposed expression; pin channel count,
+      // rate, frame count AND the position-sensitive fingerprint against
+      // a reference recompute from the raw pcm construction.
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val st = Seq(payload).toDF("payload")
+        .select(Multimodal.wavStats(col("payload")).as("st"))
+        .selectExpr("st.channels", "st.sample_rate", "st.n_frames", "st.fp")
+        .collect()(0)
+      assert(!st.isNullAt(0), s"layout $k must parse")
+      val v = (0 until ch * frames).map(i =>
+        ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt)
+      val fp = v.foldLeft(0L)((a, s) => (a * 31 + (s + 32768)) % 1000000007L)
+      assert((st.getInt(0), st.getInt(1), st.getLong(2), st.getLong(3)) ==
+        ((ch, 8000, frames.toLong, fp)), s"layout $k decode mismatch")
+    }
+  }
+
   test("audio sig pairs: banded join equals a local all-pairs recompute") {
     val audio = spark.read.parquet(graft.ops.AudioFixture.ensure(spark))
     def sig(bytes: Array[Byte]): Int = {

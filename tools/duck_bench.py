@@ -39,10 +39,11 @@ NOT_BASELINES = {"d2_minhash_lsh", "d5_dedup_clusters", "d6_dedup_apply",
                  # m11's oracle likewise re-derives every RGB channel
                  # byte + the luma fingerprint from payload hex.
                  "m11_ppm_decode",
-                 # m12's oracle re-derives every int16 PCM sample from
-                 # payload hex (same per-element list-lambda ground
-                 # truth as m9-m11, on audio).
-                 "m12_wav_decode",
+                 # m12/m13 oracles re-derive every int16 PCM sample
+                 # (and every resampled output sample) from payload hex
+                 # (same per-element list-lambda ground truth as m9-m11,
+                 # on audio).
+                 "m12_wav_decode", "m13_wav_resample",
                  # t18's oracle re-derives BPE TRAINING as 10 unrolled
                  # list-fold CTE stages (~23 s at sf0.1) purely as ground
                  # truth; the Spark side trains once as a memoized build
