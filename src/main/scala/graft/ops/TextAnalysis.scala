@@ -197,28 +197,6 @@ object TextAnalysis {
     * count is one sorted-run-length pass (O(n log n) per row), not a
     * filter-per-distinct scan (O(n·distinct)). */
   def gopherRules(docs: DataFrame, ordered: Boolean = true): DataFrame = {
-    val toks = col("toks")
-    val n = size(toks)
-    // Guard n < 2: sequence(1, 0) counts DOWN through index 0, which is
-    // an invalid element_at index once this is materialized for all rows.
-    val bigrams = when(n < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), n - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-    // Longest run in the sorted bigram array == max occurrence count.
-    val topCount = aggregate(
-      array_sort(col("bigrams")),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-    val dupFrac = lit(1.0) - col("n_distinct").cast("double") / col("n")
-    val topBigram = when(col("n") < 2, 0.0)
-      .otherwise(col("top_cnt").cast("double") / (col("n") - 1))
-    val keep = when(col("n") >= 5 && dupFrac <= lit(0.6) && topBigram <= lit(0.2), 1)
-      .otherwise(0)
     // This stage is CPU-bound per row (sort + fold over every bigram), so
     // its parallelism must track cores, not input splits: a small file
     // count under-splits the scan and serializes the whole pass on a few
@@ -228,16 +206,58 @@ object TextAnalysis {
     val cores = docs.sparkSession.sparkContext.defaultParallelism
     val spread =
       if (docs.rdd.getNumPartitions < cores) docs.repartition(cores) else docs
-    val out = spread.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), n.as("n"), size(array_distinct(toks)).as("n_distinct"),
-        bigrams.as("bigrams"))
-      .select(col("doc_id"), col("n"), col("n_distinct"), topCount.as("top_cnt"))
-      .select(
-        col("doc_id"),
-        graft.functions.StableAgg.scaledLong(dupFrac, 10000).as("dup_word_frac_x10k"),
-        graft.functions.StableAgg.scaledLong(topBigram, 10000).as("top_bigram_frac_x10k"),
-        keep.as("keep"))
+    val out = withGopherSignals(spread, "text")
+      .select(col("doc_id"), col("dup_word_frac_x10k"),
+        col("top_bigram_frac_x10k"), col("keep"))
     if (ordered) out.orderSmall("doc_id") else out
+  }
+
+  /** The Gopher word/bigram signal computation shared by the batch t8
+    * surface and the streaming nightly-crawl gate (ONE definition, the
+    * parsePnmHeader rule — the two consumers can never disagree on a
+    * threshold): appends `dup_word_frac_x10k`, `top_bigram_frac_x10k`,
+    * `keep` derived from `textCol`, PRESERVING every existing column
+    * (the streaming caller carries window/doc/chunk-count columns
+    * through), and never probes partitioning — safe on streaming
+    * frames, where `.rdd` is unavailable. Map-only. */
+  def withGopherSignals(frame: DataFrame, textCol: String): DataFrame = {
+    val toks = col("__gr_toks")
+    val n = size(toks)
+    // Guard n < 2: sequence(1, 0) counts DOWN through index 0, which is
+    // an invalid element_at index once this is materialized for all rows.
+    val bigrams = when(n < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), n - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+    // Longest run in the sorted bigram array == max occurrence count.
+    val topCount = aggregate(
+      array_sort(col("__gr_bigrams")),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val dupFrac = lit(1.0) - col("__gr_n_distinct").cast("double") / col("__gr_n")
+    val topBigram = when(col("__gr_n") < 2, 0.0)
+      .otherwise(col("__gr_top_cnt").cast("double") / (col("__gr_n") - 1))
+    val keep = when(col("__gr_n") >= 5 && dupFrac <= lit(0.6) && topBigram <= lit(0.2), 1)
+      .otherwise(0)
+    // Each derived array is bound to a real projection column before the
+    // next stage references it (the O(n²) re-evaluation hazard in the
+    // scaladoc above).
+    frame
+      .withColumn("__gr_toks", split(col(textCol), " "))
+      .withColumn("__gr_n", n)
+      .withColumn("__gr_n_distinct", size(array_distinct(toks)))
+      .withColumn("__gr_bigrams", bigrams)
+      .withColumn("__gr_top_cnt", topCount)
+      .withColumn("dup_word_frac_x10k",
+        graft.functions.StableAgg.scaledLong(dupFrac, 10000))
+      .withColumn("top_bigram_frac_x10k",
+        graft.functions.StableAgg.scaledLong(topBigram, 10000))
+      .withColumn("keep", keep)
+      .drop("__gr_toks", "__gr_n", "__gr_n_distinct", "__gr_bigrams", "__gr_top_cnt")
   }
 
   /** Repetition signals (Rae et al., Gopher §A1.1 — the n-gram half of
@@ -836,15 +856,23 @@ object TextAnalysis {
           .as("n_ip"),
         size(regexp_extract_all(col("pii_text"), lit(PiiSsnPattern), lit(0)))
           .as("n_ssn"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(col("pii_text"), PiiEmailPattern, "<EMAIL>"),
-              PiiSsnPattern, "<SSN>"),
-            PiiPhonePattern, "<PHONE>"),
-          PiiIpPattern, "<IP>").as("scrubbed"))
+        piiScrubCol(col("pii_text")).as("scrubbed"))
     if (ordered) out.orderSmall("doc_id") else out
   }
+
+  /** The four-pattern PII replacement shared by the t19 surface and the
+    * streaming nightly-crawl gate (ONE definition — consumers can never
+    * disagree on a pattern or replacement order; email before SSN
+    * before phone before IP, so an email's digits are never re-matched
+    * as a phone). Pure map-only column expression. */
+  def piiScrubCol(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, PiiEmailPattern, "<EMAIL>"),
+          PiiSsnPattern, "<SSN>"),
+        PiiPhonePattern, "<PHONE>"),
+      PiiIpPattern, "<IP>")
 
   /** t20 — tokenizer FERTILITY report: per-language chars-per-token under
     * the t16-trained tokenizer (the standard tokenizer-eval metric —

@@ -224,4 +224,28 @@ object StreamingNightlyCrawl {
       .select(col("window.start").as("window_start"), col("doc_id"),
         col("clean_text"), col("kept_chunks"), col("dropped_chunks"))
   }
+
+  /** The FULL deployable chain: [[pipeline]] (d17 exact dedup → d20
+    * near-dup flag → d18 boilerplate scrub, one state store) followed by
+    * the two stateless quality gates a pretraining pipeline runs last —
+    * t19's PII scrub on the reassembled clean text and t8's Gopher
+    * word/bigram gate on the SCRUBBED text (scrub first: a document
+    * dense with synthetic PII should be judged on what would actually
+    * be trained on). Both gates are map-only column work AFTER the
+    * windowed aggregate, so the chain still holds exactly one state
+    * store; rejected docs carry through to the output of the agg and
+    * die in a stateless filter. Emits the accepted docs with their
+    * scrub + gate diagnostics. */
+  def pipelineWithGates(docs: DataFrame, indexDocs: DataFrame,
+      boilerplate: DataFrame, threshold: Double = 0.5, width: Int = 20,
+      windowDur: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.ops.TextAnalysis
+    val base = pipeline(docs, indexDocs, boilerplate, threshold, width,
+      windowDur, watermarkDelay)
+      .withColumn("clean_text", TextAnalysis.piiScrubCol(col("clean_text")))
+    TextAnalysis.withGopherSignals(base, "clean_text")
+      .where(col("keep") === 1)
+      .drop("keep")
+  }
 }

@@ -490,4 +490,81 @@ class StreamingWindowSpec extends GraftSuite {
     assert(want2.nonEmpty && want2.size < night2.count(),
       "night 2 must exercise both accepted and dropped docs")
   }
+
+  test("gated nightly-crawl pipeline (scrub + gopher gate) matches the batch composition") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.{Dedup, TextAnalysis}
+
+    val all = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = all.where(col("doc_id") % 4 =!= 2)
+    // Crawl slice plus three synthetic docs that force each gate to bite
+    // deterministically: PII to scrub (passes gopher), a too-short doc,
+    // and a bigram-repetition doc.
+    val synth = Seq(
+      (900001L, "please reach analyst one at alice@corp-example.com or " +
+        "call 555-123-4567 about the quarterly vector window results today"),
+      (900002L, "tiny doc"),
+      (900003L, Seq.fill(40)("buy now").mkString(" ")))
+      .toDF("doc_id", "text")
+    val crawl = all.where(col("doc_id") % 8 === 2).unionByName(synth)
+    val boiler = Dedup.boilerplateChunks(corpus, 20, 1).localCheckpoint(true)
+
+    // Batch ground truth: the un-gated three-stage composition, then the
+    // SAME shared gate definitions (piiScrubCol + withGopherSignals).
+    val fresh = Dedup.dedupAgainstIndex(crawl, Dedup.digestIndex(corpus))
+    val kept = fresh.join(
+      Dedup.nearDupAgainstIndex(fresh, corpus, ordered = false), Seq("doc_id"))
+    val keepChunk = col("is_boiler").isNull
+    val scrubbed = Dedup.chunked(kept, 20)
+      .join(boiler.select(col("h"), lit(1).as("is_boiler")), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(
+            when(keepChunk, struct(col("chunk_idx"), col("chunk"))))),
+          x => x("chunk")), " ").as("clean_text"),
+        sum(when(keepChunk, 1L).otherwise(0L)).as("kept_chunks"),
+        sum(when(keepChunk, 0L).otherwise(1L)).as("dropped_chunks"))
+      .where(col("kept_chunks") > 0)
+      .withColumn("clean_text", TextAnalysis.piiScrubCol(col("clean_text")))
+    val want = TextAnalysis.withGopherSignals(scrubbed, "clean_text")
+      .where(col("keep") === 1).drop("keep")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSet
+    val preGate = scrubbed.count()
+
+    val rows = crawl.collect().map(r => (r.getLong(0), r.getString(1)))
+    val base = Timestamp.valueOf("2024-01-01 10:00:00")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = streaming.StreamingNightlyCrawl.pipelineWithGates(
+      input.toDF().toDF("doc_id", "ts", "text"), corpus, boiler)
+    val q = out.writeStream
+      .format("memory").queryName("gatednightly").outputMode("append").start()
+    val got = try {
+      rows.grouped(40).foreach { g =>
+        input.addData(g.map(x => (x._1, base, x._2)).toSeq)
+        q.processAllAvailable()
+      }
+      input.addData((999999L,
+        Timestamp.valueOf("2024-01-01 12:00:00"), "late watermark row"))
+      q.processAllAvailable()
+      spark.table("gatednightly").collect()
+        .map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))
+        .toSet
+    } finally q.stop()
+    assert(got == want, s"gated mismatch: extra=${(got -- want).take(2)} " +
+      s"missing=${(want -- got).take(2)}")
+    // Every gate must have fired: the PII doc survives WITH tags
+    // replaced, and the gopher gate rejected at least the two synthetics.
+    val pii = got.find(_._1 == 900001L)
+    assert(pii.exists(t => t._2.contains("<EMAIL>") && t._2.contains("<PHONE>")),
+      s"PII doc must survive scrubbed: $pii")
+    assert(!got.exists(_._1 == 900002L) && !got.exists(_._1 == 900003L),
+      "short and repetitive synthetics must be gate-rejected")
+    assert(want.size < preGate, "the gopher gate must reject some docs")
+  }
 }
