@@ -262,6 +262,12 @@ object PlanAudit {
       "no window, no join, no aggregate over the corpus" ->
         (p => !p.contains("Window") && !p.contains("Join") && !p.contains("HashAggregate")))
 
+    audit("s10_domain_cap", qs("s10_domain_cap")(spark, sfDir),
+      "cap is the bounded top-k aggregate (map-side partial), never a corpus-wide rank window" ->
+        (p => p.contains("ObjectHashAggregate") && !p.contains("Window")),
+      "no join: totals ride the same aggregate as the cap" ->
+        (p => !p.contains("Join")))
+
     audit("t24_lexical_diversity", qs("t24_lexical_diversity")(spark, sfDir),
       "map-only: the LexStats kernel runs inside the scan stage, no corpus shuffle" ->
         (p => p.linesIterator.count(_.contains("Exchange (")) <= 1),

@@ -218,6 +218,9 @@ object DeclaredOps {
     // Deterministic per-epoch shuffle order (head sample per epoch via
     // the bounded top-k aggregate — no global sort anywhere).
     "s9_epoch_shuffle" -> ((s, dir) => Sampling.epochShuffle(docs(s, dir))),
+    // Per-registrable-domain crawl budget: URL parse + domain cap via
+    // the bounded skew-safe top-k aggregate.
+    "s10_domain_cap" -> ((s, dir) => Sampling.domainCap(docs(s, dir))),
     // Tokenizer fertility: per-lang chars-per-token under the TRAINED
     // tokenizer (t18's apply feeding a languages-sized aggregate).
     // Mojibake QA: the doc_id % 5 slice is deterministically damaged
@@ -687,6 +690,28 @@ object DeclaredOps {
         |    row_number() OVER (PARTITION BY epoch ORDER BY skey, doc_id) AS rn
         |  FROM keyed)
         |WHERE rn <= 20 ORDER BY epoch, rnk""".stripMargin,
+
+    // Domain cap: the URL synthesis is the same integer/string
+    // arithmetic on both sides (char-identical by construction — the
+    // t19 discipline); the cap itself is re-derived INDEPENDENTLY as a
+    // window rank per domain (Spark uses the bounded top-k aggregate).
+    "s10_domain_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    'https://' || ['www', 'cdn', 'blog'][CAST(doc_id % 3 AS INT) + 1] ||
+        |    '.site-' || CAST(doc_id * 7 % 97 AS VARCHAR) || '.com/p/' ||
+        |    CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |d AS (SELECT doc_id, n_chars,
+        |    regexp_extract(regexp_extract(url, '^https?://([^/]+)', 1),
+        |      '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM u),
+        |r AS (SELECT domain, doc_id,
+        |    row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rnk,
+        |    count(*) OVER (PARTITION BY domain) AS n_docs
+        |  FROM d)
+        |SELECT domain, CAST(n_docs AS BIGINT) AS n_docs, CAST(rnk AS INT) AS rnk, doc_id
+        |FROM r WHERE rnk <= 3 ORDER BY domain, rnk""".stripMargin,
 
     // MMR unrolled: shortlist by relevance rank, pairwise shortlist
     // sims, then three greedy steps — each an anti-join against the

@@ -328,6 +328,47 @@ object Sampling {
       .orderAgg("epoch", "rnk")
   }
 
+  /** s10 — per-registrable-domain document cap: the crawl "domain
+    * budget" rule (RefinedWeb/C4-class pipelines bound how many
+    * documents any single host family may contribute so giant domains
+    * don't dominate the training mixture). The synthetic corpus carries
+    * no URL column, so — the t19 PII-augmentation discipline — a
+    * char-identical URL is DERIVED from doc_id by pure integer/string
+    * arithmetic in both engines; the operator then does the real work:
+    * extract the host from the URL, derive the registrable domain (the
+    * last two labels), and keep the `cap` best docs per domain by
+    * (n_chars DESC, doc_id ASC), reporting each domain's pre-cap total.
+    *
+    * Scale: `row_number() OVER (PARTITION BY domain)` would shuffle the
+    * WHOLE corpus to rank it and serialize on a hot domain (the exact
+    * failure the cap exists to manage — the biggest domain is by
+    * definition the skew key). The bounded [[graft.functions
+    * .TopKByScoreAgg]] keeps ≤ cap rows per (task, domain) map-side, so
+    * the shuffle carries ≤ cap·partitions rows per domain however many
+    * documents the domain has, and the per-domain total rides the SAME
+    * aggregate — one pass, one vocabulary-of-domains-sized exchange. */
+  def domainCap(docs: DataFrame, cap: Int = 3, ordered: Boolean = true): DataFrame = {
+    val sub = element_at(array(lit("www"), lit("cdn"), lit("blog")),
+      (col("doc_id") % 3).cast("int") + 1)
+    val url = concat(lit("https://"), sub, lit(".site-"),
+      (col("doc_id") * 7 % 97).cast("string"), lit(".com/p/"),
+      col("doc_id").cast("string"))
+    val host = regexp_extract(col("url"), "^https?://([^/]+)", 1)
+    val domain = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val out = docs
+      .select(col("doc_id"), col("n_chars"), url.as("url"))
+      .select(col("doc_id"), col("n_chars"), domain.as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        graft.functions.TopKByScoreAgg.column(cap,
+          col("n_chars").cast("double"), col("doc_id")).as("top"))
+      .select(col("domain"), col("n_docs"),
+        posexplode(col("top")).as(Seq("i", "x")))
+      .select(col("domain"), col("n_docs"),
+        (col("i") + 1).cast("int").as("rnk"), col("x._2").as("doc_id"))
+    if (ordered) out.orderAgg("domain", "rnk") else out
+  }
+
   /** Build-once near-dup cluster-label artifact for `dir`'s documents
     * corpus: LSH + exact verify + connected components run ONCE per
     * (dir, data signature) and materialize to parquet; every subsequent

@@ -156,6 +156,8 @@ object LlmViews {
       "llm_zipf_coverage" -> (() => TextAnalysis.zipfCoverage(docs)),
       "llm_lexical_diversity" -> (() =>
         TextAnalysis.lexicalDiversity(docs, ordered = false)),
+      "llm_domain_cap" -> (() =>
+        graft.ops.Sampling.domainCap(docs, ordered = false)),
       "llm_incremental_dedup" -> (() => Dedup.dedupAgainstIndex(
         docs.where(col("doc_id") % 3 === 0),
         Dedup.digestIndex(docs.where(col("doc_id") % 3 =!= 0 || col("doc_id") < 100)))),

@@ -1747,4 +1747,27 @@ class OpsSpec extends GraftSuite {
     // test pins nothing.
     assert(informative > 0, "corpus must contain repeated tokens")
   }
+
+  test("s10 domain cap: kept set equals a driver URL-parse + rank recompute") {
+    val out = graft.ops.Sampling.domainCap(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val meta = docs.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // Reference: same URL synthesis, then an independent full parse +
+    // sort (the Spark side never builds per-domain sorted lists).
+    val byDomain = meta.map { case (id, nc) =>
+      val sub = Seq("www", "cdn", "blog")((id % 3).toInt)
+      val url = s"https://$sub.site-${id * 7 % 97}.com/p/$id"
+      val host = url.stripPrefix("https://").takeWhile(_ != '/')
+      val domain = host.split('.').takeRight(2).mkString(".")
+      (domain, id, nc)
+    }.groupBy(_._1)
+    val want = byDomain.toSeq.flatMap { case (domain, rows) =>
+      rows.sortBy { case (_, id, nc) => (-nc, id) }.take(3).zipWithIndex
+        .map { case ((_, id, _), i) => (domain, rows.length.toLong, i + 1, id) }
+    }.sortBy(t => (t._1, t._3))
+    assert(out.toSeq == want, s"domain cap mismatch: got=${out.take(3).toSeq} want=${want.take(3)}")
+    // The cap must bite: some domain has more docs than the cap.
+    assert(byDomain.values.exists(_.length > 3), "cap must actually drop docs")
+  }
 }
