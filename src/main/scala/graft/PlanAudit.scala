@@ -262,6 +262,13 @@ object PlanAudit {
       "no window, no join, no aggregate over the corpus" ->
         (p => !p.contains("Window") && !p.contains("Join") && !p.contains("HashAggregate")))
 
+    audit("t25_perplexity_buckets", qs("t25_perplexity_buckets")(spark, sfDir),
+      "tercile thresholds broadcast back onto the scored rows (1-row frame)" ->
+        (_.contains("BroadcastNestedLoopJoin")),
+      "bucketing is never a corpus-wide rank: no ntile/row_number window over doc scores" ->
+        (p => !p.linesIterator.exists(l =>
+          l.contains("Window") && (l.contains("ntile") || l.contains("row_number")))))
+
     audit("s10_domain_cap", qs("s10_domain_cap")(spark, sfDir),
       "cap is the bounded top-k aggregate (map-side partial), never a corpus-wide rank window" ->
         (p => p.contains("ObjectHashAggregate") && !p.contains("Window")),

@@ -238,6 +238,10 @@ object DeclaredOps {
     // map-only via the one-pass LexStats kernel.
     "t24_lexical_diversity" -> ((s, dir) =>
       TextAnalysis.lexicalDiversity(docs(s, dir))),
+    // CCNet perplexity-bucket filter: reference-trained backoff LM,
+    // discrete tercile thresholds, keep head+middle.
+    "t25_perplexity_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(docs(s, dir))),
     "t20_fertility" -> ((s, dir) =>
       TextAnalysis.bpeFertility(docs(s, dir), bpeMerges(s, dir))),
     // Bloom-guarded incremental dedup: d13's semantics on a disjoint
@@ -470,6 +474,41 @@ object DeclaredOps {
         |SELECT doc_id, count(*) AS n_trigrams,
         |  CAST(CAST(sum(v) AS BIGINT) // count(*) AS BIGINT) AS lm_x1000
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // CCNet perplexity buckets: t17's LM arithmetic with the slices in
+    // the CCNet orientation (train = doc_id % 4 = 0, score the rest),
+    // then quantile_disc terciles — discrete, so the thresholds are
+    // actual integer score values in both engines.
+    "t25_perplexity_buckets" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tr AS (SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i + 1 AS INT)] AS w2,
+        |         w[CAST(i + 2 AS INT)] AS w3
+        |       FROM toks, UNNEST(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3),
+        |c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM tr WHERE doc_id % 4 = 0 GROUP BY 1, 2, 3),
+        |triw AS (SELECT *, sum(c123) OVER (PARTITION BY w1, w2) AS c12 FROM c123),
+        |big AS (SELECT w2, w3, sum(c123) AS c23 FROM c123 GROUP BY 1, 2),
+        |bigw AS (SELECT *, sum(c23) OVER (PARTITION BY w2) AS c2 FROM big),
+        |uni AS (SELECT w3, sum(c123) AS c3,
+        |        sum(sum(c123)) OVER () AS n FROM c123 GROUP BY 1),
+        |sc AS (SELECT tr.doc_id,
+        |    CASE WHEN t.c123 IS NOT NULL THEN CAST(t.c123 * 1000 // t.c12 AS BIGINT)
+        |         WHEN b.c23 IS NOT NULL THEN CAST(400 * b.c23 // b.c2 AS BIGINT)
+        |         WHEN u.c3 IS NOT NULL THEN CAST(160 * u.c3 // u.n AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS v
+        |  FROM tr LEFT JOIN triw t USING (w1, w2, w3)
+        |          LEFT JOIN bigw b USING (w2, w3)
+        |          LEFT JOIN uni u USING (w3)
+        |  WHERE tr.doc_id % 4 <> 0),
+        |sd AS (SELECT doc_id, count(*) AS n_trigrams,
+        |         CAST(CAST(sum(v) AS BIGINT) // count(*) AS BIGINT) AS lm_x1000
+        |       FROM sc GROUP BY doc_id),
+        |th AS (SELECT quantile_disc(lm_x1000, 1.0/3) AS t_lo,
+        |              quantile_disc(lm_x1000, 2.0/3) AS t_hi FROM sd)
+        |SELECT doc_id, n_trigrams, lm_x1000,
+        |  CASE WHEN lm_x1000 >= t_hi THEN 'head'
+        |       WHEN lm_x1000 >= t_lo THEN 'middle' ELSE 'tail' END AS bucket,
+        |  CAST(CASE WHEN lm_x1000 >= t_lo THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM sd, th ORDER BY doc_id""".stripMargin,
 
     // Exact directed containment: same inverted-index join both
     // engines (distinct shingle sets → join-row count = intersection).

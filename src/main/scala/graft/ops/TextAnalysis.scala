@@ -575,6 +575,42 @@ object TextAnalysis {
     if (ordered) out.orderAgg("doc_id") else out
   }
 
+  /** t25 — perplexity-bucket filter (the CCNet rule): score the crawl
+    * under a reference-trained LM, split scores into terciles, keep the
+    * head+middle buckets. The LM is [[backoffLm]] verbatim (ONE
+    * definition) with the slices in the CCNet orientation — TRAIN on
+    * the small reference slice (doc_id % 4 = 0, the Wikipedia analog),
+    * SCORE everything else. Bucket thresholds are `percentile_disc`
+    * terciles of the integer doc scores — discrete percentiles return
+    * an ACTUAL score value under the same smallest-cume ≥ p definition
+    * in both engines (verified against DuckDB's quantile_disc), so the
+    * knife-edge comparisons are integer-vs-integer, never an
+    * interpolated double.
+    *
+    * Scale: the per-doc scoring is backoffLm's audited size-adaptive
+    * plan. The threshold aggregate's state is a value→count histogram
+    * over the score DOMAIN (bounded: floor-mean of ≤1000-scaled
+    * ratios), not the corpus — and the 1-row result broadcasts back
+    * onto the scored rows. At deployment scale the scored frame is a
+    * stored artifact and the thresholds one reduce over it; here the
+    * two consumers re-derive it (stats-frame exchanges reuse across
+    * both). */
+  def perplexityBuckets(docs: DataFrame, ordered: Boolean = true,
+      broadcastStats: Option[Boolean] = None): DataFrame = {
+    val scored = backoffLm(docs, col("doc_id") % 4 =!= 0, ordered = false,
+      broadcastStats)
+    val thr = scored.agg(
+      expr("percentile_disc(1.0D / 3) WITHIN GROUP (ORDER BY lm_x1000)").as("t_lo"),
+      expr("percentile_disc(2.0D / 3) WITHIN GROUP (ORDER BY lm_x1000)").as("t_hi"))
+    val out = scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_trigrams"), col("lm_x1000"),
+        when(col("lm_x1000") >= col("t_hi"), lit("head"))
+          .when(col("lm_x1000") >= col("t_lo"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"),
+        when(col("lm_x1000") >= col("t_lo"), 1).otherwise(0).as("keep"))
+    if (ordered) out.orderAgg("doc_id") else out
+  }
+
   /** t22 — mojibake (encoding-damage) detection, the ftfy-class QA gate
     * a web-crawl pipeline runs before training: documents whose bytes
     * were decoded with the wrong charset carry tell-tale UTF-8-lead-byte

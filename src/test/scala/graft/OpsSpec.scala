@@ -1748,6 +1748,30 @@ class OpsSpec extends GraftSuite {
     assert(informative > 0, "corpus must contain repeated tokens")
   }
 
+  test("t25 perplexity buckets: tercile assignment equals a driver recompute") {
+    val out = TextAnalysis.perplexityBuckets(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getInt(4)))
+    assert(out.nonEmpty)
+    // The LM scores themselves are pinned by the t17 oracle/spec; here
+    // the BUCKETING contract is recomputed: discrete terciles (smallest
+    // value with cume >= p) over the emitted scores, then every row's
+    // bucket and keep re-derived.
+    val scores = out.map(_._3).sorted
+    val n = scores.length
+    def disc(p: Double): Long = scores((n * p).ceil.toInt.max(1) - 1)
+    val (tLo, tHi) = (disc(1.0 / 3), disc(2.0 / 3))
+    out.foreach { case (id, _, lm, bucket, keep) =>
+      val want = if (lm >= tHi) "head" else if (lm >= tLo) "middle" else "tail"
+      assert(bucket == want && keep == (if (want != "tail") 1 else 0),
+        s"bucket mismatch for doc $id: score=$lm got=$bucket want=$want (t=$tLo/$tHi)")
+    }
+    // Informative: all three buckets occupied, and the scored slice is
+    // exactly the non-reference docs that have >= 3 tokens.
+    val byBucket = out.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(Set("head", "middle", "tail").subsetOf(byBucket.keySet), s"$byBucket")
+    assert(out.forall(_._1 % 4 != 0), "reference slice must not be scored")
+  }
+
   test("s10 domain cap: kept set equals a driver URL-parse + rank recompute") {
     val out = graft.ops.Sampling.domainCap(docs).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
