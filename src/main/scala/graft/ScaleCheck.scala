@@ -821,6 +821,60 @@ object ScaleCheck {
       println(f"SPARK50K total ${times.map(_._2).sum}%.3f s " +
         "(local[32], fresh plan per pass, min of 3)")
     }
+
+    // s10's skew discipline, measured: one domain owning HALF a 200k-doc
+    // corpus (the hottest key a domain cap will ever see — the biggest
+    // domain is by definition the skew key the cap exists to manage).
+    // The bounded top-k aggregate's map-side partial keeps <= cap rows
+    // per (task, domain), so the exchange carries one array row per
+    // (task, domain) however hot the hot domain is. Measured finding
+    // (Spark 4): the row_number formulation with an ADJACENT rnk <= k
+    // filter is ALSO bounded map-side — InferWindowGroupLimit pushes a
+    // per-group limit below the exchange, so it shuffles
+    // domains·tasks·k rows instead of all 200k. The aggregate still wins
+    // 3x on shuffle rows (1 array row vs k rows per task-domain), skips
+    // the window's per-group sort buffer, and keeps its bound when the
+    // rank filter is NOT adjacent/inferable (any later consumer of rnk
+    // re-inflates the window plan to a full shuffle; the aggregate's
+    // bound is structural).
+    {
+      val n = 200000L
+      val skewed = spark.range(n).select(
+        col("id").as("doc_id"),
+        (col("id") % 1000 + 10).as("n_chars"),
+        when(col("id") % 2 === 0, lit("hot.com"))
+          .otherwise(concat(lit("site-"), (col("id") % 997).cast("string"),
+            lit(".com"))).as("domain"))
+      val recs = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          recs.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def measure(run: => Unit): Long = {
+        recs.set(0L); run; Thread.sleep(1000); recs.get()
+      }
+      try {
+        val viaAgg = measure {
+          skewed.groupBy("domain")
+            .agg(count(lit(1)).as("n_docs"),
+              graft.functions.TopKByScoreAgg.column(3,
+                col("n_chars").cast("double"), col("doc_id")).as("top"))
+            .select(col("domain"), posexplode(col("top")))
+            .collect()
+        }
+        val viaWindow = measure {
+          skewed.withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("domain")
+              .orderBy(col("n_chars").desc, col("doc_id"))))
+            .where(col("rnk") <= 3)
+            .collect()
+        }
+        println(s"S10SKEW docs=$n hot_share=0.5 " +
+          s"topk_agg_shuffle_rows=$viaAgg window_shuffle_rows=$viaWindow")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
     spark.stop()
   }
 }

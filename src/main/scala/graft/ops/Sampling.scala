@@ -339,14 +339,18 @@ object Sampling {
     * last two labels), and keep the `cap` best docs per domain by
     * (n_chars DESC, doc_id ASC), reporting each domain's pre-cap total.
     *
-    * Scale: `row_number() OVER (PARTITION BY domain)` would shuffle the
-    * WHOLE corpus to rank it and serialize on a hot domain (the exact
-    * failure the cap exists to manage — the biggest domain is by
-    * definition the skew key). The bounded [[graft.functions
-    * .TopKByScoreAgg]] keeps ≤ cap rows per (task, domain) map-side, so
-    * the shuffle carries ≤ cap·partitions rows per domain however many
-    * documents the domain has, and the per-domain total rides the SAME
-    * aggregate — one pass, one vocabulary-of-domains-sized exchange. */
+    * Scale: the bounded [[graft.functions.TopKByScoreAgg]] keeps ≤ cap
+    * rows per (task, domain) map-side, so the shuffle carries one
+    * ≤cap-element array row per (task, domain) however many documents
+    * the hot domain has (the biggest domain is by definition the skew
+    * key the cap exists to manage), and the per-domain total rides the
+    * SAME aggregate — one pass, one domains-sized exchange. Measured
+    * against the `row_number() OVER (PARTITION BY domain)` formulation
+    * in SCALECHECK S10SKEW: Spark 4's InferWindowGroupLimit bounds the
+    * window plan too when the rank filter is adjacent, but the
+    * aggregate still shuffles 3× fewer rows, skips the per-group sort
+    * buffer, and keeps its bound structurally (a non-adjacent rank
+    * consumer re-inflates the window plan to a full corpus shuffle). */
   def domainCap(docs: DataFrame, cap: Int = 3, ordered: Boolean = true): DataFrame = {
     val sub = element_at(array(lit("www"), lit("cdn"), lit("blog")),
       (col("doc_id") % 3).cast("int") + 1)
