@@ -1772,6 +1772,28 @@ class OpsSpec extends GraftSuite {
     assert(out.forall(_._1 % 4 != 0), "reference slice must not be scored")
   }
 
+  test("t24 lexical diversity: tokenization edges (empty tokens, n<2) pinned") {
+    import spark.implicits._
+    // " "-split with limit -1 KEEPS empty tokens (leading/trailing/double
+    // spaces) — the wordTfs contract; these strings make that observable.
+    val edges = Seq(
+      (1L, ""),            // one empty token -> n=1, excluded
+      (2L, " "),           // two empty tokens -> n=2, types=1, s2=4
+      (3L, "a  a"),        // a, "", a -> n=3, types=2, s2=5
+      (4L, " b "),         // "", b, "" -> n=3, types=2, s2=5
+      (5L, "x y x y x"))   // n=5, types=2, s2=13
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lexicalDiversity(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(!out.contains(1L), "single-token doc excluded (n < 2)")
+    assert(out(2L) == ((2L, 1L, 500L, 1000000L, 500000L)), s"got ${out(2L)}")
+    assert(out(3L) == ((3L, 2L, 666L, (5L - 3) * 1000000L / 6, (5L - 3) * 1000000L / 9)))
+    assert(out(4L) == out(3L), "same multiset of counts, same moments")
+    assert(out(5L) == ((5L, 2L, 400L, (13L - 5) * 1000000L / 20, (13L - 5) * 1000000L / 25)))
+  }
+
   test("s10 domain cap: kept set equals a driver URL-parse + rank recompute") {
     val out = graft.ops.Sampling.domainCap(docs).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
