@@ -265,6 +265,8 @@ object PlanAudit {
     audit("t25_perplexity_buckets", qs("t25_perplexity_buckets")(spark, sfDir),
       "tercile thresholds broadcast back onto the scored rows (1-row frame)" ->
         (_.contains("BroadcastNestedLoopJoin")),
+      "the LM scoring pipeline runs ONCE: thresholds branch reuses the doc-score exchange" ->
+        (_.contains("ReusedExchange")),
       "bucketing is never a corpus-wide rank: no ntile/row_number window over doc scores" ->
         (p => !p.linesIterator.exists(l =>
           l.contains("Window") && (l.contains("ntile") || l.contains("row_number")))))

@@ -599,6 +599,12 @@ object TextAnalysis {
       broadcastStats: Option[Boolean] = None): DataFrame = {
     val scored = backoffLm(docs, col("doc_id") % 4 =!= 0, ordered = false,
       broadcastStats)
+    // Exchange reuse makes the two consumers of `scored` (thresholds +
+    // per-row buckets) share ONE LM-scoring pipeline — the thresholds
+    // branch's column pruning does not defeat canonical equality of the
+    // doc-score exchange (verified: PlanAudit pins ReusedExchange in
+    // this plan), so the second consumer costs one extra reduce over
+    // the shuffle, not a second corpus pass.
     val thr = scored.agg(
       expr("percentile_disc(1.0D / 3) WITHIN GROUP (ORDER BY lm_x1000)").as("t_lo"),
       expr("percentile_disc(2.0D / 3) WITHIN GROUP (ORDER BY lm_x1000)").as("t_hi"))
