@@ -283,6 +283,12 @@ object PlanAudit {
       "no window, no join, no aggregate over the corpus" ->
         (p => !p.contains("Window") && !p.contains("Join") && !p.contains("HashAggregate")))
 
+    audit("t26_readability", qs("t26_readability")(spark, sfDir),
+      "map-only: the FkStats kernel runs inside the scan stage, no corpus shuffle" ->
+        (p => p.linesIterator.count(_.contains("Exchange (")) <= 1),
+      "no window, no join, no aggregate over the corpus" ->
+        (p => !p.contains("Window") && !p.contains("Join") && !p.contains("HashAggregate")))
+
     audit("e9_embed_decontam", qs("e9_embed_decontam")(spark, sfDir),
       "eval side broadcast against one train scan; no shuffle carries embeddings" ->
         (p => p.contains("Broadcast") &&

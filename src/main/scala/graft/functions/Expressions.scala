@@ -513,6 +513,41 @@ object HashKernels {
     new GenericArrayData(out.toArray[Any])
   }
 
+  /** Readability sufficient statistics (t26): words (non-empty
+    * " "-tokens), sentences (runs of [.!?], min 1), syllables (per-word
+    * [aeiouy]+ vowel-group runs, min 1 per word — the classic
+    * Flesch–Kincaid heuristic). One pass over the chars, no regex, no
+    * token array. */
+  def fkStats(text: UTF8String): InternalRow = {
+    val s = text.toString
+    var words = 0L; var sentences = 0L; var syllables = 0L
+    var inWord = false; var inTerm = false; var inVowel = false
+    var wordSyl = 0L
+    def isVowel(c: Char): Boolean = c match {
+      case 'a' | 'e' | 'i' | 'o' | 'u' | 'y' |
+           'A' | 'E' | 'I' | 'O' | 'U' | 'Y' => true
+      case _ => false
+    }
+    var i = 0
+    while (i <= s.length) {
+      val c = if (i < s.length) s.charAt(i) else ' '
+      if (c == ' ') {
+        if (inWord) { words += 1; syllables += math.max(1L, wordSyl) }
+        inWord = false; inVowel = false; wordSyl = 0L
+      } else {
+        inWord = true
+        val v = isVowel(c)
+        if (v && !inVowel) wordSyl += 1
+        inVowel = v
+      }
+      val t = c == '.' || c == '!' || c == '?'
+      if (t && !inTerm) sentences += 1
+      inTerm = t
+      i += 1
+    }
+    InternalRow(words, math.max(1L, sentences), syllables)
+  }
+
   /** Token-count moments for lexical diversity (t24): total tokens n,
     * distinct types, and the second moment Σc² of per-type counts — the
     * sufficient statistics for the Simpson repeat probability and
@@ -990,6 +1025,23 @@ object Expressions {
       copy(child = newChild)
   }
 
+  /** Readability sufficient statistics (words, sentences, syllables)
+    * for t26, one codegen'd char pass per row ([[HashKernels.fkStats]]).
+    * Same in-scan map-only shape as LexStats. */
+  case class FkStats(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("words", LongType, nullable = false),
+      StructField("sentences", LongType, nullable = false),
+      StructField("syllables", LongType, nullable = false)))
+    override def nullSafeEval(input: Any): Any =
+      HashKernels.fkStats(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.fkStats($c)")
+    override protected def withNewChildInternal(newChild: Expression): FkStats =
+      copy(child = newChild)
+  }
+
   /** Sufficient statistics (n, types, Σc²) for per-doc lexical
     * diversity, computed in one codegen'd hash-map pass per row
     * ([[HashKernels.lexStats]]) — no token array, no explode, no
@@ -1081,6 +1133,7 @@ object Expressions {
     column(BpeTokenCount(expression(c), merges))
   def wordTfs(c: Column): Column = column(WordTfs(expression(c)))
   def lexStats(c: Column): Column = column(LexStats(expression(c)))
+  def fkStats(c: Column): Column = column(FkStats(expression(c)))
   def xorMinHashSig(c: Column, numHashes: Int): Column =
     column(XorMinHashSig(expression(c), numHashes))
   def quantize8(c: Column): Column = column(Quantize8(expression(c)))

@@ -242,6 +242,9 @@ object DeclaredOps {
     // discrete tercile thresholds, keep head+middle.
     "t25_perplexity_buckets" -> ((s, dir) =>
       TextAnalysis.perplexityBuckets(docs(s, dir))),
+    // Flesch-Kincaid readability grade x100, exact integers, map-only.
+    "t26_readability" -> ((s, dir) =>
+      TextAnalysis.readability(docs(s, dir))),
     "t20_fertility" -> ((s, dir) =>
       TextAnalysis.bpeFertility(docs(s, dir), bpeMerges(s, dir))),
     // Bloom-guarded incremental dedup: d13's semantics on a disjoint
@@ -1536,6 +1539,29 @@ object DeclaredOps {
         |  covered * 1000 // total AS coverage_permille
         |FROM c, t ORDER BY k""".stripMargin,
     "t20_fertility" -> bpeFertilityOracle(10),
+
+    // Readability: the (words, sentences, syllables) triple re-derived
+    // via the independent split/regexp path (Spark walks the chars);
+    // words = NON-empty tokens, sentences = [.!?]+ runs (min 1),
+    // syllables = per-word vowel-group runs (min 1 per word), and the
+    // FK composition is truncating integer division in both engines.
+    "t26_readability" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS ws,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(n_sentences AS BIGINT) AS n_sentences,
+        |    CAST(list_sum(list_prepend(0, list_transform(ws, t ->
+        |      greatest(1, len(regexp_extract_all(t, '[aeiouyAEIOUY]+')))))) AS BIGINT)
+        |      AS n_syllables
+        |  FROM w)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  39 * n_words // n_sentences + 1180 * n_syllables // n_words - 1559
+        |    AS fk_grade_x100
+        |FROM st WHERE n_words >= 1 ORDER BY doc_id""".stripMargin,
 
     // Lexical diversity: the (n, types, Σc²) moments re-derived via the
     // independent unnest → GROUP BY path (Spark computes them in-row);

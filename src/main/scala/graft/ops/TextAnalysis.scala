@@ -575,6 +575,31 @@ object TextAnalysis {
     if (ordered) out.orderAgg("doc_id") else out
   }
 
+  /** t26 — Flesch–Kincaid readability grade, the classic surface
+    * quality signal corpus-curation pipelines threshold on, in exact
+    * integers: FK = 0.39·(words/sentences) + 11.8·(syllables/words) −
+    * 15.59, reported ×100 as `39·w div s + 1180·syl div w − 1559`
+    * (both divisions over non-negative integers, truncating identically
+    * in both engines). Words = non-empty " "-tokens; sentences = runs
+    * of [.!?] (min 1); syllables = per-word [aeiouy]+ vowel-group runs,
+    * min 1 per word — the standard heuristic.
+    *
+    * Scale: the (words, sentences, syllables) triple comes from ONE
+    * codegen'd char pass per row ([[graft.functions.Expressions
+    * .FkStats]] — no regex, no token array); the whole operator is
+    * map-only inside the scan, like t24. */
+  def readability(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+    val out = docs
+      .select(col("doc_id"), graft.functions.Expressions.fkStats(col("text")).as("fk"))
+      .where(col("fk.words") >= 1)
+      .select(col("doc_id"),
+        col("fk.words").as("n_words"), col("fk.sentences").as("n_sentences"),
+        col("fk.syllables").as("n_syllables"),
+        expr("39 * fk.words div fk.sentences + 1180 * fk.syllables div fk.words - 1559")
+          .as("fk_grade_x100"))
+    if (ordered) out.orderSmall("doc_id") else out
+  }
+
   /** t25 — perplexity-bucket filter (the CCNet rule): score the crawl
     * under a reference-trained LM, split scores into terciles, keep the
     * head+middle buckets. The LM is [[backoffLm]] verbatim (ONE

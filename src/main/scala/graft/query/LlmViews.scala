@@ -160,6 +160,8 @@ object LlmViews {
         graft.ops.Sampling.domainCap(docs, ordered = false)),
       "llm_perplexity_buckets" -> (() =>
         TextAnalysis.perplexityBuckets(docs, ordered = false)),
+      "llm_readability" -> (() =>
+        TextAnalysis.readability(docs, ordered = false)),
       "llm_incremental_dedup" -> (() => Dedup.dedupAgainstIndex(
         docs.where(col("doc_id") % 3 === 0),
         Dedup.digestIndex(docs.where(col("doc_id") % 3 =!= 0 || col("doc_id") < 100)))),

@@ -1748,6 +1748,44 @@ class OpsSpec extends GraftSuite {
     assert(informative > 0, "corpus must contain repeated tokens")
   }
 
+  test("t26 readability: FK stats equal a driver recompute incl. punctuation edges") {
+    import spark.implicits._
+    // Adversarial rows exercise every rule: terminator RUNS count once,
+    // vowel-less words get the min-1 syllable, empty tokens aren't words,
+    // terminators inside words still end sentences, no-terminator text
+    // gets min-1 sentences.
+    val edges = Seq(
+      (9000001L, "Dr... what?! yes."),
+      (9000002L, "tsk tsk brr"),
+      (9000003L, "  spaced   out  "),
+      (9000004L, "a.b c"),
+      (9000005L, "reading is easy. reading is fun."))
+      .toDF("doc_id", "text")
+    val docsAll = docs.select("doc_id", "text").unionByName(edges)
+    val out = TextAnalysis.readability(docsAll).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val texts = docsAll.collect().map(r => (r.getLong(0), r.getString(1)))
+    texts.foreach { case (id, text) =>
+      val ws = text.split(" ", -1).filter(_.nonEmpty)
+      val sentences = math.max(1L, "[.!?]+".r.findAllIn(text).length.toLong)
+      val syl = ws.map(w => math.max(1L, "[aeiouyAEIOUY]+".r.findAllIn(w).length.toLong)).sum
+      if (ws.nonEmpty) {
+        val w = ws.length.toLong
+        val fk = 39 * w / sentences + 1180 * syl / w - 1559
+        assert(out(id) == ((w, sentences, syl, fk)), s"FK mismatch for doc $id")
+      } else assert(!out.contains(id), s"wordless doc $id must be excluded")
+    }
+    // The edge rows' exact values, pinned by hand: "Dr... what?! yes."
+    // = 3 words / 3 terminator runs / 3 min-1 syllables; "tsk tsk brr"
+    // = vowel-less words, min-1 each, no terminator -> 1 sentence;
+    // "  spaced   out  " = empty tokens aren't words, "spaced" has two
+    // vowel GROUPS (a, e), "out" one (ou).
+    assert(out(9000001L) == ((3L, 3L, 3L, 39L + 1180 - 1559)))
+    assert(out(9000002L) == ((3L, 1L, 3L, 39 * 3 + 1180 - 1559)))
+    assert(out(9000003L) == ((2L, 1L, 3L, 39 * 2 + 1180 * 3 / 2 - 1559)))
+  }
+
   test("t25 perplexity buckets: tercile assignment equals a driver recompute") {
     val out = TextAnalysis.perplexityBuckets(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getInt(4)))
