@@ -81,6 +81,26 @@ object DeclaredOps {
       Dedup.buildBloomBytes(idx)
     })
 
+  // The backoff-LM's train-slice n-gram TYPE tables are FRAME build
+  // artifacts (the signatureIndex/digestIndex class): deterministic per
+  // (dir, data-signature, train-slice), so t17/t25 scoring scans a
+  // stored index instead of re-aggregating the train slice on every
+  // query (the d17/t21 rule, applied to the last per-query stats
+  // rebuilders). Names encode the TRAIN SLICE (t17 trains on
+  // doc_id % 4 <> 0, t25 — the CCNet orientation — on % 4 = 0): stats
+  // over a different slice must never be served. The stats VALUES are
+  // regime-independent (lmStats doc), so the build uses the scale-safe
+  // shuffled-N shape; the scoring side's broadcast decision is
+  // unchanged.
+  private def lmStatsFor(s: SparkSession, dir: String, tag: String,
+      heldOutPred: org.apache.spark.sql.Column): (DataFrame, DataFrame, DataFrame) = {
+    def art(part: String, pick: ((DataFrame, DataFrame, DataFrame)) => DataFrame) =
+      graft.core.Artifacts.materialized(s, dir, s"lm_${part}_$tag") {
+        pick(TextAnalysis.lmStats(docs(s, dir), heldOutPred, useBc = false))
+      }
+    (art("tri", _._1), art("big", _._2), art("uni", _._3))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup"   -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "d2_minhash_lsh"   -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
@@ -103,7 +123,17 @@ object DeclaredOps {
     "t7_vocab_topk"    -> ((s, dir) => TextAnalysis.vocabTopK(docs(s, dir))),
     "t8_gopher_rules"  -> ((s, dir) => TextAnalysis.gopherRules(docs(s, dir))),
     "t9_denylist_scrub" -> ((s, dir) => TextAnalysis.denylistScrub(docs(s, dir))),
-    "t10_tfidf_topk"   -> ((s, dir) => TextAnalysis.tfidfTopK(docs(s, dir))),
+    // tf-idf from the STORED vocabulary index (tfidfStats — the same
+    // build-artifact rule as the LM stats below).
+    "t10_tfidf_topk"   -> ((s, dir) => {
+      val df = graft.core.Artifacts.materialized(s, dir, "tfidf_df") {
+        TextAnalysis.tfidfStats(docs(s, dir))._1
+      }
+      val n = graft.core.Artifacts.materialized(s, dir, "tfidf_n") {
+        TextAnalysis.tfidfStats(docs(s, dir))._2
+      }
+      TextAnalysis.tfidfTopKWithStats(docs(s, dir), df, n)
+    }),
     "s1_hash_split"    -> ((s, dir) => Sampling.hashSplit(docs(s, dir))),
     "s2_stratified_sample" -> ((s, dir) => Sampling.stratifiedCounts(docs(s, dir))),
     "s3_pergroup_sample" -> ((s, dir) => Sampling.perGroupSample(docs(s, dir))),
@@ -154,7 +184,13 @@ object DeclaredOps {
     "s7_mixture_sample" -> ((s, dir) => Sampling.mixtureCounts(docs(s, dir))),
     "t13_quantile_audit" -> ((s, dir) => TextAnalysis.quantileAudit(docs(s, dir))),
     "d12_substring_dedup" -> ((s, dir) => Dedup.substringDedup(docs(s, dir))),
-    "t14_pmi_quality" -> ((s, dir) => TextAnalysis.pmiQuality(docs(s, dir))),
+    // PMI scoring from the STORED bigram-type table (pmiStats).
+    "t14_pmi_quality" -> ((s, dir) => {
+      val stats = graft.core.Artifacts.materialized(s, dir, "pmi_stats") {
+        TextAnalysis.pmiStats(docs(s, dir), useBc = false)
+      }
+      TextAnalysis.pmiQualityWithStats(docs(s, dir), stats)
+    }),
     "t15_novelty" -> ((s, dir) => Dedup.noveltyScore(docs(s, dir))),
     // Incremental (cross-run) dedup: tonight's crawl (doc_id % 3 == 0)
     // deduped against the digest index of everything already ingested —
@@ -187,8 +223,11 @@ object DeclaredOps {
     "d15_semantic_clusters" -> ((s, dir) => Similarity.semanticClusters(emb(s, dir))),
     "d16_containment"  -> ((s, dir) =>
       Dedup.containment(docs(s, dir), col("doc_id") % 5 === 0)),
-    "t17_backoff_lm"   -> ((s, dir) =>
-      TextAnalysis.backoffLm(docs(s, dir), col("doc_id") % 4 === 0)),
+    "t17_backoff_lm"   -> ((s, dir) => {
+      val held = col("doc_id") % 4 === 0
+      val (triW, big, uni) = lmStatsFor(s, dir, "trainmod4ne0", held)
+      TextAnalysis.backoffLmWithStats(docs(s, dir), held, triW, big, uni)
+    }),
     "s8_alpha_mixture" -> ((s, dir) => Sampling.alphaCounts(docs(s, dir))),
     "e13_binary_topk"  -> ((s, dir) =>
       Similarity.binaryTopK(emb(s, dir), col("vec_id") < 5)),
@@ -240,8 +279,11 @@ object DeclaredOps {
       TextAnalysis.lexicalDiversity(docs(s, dir))),
     // CCNet perplexity-bucket filter: reference-trained backoff LM,
     // discrete tercile thresholds, keep head+middle.
-    "t25_perplexity_buckets" -> ((s, dir) =>
-      TextAnalysis.perplexityBuckets(docs(s, dir))),
+    "t25_perplexity_buckets" -> ((s, dir) => {
+      val held = col("doc_id") % 4 =!= 0
+      TextAnalysis.perplexityBuckets(docs(s, dir),
+        stats = Some(lmStatsFor(s, dir, "trainmod4eq0", held)))
+    }),
     // Flesch-Kincaid readability grade x100, exact integers, map-only.
     "t26_readability" -> ((s, dir) =>
       TextAnalysis.readability(docs(s, dir))),

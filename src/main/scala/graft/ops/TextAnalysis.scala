@@ -321,6 +321,30 @@ object TextAnalysis {
     * never by the corpus. */
   def tfidfTopK(docs: DataFrame, k: Int = 3, ordered: Boolean = true,
       broadcastStats: Option[Boolean] = None): DataFrame = {
+    val (df, n) = tfidfStats(docs)
+    tfidfTopKWithStats(docs, df, n, k, ordered, broadcastStats)
+  }
+
+  /** The vocabulary statistics the tf-idf weight needs — (token → df)
+    * plus the 1-row corpus count — as a FRAME build artifact (the
+    * signatureIndex discipline: deterministic per (dir, data-signature),
+    * so serving paths persist it and scoring scans a stored index
+    * instead of re-aggregating the vocabulary per query; DeclaredOps
+    * keys the store). df needs only each doc's distinct-token SET —
+    * array_distinct (hash-based) emits the identical tokens as WordTfs
+    * (both keep empty tokens: split limit -1) without the per-doc sort,
+    * and this branch executes separately as the stats build job, so the
+    * build is one scan, never a WordTfs pass. */
+  def tfidfStats(docs: DataFrame): (DataFrame, DataFrame) = (
+    docs
+      .select(explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df")),
+    docs.agg(count(lit(1)).as("n")))
+
+  /** The scoring half of t10 against given stats (inline or stored). */
+  def tfidfTopKWithStats(docs: DataFrame, df: DataFrame, n: DataFrame,
+      k: Int = 3, ordered: Boolean = true,
+      broadcastStats: Option[Boolean] = None): DataFrame = {
     // tf is computed INSIDE the row (native run-length over the doc's own
     // sorted tokens) — the corpus-sized explode → groupBy(doc, token)
     // shuffle is gone; only distinct (doc, token) rows ever leave the
@@ -329,15 +353,6 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(graft.functions.Expressions.wordTfs(col("text"))).as("wt"))
       .select(col("doc_id"), col("wt.token").as("token"), col("wt.tf").as("tf"))
-    // df needs only each doc's distinct-token SET — array_distinct
-    // (hash-based) emits the identical tokens as WordTfs (both keep
-    // empty tokens: split limit -1) without the per-doc sort, and this
-    // branch executes separately as the broadcast build job, so the
-    // saving is a whole WordTfs pass over the corpus.
-    val df = docs
-      .select(explode(array_distinct(split(col("text"), " "))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n"))
     val useBc = broadcastStats.getOrElse(statsShouldBroadcast(docs))
     val scored = tf.join(if (useBc) broadcast(df) else df, "token")
       .crossJoin(broadcast(n))
@@ -412,33 +427,30 @@ object TextAnalysis {
     // "adaptive stats paths produce identical rows", and the shuffled
     // regime's plan shape by PlanAudit's forced-join audit.
     val useBc = broadcastStats.getOrElse(statsShouldBroadcast(docs))
-    val big = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .where(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, size(w) - 2),
-          |  i -> named_struct('w1', element_at(w, i + 1), 'w2', element_at(w, i + 2)))"""
-          .stripMargin)).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    // ONE corpus pass: aggregate occurrences to (doc, w1, w2, cn) first —
-    // that subtree appears in BOTH the stats branch and the score branch,
-    // so its exchange is computed once and read back as ReusedExchange
-    // (the former shape re-ran the explode for the join-back). c12 is a
-    // rollup of dwc; c1/c2/N are window sums on the bigram-TYPE frame
-    // (never the corpus); the per-doc score re-weights by cn:
-    // sum(cn·pmi) div sum(cn) ≡ the per-occurrence mean, same integers.
-    // Two corpus passes by design — the tf-idf shape shared by every
-    // corpus-statistics operator (the branches cannot share an exchange:
-    // column pruning gives them different schemas, and a tried
-    // (doc,w1,w2) pre-aggregate was measured SLOWER — it trades a free
-    // map-side join of occurrences for an extra corpus-sized exchange).
-    // c1/c2/N are window sums ON the bigram-TYPE frame — never further
-    // corpus passes or separate aggregate+broadcast jobs.
-    val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    // c1/c2 stay per-key windows ON the type frame (scalable: they
-    // shuffle type rows by w1/w2); only N's global total differs by
-    // path — unpartitioned window when the frame is broadcast-small,
-    // 1-row broadcast crossJoin when it is not.
+    pmiQualityWithStats(docs, pmiStats(docs, useBc), ordered, Some(useBc))
+  }
+
+  /** The bigram explode shared by the stats build and the score pass —
+    * ONE grammar, the lmStats/triFrame rule. */
+  private def bigramFrame(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(col("text"), " ").as("w"))
+    .where(size(col("w")) >= 2)
+    .select(col("doc_id"), explode(expr(
+      """transform(sequence(0, size(w) - 2),
+        |  i -> named_struct('w1', element_at(w, i + 1), 'w2', element_at(w, i + 2)))"""
+        .stripMargin)).as("b"))
+    .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** The bigram-TYPE PMI table — t14's FRAME build artifact
+    * (deterministic per (dir, data-signature); the tfidfStats /
+    * lmStats discipline — DeclaredOps keys the store). c12 is the type
+    * count; c1/c2 stay per-key windows ON the type frame (scalable:
+    * they shuffle type rows by w1/w2, never the corpus); only N's
+    * global total differs by plan shape — unpartitioned window when
+    * the frame is broadcast-small, 1-row broadcast crossJoin when it
+    * is not (values identical either way). */
+  def pmiStats(docs: DataFrame, useBc: Boolean): DataFrame = {
+    val c12 = bigramFrame(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val withMargins = c12
       .withColumn("c1", sum(col("c12")).over(Window.partitionBy("w1")))
       .withColumn("c2", sum(col("c12")).over(Window.partitionBy("w2")))
@@ -446,8 +458,18 @@ object TextAnalysis {
     val withN =
       if (useBc) withMargins.withColumn("n", sum(col("c12")).over(wAll))
       else withMargins.crossJoin(broadcast(c12.agg(sum(col("c12")).as("n"))))
-    val stats = withN
+    withN
       .select(col("w1"), col("w2"), expr("c12 * 1000 * n div (c1 * c2)").as("pmi_x1000"))
+  }
+
+  /** The scoring half of t14 against a given PMI table (inline or
+    * stored): one corpus occurrence pass joined to the type-keyed
+    * stats (broadcast below the size ceiling, shuffled equi-join
+    * above), then the per-doc floor mean. */
+  def pmiQualityWithStats(docs: DataFrame, stats: DataFrame,
+      ordered: Boolean = true, broadcastStats: Option[Boolean] = None): DataFrame = {
+    val useBc = broadcastStats.getOrElse(statsShouldBroadcast(docs))
+    val big = bigramFrame(docs)
     val joined =
       if (useBc) big.join(broadcast(stats), Seq("w1", "w2"))
       else big.join(stats, Seq("w1", "w2"))
@@ -507,20 +529,28 @@ object TextAnalysis {
   def backoffLm(docs: DataFrame, heldOutPred: Column,
       ordered: Boolean = true, broadcastStats: Option[Boolean] = None): DataFrame = {
     val useBc = broadcastStats.getOrElse(statsShouldBroadcast(docs))
-    // TWO filtered corpus passes by design (the tf-idf rule): the train
-    // and held-out slices each get their own scan with the slice filter
-    // PUSHED BELOW the explode — each pass reads and explodes only its
-    // slice's rows, which beats materializing one full corpus explode
-    // through a pinned exchange (a `repartition(doc_id)` here, tried
-    // through r8, never actually reused: predicate pushdown specializes
-    // the subtrees below it, and the train branch paid a useless
-    // corpus-sized doc_id exchange feeding a (w1,w2,w3) aggregate —
-    // caught by PlanAudit's t17 reuse assert this round). The explode is
-    // arrays_zip over three slices — builtin codegen'd array ops, not
-    // a per-row interpreted transform→struct lambda (the t10 lesson).
-    // Null-evaluating predicate rows land on the TRAIN side, not in
-    // neither slice (the Dedup.containment rule, ADVICE r7).
-    val tri = docs.withColumn("held", coalesce(heldOutPred, lit(false)))
+    val (triW, big, uni) = lmStats(docs, heldOutPred, useBc)
+    backoffLmWithStats(docs, heldOutPred, triW, big, uni, ordered, Some(useBc))
+  }
+
+  /** The trigram explode shared by the stats build and the scoring pass
+    * — ONE grammar (the parsePnmHeader rule), so the two halves can
+    * never disagree on tokenization or slicing. TWO filtered corpus
+    * passes by design (the tf-idf rule): the train and held-out slices
+    * each get their own scan with the slice filter PUSHED BELOW the
+    * explode — each pass reads and explodes only its slice's rows,
+    * which beats materializing one full corpus explode through a pinned
+    * exchange (a `repartition(doc_id)` here, tried through r8, never
+    * actually reused: predicate pushdown specializes the subtrees below
+    * it, and the train branch paid a useless corpus-sized doc_id
+    * exchange feeding a (w1,w2,w3) aggregate — caught by PlanAudit's
+    * t17 reuse assert). The explode is arrays_zip over three slices —
+    * builtin codegen'd array ops, not a per-row interpreted
+    * transform→struct lambda (the t10 lesson). Null-evaluating
+    * predicate rows land on the TRAIN side, not in neither slice (the
+    * Dedup.containment rule, ADVICE r7). */
+  private def triFrame(docs: DataFrame, heldOutPred: Column): DataFrame =
+    docs.withColumn("held", coalesce(heldOutPred, lit(false)))
       .select(col("doc_id"), col("held"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3)
       .select(col("doc_id"), col("held"), explode(expr(
@@ -528,39 +558,57 @@ object TextAnalysis {
         .as("t"))
       .select(col("doc_id"), col("held"), col("t.0").as("w1"),
         col("t.1").as("w2"), col("t.2").as("w3"))
-    // The trigram-TYPE table feeds three stats builds (broadcast or
-    // shuffled per the regime below); its aggregate exchange is reused
-    // across them (a localCheckpoint here was measured change-nothing —
-    // reuse already does the work).
-    val c123 = tri.where(!col("held"))
+
+  /** The three train-slice LM stats frames (trigram/bigram/unigram TYPE
+    * tables with their backoff denominators) — the BUILD-ARTIFACT half
+    * of the backoff LM. They are (data, train-slice)-deterministic, so
+    * serving paths persist them like signatureIndex/digestIndex and
+    * scoring scans a stored index instead of re-aggregating the train
+    * slice on every query (the d17/t21 build-artifact rule;
+    * DeclaredOps.lmStatsFor is the store-keyed caller). The values are
+    * REGIME-INDEPENDENT — `useBc` only picks the N-attachment plan
+    * shape (broadcast regime: one unpartitioned window over the type
+    * table; shuffled regime: that window would funnel the whole unigram
+    * type table through one task, so N becomes a 1-row broadcast
+    * crossJoin instead — the pmiQuality rule). The trigram-TYPE
+    * aggregate's exchange is reused across the three builds (a
+    * localCheckpoint here was measured change-nothing — reuse already
+    * does the work). */
+  def lmStats(docs: DataFrame, heldOutPred: Column,
+      useBc: Boolean): (DataFrame, DataFrame, DataFrame) = {
+    val c123 = triFrame(docs, heldOutPred).where(!col("held"))
       .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
     val triW = c123
       .withColumn("c12", sum(col("c123")).over(Window.partitionBy("w1", "w2")))
     val big = c123.groupBy("w2", "w3").agg(sum(col("c123")).as("c23"))
       .withColumn("c2", sum(col("c23")).over(Window.partitionBy("w2")))
-    // N rides the unigram rows. Broadcast regime: one unpartitioned
-    // window over the TYPE table (an unseen w3 scores 0 regardless of N,
-    // so no scalar crossJoin job). Shuffled regime: that window would
-    // funnel the whole unigram type table through one task, so N becomes
-    // a 1-row broadcast crossJoin instead (the pmiQuality rule).
     val uniBase = c123.groupBy("w3").agg(sum(col("c123")).as("c3"))
     val uni =
       if (useBc) uniBase.withColumn("n", sum(col("c3")).over(
         Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       else uniBase.crossJoin(broadcast(c123.agg(sum(col("c123")).as("n"))))
-    // Three per-level joins by design. A single-broadcast variant (the
-    // three stats frames level-tagged into one union, every join probing
-    // one composite struct key so physical planning materializes ONE
-    // BroadcastExchange + two ReusedExchange) was built and MEASURED
-    // this round: jobs dropped 4 → 2 but the query went 0.39 → 0.76 s
-    // at sf0.1 — per-row struct-key construction on the probe side plus
-    // hash lookups against the 3×-larger unified relation cost far more
-    // than the two saved broadcast-build jobs. The e12 job-round lever
-    // does not pay when it fattens the per-row probe (the signSig
-    // lesson in reverse: check expression cost before buying job
-    // count).
+    (triW, big, uni)
+  }
+
+  /** The SCORING half of the backoff LM against given stats frames —
+    * inline ([[backoffLm]]) or stored (DeclaredOps.lmStatsFor): one
+    * held-slice pass, three per-level left joins, the per-doc floor
+    * mean. Three joins by design: a single-broadcast variant (the three
+    * stats frames level-tagged into one union, every join probing one
+    * composite struct key so physical planning materializes ONE
+    * BroadcastExchange + two ReusedExchange) was built and MEASURED in
+    * r10: jobs dropped 4 → 2 but the query went 0.39 → 0.76 s at sf0.1
+    * — per-row struct-key construction on the probe side plus hash
+    * lookups against the 3×-larger unified relation cost far more than
+    * the two saved broadcast-build jobs. The e12 job-round lever does
+    * not pay when it fattens the per-row probe (the signSig lesson in
+    * reverse: check expression cost before buying job count). */
+  def backoffLmWithStats(docs: DataFrame, heldOutPred: Column,
+      triW: DataFrame, big: DataFrame, uni: DataFrame,
+      ordered: Boolean = true, broadcastStats: Option[Boolean] = None): DataFrame = {
+    val useBc = broadcastStats.getOrElse(statsShouldBroadcast(docs))
     def side(stats: DataFrame): DataFrame = if (useBc) broadcast(stats) else stats
-    val scored = tri.where(col("held"))
+    val scored = triFrame(docs, heldOutPred).where(col("held"))
       .join(side(triW), Seq("w1", "w2", "w3"), "left")
       .join(side(big), Seq("w2", "w3"), "left")
       .join(side(uni), Seq("w3"), "left")
@@ -621,9 +669,14 @@ object TextAnalysis {
     * two consumers re-derive it (stats-frame exchanges reuse across
     * both). */
   def perplexityBuckets(docs: DataFrame, ordered: Boolean = true,
-      broadcastStats: Option[Boolean] = None): DataFrame = {
-    val scored = backoffLm(docs, col("doc_id") % 4 =!= 0, ordered = false,
-      broadcastStats)
+      broadcastStats: Option[Boolean] = None,
+      stats: Option[(DataFrame, DataFrame, DataFrame)] = None): DataFrame = {
+    val held = col("doc_id") % 4 =!= 0
+    val scored = stats match {
+      case Some((triW, big, uni)) =>
+        backoffLmWithStats(docs, held, triW, big, uni, ordered = false, broadcastStats)
+      case None => backoffLm(docs, held, ordered = false, broadcastStats)
+    }
     // Exchange reuse makes the two consumers of `scored` (thresholds +
     // per-row buckets) share ONE LM-scoring pipeline — the thresholds
     // branch's column pruning does not defeat canonical equality of the

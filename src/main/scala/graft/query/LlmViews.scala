@@ -37,6 +37,16 @@ object LlmViews {
   final class Builders(spark: SparkSession, dir: String) {
     private lazy val docs = Tables.load(spark, dir, "documents")
     private lazy val emb = Tables.load(spark, dir, "embeddings")
+    // Stored LM stats frames (same artifact names as DeclaredOps
+    // .lmStatsFor — ONE store): tag encodes the train slice.
+    private def lmStatsStored(tag: String, heldOutPred: org.apache.spark.sql.Column) = {
+      def art(part: String,
+          pick: ((DataFrame, DataFrame, DataFrame)) => DataFrame) =
+        graft.core.Artifacts.materialized(spark, dir, s"lm_${part}_$tag") {
+          pick(TextAnalysis.lmStats(docs, heldOutPred, useBc = false))
+        }
+      (art("tri", _._1), art("big", _._2), art("uni", _._3))
+    }
     // Corpus-sized operators (one row per document / distinct text /
     // shared chunk) register UNSORTED: a view is a composition layer —
     // the user adds ORDER BY/LIMIT — and the declared queries' final
@@ -106,8 +116,19 @@ object LlmViews {
       // Round-7 operators (unsorted composition plans, same contract).
       "llm_substring_dedup" -> (() => Dedup.substringDedup(docs, ordered = false)),
       "llm_novelty" -> (() => Dedup.noveltyScore(docs, ordered = false)),
-      "llm_pmi_quality" -> (() => TextAnalysis.pmiQuality(docs, ordered = false)),
-      "llm_tfidf_topk" -> (() => TextAnalysis.tfidfTopK(docs, ordered = false)),
+      // t10/t14 serve from the same stored statistics indexes as the
+      // declared rows (names match DeclaredOps — ONE store).
+      "llm_pmi_quality" -> (() => TextAnalysis.pmiQualityWithStats(docs,
+        graft.core.Artifacts.materialized(spark, dir, "pmi_stats") {
+          TextAnalysis.pmiStats(docs, useBc = false)
+        }, ordered = false)),
+      "llm_tfidf_topk" -> (() => TextAnalysis.tfidfTopKWithStats(docs,
+        graft.core.Artifacts.materialized(spark, dir, "tfidf_df") {
+          TextAnalysis.tfidfStats(docs)._1
+        },
+        graft.core.Artifacts.materialized(spark, dir, "tfidf_n") {
+          TextAnalysis.tfidfStats(docs)._2
+        }, ordered = false)),
       "llm_quantile_audit" -> (() => TextAnalysis.quantileAudit(docs)),
       "llm_weighted_sample" -> (() => graft.ops.Sampling.weightedSample(
         docs, col("doc_id"), expr("n_chars div 2"))),
@@ -131,8 +152,14 @@ object LlmViews {
       "llm_epoch_shuffle" -> (() => graft.ops.Sampling.epochShuffle(docs)),
       "llm_semantic_clusters" -> (() => Similarity.semanticClusters(emb)),
       "llm_containment" -> (() => Dedup.containment(docs, col("doc_id") % 5 === 0)),
-      "llm_backoff_lm" -> (() => TextAnalysis.backoffLm(docs, col("doc_id") % 4 === 0,
-        ordered = false)),
+      // LM scoring from the STORED stats index (the d17/t21 artifact
+      // rule): the train-slice type tables persist per (dir, signature)
+      // and the view's plan scans them; names match DeclaredOps.
+      "llm_backoff_lm" -> (() => {
+        val held = col("doc_id") % 4 === 0
+        val (t, b, u) = lmStatsStored("trainmod4ne0", held)
+        TextAnalysis.backoffLmWithStats(docs, held, t, b, u, ordered = false)
+      }),
       // IVF-PQ over the SAME build-once codebooks the e5/e7 views use.
       "llm_ivfpq_topk" -> (() => Similarity.ivfPqTopK(emb, col("vec_id") < 5,
         coarseCb, pqCbs)),
@@ -158,8 +185,9 @@ object LlmViews {
         TextAnalysis.lexicalDiversity(docs, ordered = false)),
       "llm_domain_cap" -> (() =>
         graft.ops.Sampling.domainCap(docs, ordered = false)),
-      "llm_perplexity_buckets" -> (() =>
-        TextAnalysis.perplexityBuckets(docs, ordered = false)),
+      "llm_perplexity_buckets" -> (() => TextAnalysis.perplexityBuckets(docs,
+        ordered = false,
+        stats = Some(lmStatsStored("trainmod4eq0", col("doc_id") % 4 =!= 0)))),
       "llm_readability" -> (() =>
         TextAnalysis.readability(docs, ordered = false)),
       "llm_incremental_dedup" -> (() => Dedup.dedupAgainstIndex(

@@ -1786,6 +1786,45 @@ class OpsSpec extends GraftSuite {
     assert(out(9000003L) == ((2L, 1L, 3L, 39 * 2 + 1180 * 3 / 2 - 1559)))
   }
 
+  test("t17/t25 stored-stats serving path equals inline (parquet round-trip)") {
+    import org.apache.spark.sql.DataFrame
+    // The declared rows serve from materialized stats artifacts; this
+    // pins the full parquet round-trip (schema, nullability, values)
+    // row-identical to the inline composition for BOTH slices.
+    for ((tag, held) <- Seq(
+        ("t17", col("doc_id") % 4 === 0),
+        ("t25", col("doc_id") % 4 =!= 0))) {
+      val inline = TextAnalysis.backoffLm(docs, held).collect().toSeq
+      val (t, b, u) = TextAnalysis.lmStats(docs, held, useBc = false)
+      val tmp = java.nio.file.Files.createTempDirectory(s"lmstats$tag")
+      def rt(df: DataFrame, name: String): DataFrame = {
+        val p = tmp.resolve(name).toString
+        df.write.parquet(p); spark.read.parquet(p)
+      }
+      val stored = TextAnalysis.backoffLmWithStats(docs, held,
+        rt(t, "tri"), rt(b, "big"), rt(u, "uni")).collect().toSeq
+      assert(stored == inline, s"$tag stored-stats path diverges from inline")
+    }
+  }
+
+  test("t10/t14 stored-stats serving path equals inline (parquet round-trip)") {
+    import org.apache.spark.sql.DataFrame
+    val tmp = java.nio.file.Files.createTempDirectory("statstores")
+    def rt(df: DataFrame, name: String): DataFrame = {
+      val p = tmp.resolve(name).toString
+      df.write.parquet(p); spark.read.parquet(p)
+    }
+    val (df10, n10) = TextAnalysis.tfidfStats(docs)
+    assert(TextAnalysis.tfidfTopKWithStats(docs, rt(df10, "df"), rt(n10, "n"))
+        .collect().toSeq ==
+      TextAnalysis.tfidfTopK(docs).collect().toSeq,
+      "t10 stored-stats path diverges from inline")
+    assert(TextAnalysis.pmiQualityWithStats(docs,
+        rt(TextAnalysis.pmiStats(docs, useBc = false), "pmi")).collect().toSeq ==
+      TextAnalysis.pmiQuality(docs).collect().toSeq,
+      "t14 stored-stats path diverges from inline")
+  }
+
   test("t25 perplexity buckets: tercile assignment equals a driver recompute") {
     val out = TextAnalysis.perplexityBuckets(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getInt(4)))
