@@ -410,6 +410,18 @@ object PlanAudit {
     audit("t15_novelty", qs("t15_novelty")(spark, sfDir),
       "no pair formation: postings join the df table, never themselves" ->
         (p => !p.contains("CartesianProduct")),
+      // Stored-index serving path: the df side is a parquet SCAN of the
+      // novelty_dfs artifact — no second postings pass anywhere.
+      "df side is the stored index scan, not a re-aggregated postings pass" ->
+        (p => p.linesIterator.count(_.contains("Scan parquet  (")) == 2 &&
+          !p.contains("count(distinct")))
+
+    // The INLINE composition keeps its original single-shuffle shape:
+    // the df aggregate runs exchange-free on top of the same pinned h
+    // exchange the join consumes.
+    audit("t15_novelty (inline composition)",
+      graft.ops.Dedup.noveltyScore(
+        graft.core.Tables.load(spark, sfDir, "documents"), ordered = false),
       "df aggregate and the join-back reuse the pinned h exchange" ->
         (_.contains("ReusedExchange")))
 

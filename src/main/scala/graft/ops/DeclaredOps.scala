@@ -191,7 +191,11 @@ object DeclaredOps {
       }
       TextAnalysis.pmiQualityWithStats(docs(s, dir), stats)
     }),
-    "t15_novelty" -> ((s, dir) => Dedup.noveltyScore(docs(s, dir))),
+    // Novelty from the STORED window-fingerprint df index.
+    "t15_novelty" -> ((s, dir) => Dedup.noveltyScoreWithDfs(docs(s, dir),
+      graft.core.Artifacts.materialized(s, dir, "novelty_dfs") {
+        Dedup.noveltyDfs(docs(s, dir))
+      })),
     // Incremental (cross-run) dedup: tonight's crawl (doc_id % 3 == 0)
     // deduped against the digest index of everything already ingested —
     // which includes doc_id < 100 wholesale, so the crawl's re-fetches

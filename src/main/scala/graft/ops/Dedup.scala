@@ -996,8 +996,31 @@ object Dedup {
     * one per-doc aggregate. */
   def noveltyScore(docs: DataFrame, width: Int = 8,
       ordered: Boolean = true): DataFrame = {
+    // Inline composition: dfs aggregates EXCHANGE-FREE on top of the
+    // same pinned h-exchange the join consumes (ReusedExchange — the
+    // original single-shuffle shape, preserved through the split).
     val wins = windowPostings(docs, width).repartition(col("h"))
     val dfs = wins.groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
+    noveltyJoin(wins, dfs, ordered)
+  }
+
+  /** t15's window-fingerprint document-frequency table — a FRAME build
+    * artifact (the tfidfStats/pmiStats discipline: deterministic per
+    * (dir, data-signature), so serving paths store it and scoring
+    * joins a stored index instead of re-aggregating the postings per
+    * query; DeclaredOps keys the store). */
+  def noveltyDfs(docs: DataFrame, width: Int = 8): DataFrame =
+    windowPostings(docs, width).groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+
+  /** The scoring half of t15 against a STORED df table: one postings
+    * pass joined h-keyed to the index, one per-doc aggregate. */
+  def noveltyScoreWithDfs(docs: DataFrame, dfs: DataFrame, width: Int = 8,
+      ordered: Boolean = true): DataFrame =
+    noveltyJoin(windowPostings(docs, width).repartition(col("h")), dfs, ordered)
+
+  private def noveltyJoin(wins: DataFrame, dfs: DataFrame,
+      ordered: Boolean): DataFrame = {
     val out = wins.join(dfs, "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),

@@ -115,7 +115,10 @@ object LlmViews {
         graft.ops.Sampling.clusterLabelsFor(spark, dir))),
       // Round-7 operators (unsorted composition plans, same contract).
       "llm_substring_dedup" -> (() => Dedup.substringDedup(docs, ordered = false)),
-      "llm_novelty" -> (() => Dedup.noveltyScore(docs, ordered = false)),
+      "llm_novelty" -> (() => Dedup.noveltyScoreWithDfs(docs,
+        graft.core.Artifacts.materialized(spark, dir, "novelty_dfs") {
+          Dedup.noveltyDfs(docs)
+        }, ordered = false)),
       // t10/t14 serve from the same stored statistics indexes as the
       // declared rows (names match DeclaredOps — ONE store).
       "llm_pmi_quality" -> (() => TextAnalysis.pmiQualityWithStats(docs,

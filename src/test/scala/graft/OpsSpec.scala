@@ -1823,6 +1823,10 @@ class OpsSpec extends GraftSuite {
         rt(TextAnalysis.pmiStats(docs, useBc = false), "pmi")).collect().toSeq ==
       TextAnalysis.pmiQuality(docs).collect().toSeq,
       "t14 stored-stats path diverges from inline")
+    assert(graft.ops.Dedup.noveltyScoreWithDfs(docs,
+        rt(graft.ops.Dedup.noveltyDfs(docs), "ndfs")).collect().toSeq ==
+      graft.ops.Dedup.noveltyScore(docs).collect().toSeq,
+      "t15 stored-stats path diverges from inline")
   }
 
   test("t25 perplexity buckets: tercile assignment equals a driver recompute") {
