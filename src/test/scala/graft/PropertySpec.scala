@@ -207,6 +207,39 @@ class PropertySpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("property: LexStats equals naive token-count moments") {
+    val genText = Gen.listOf(Gen.oneOf(
+      Gen.oneOf("a", "b", "ab", ""), Gen.alphaNumStr.map(_.take(6))))
+      .map(_.mkString(" "))
+    check(Prop.forAll(genText) { text =>
+      val df = spark.createDataFrame(Seq(Tuple1(text))).toDF("text")
+      val r = df.select(graft.functions.Expressions.lexStats(col("text")).as("s"))
+        .selectExpr("s.n", "s.types", "s.s2").collect()(0)
+      val toks = text.split(" ", -1)
+      val counts = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      (r.getLong(0), r.getLong(1), r.getLong(2)) ==
+        ((toks.length.toLong, counts.size.toLong, counts.values.map(c => c * c).sum))
+    }, n = 60)
+  }
+
+  test("property: FkStats equals naive split/regex readability stats") {
+    val genText = Gen.listOf(Gen.oneOf(
+      Gen.oneOf("", ".", "!?", "tsk", "Ae", "b.c", "out", "Dr..."),
+      Gen.alphaNumStr.map(_.take(8))))
+      .map(_.mkString(" "))
+    check(Prop.forAll(genText) { text =>
+      val df = spark.createDataFrame(Seq(Tuple1(text))).toDF("text")
+      val r = df.select(graft.functions.Expressions.fkStats(col("text")).as("s"))
+        .selectExpr("s.words", "s.sentences", "s.syllables").collect()(0)
+      val ws = text.split(" ", -1).filter(_.nonEmpty)
+      val sentences = math.max(1L, "[.!?]+".r.findAllIn(text).length.toLong)
+      val syl = ws.map(w =>
+        math.max(1L, "[aeiouyAEIOUY]+".r.findAllIn(w).length.toLong)).sum
+      (r.getLong(0), r.getLong(1), r.getLong(2)) ==
+        ((ws.length.toLong, sentences, syl))
+    }, n = 60)
+  }
+
   test("property: JaccardSim equals set arithmetic") {
     check(Prop.forAll(genWords, genWords) { (a, b) =>
       val df = spark.createDataFrame(Seq((a.toArray, b.toArray))).toDF("a", "b")
