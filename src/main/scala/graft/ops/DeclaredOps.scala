@@ -107,7 +107,11 @@ object DeclaredOps {
     "d3_simhash"       -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "d5_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(docs(s, dir))),
     "d6_dedup_apply"   -> ((s, dir) => Dedup.dedupApply(docs(s, dir))),
-    "d7_source_overlap" -> ((s, dir) => Dedup.sourceOverlap(docs(s, dir))),
+    // Source overlap from the STORED distinct-postings index.
+    "d7_source_overlap" -> ((s, dir) => Dedup.sourceOverlapWithPostings(
+      graft.core.Artifacts.materialized(s, dir, "source_postings") {
+        Dedup.sourcePostings(docs(s, dir))
+      })),
     "d8_source_sketch" -> ((s, dir) => Dedup.sourceSketchSim(docs(s, dir))),
     "d4_ngram_topk"    -> ((s, dir) => Dedup.ngramJaccardTopK(docs(s, dir), NgramQuery)),
     "e1_cosine_topk"   -> ((s, dir) => Similarity.cosineTopK(emb(s, dir), col("vec_id") < 5)),

@@ -598,6 +598,28 @@ object Dedup {
     val e0 = docs.select(col("source"), explode(shingles(col("text"))).as("g"))
       .repartition(col("g"))
       .dropDuplicates("source", "g")
+    overlapFromPostings(e0, maxSourcesPerShingle)
+  }
+
+  /** d7's distinct (source, shingle) postings — a FRAME build artifact
+    * (the noveltyDfs/tfidfStats discipline: deterministic per (dir,
+    * data-signature); DeclaredOps keys the store). The build shuffles
+    * once for the distinct; the serving path scans the stored index. */
+  def sourcePostings(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(shingles(col("text"))).as("g"))
+      .dropDuplicates("source", "g")
+
+  /** The overlap computation over a STORED postings index: one
+    * g-keyed repartition of the scan, reused by both self-join sides
+    * and the per-source counts (the same single-exchange discipline as
+    * the inline composition, with the shingling pass replaced by the
+    * index scan). */
+  def sourceOverlapWithPostings(postings: DataFrame,
+      maxSourcesPerShingle: Int = Int.MaxValue): DataFrame =
+    overlapFromPostings(postings.repartition(col("g")), maxSourcesPerShingle)
+
+  private def overlapFromPostings(e0: DataFrame,
+      maxSourcesPerShingle: Int): DataFrame = {
     val e =
       if (maxSourcesPerShingle == Int.MaxValue) e0
       else {

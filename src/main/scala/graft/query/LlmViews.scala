@@ -77,7 +77,10 @@ object LlmViews {
       "llm_simhash" -> (() => Dedup.simhash(docs, ordered = false)),
       "llm_chunk_dedup" -> (() => Dedup.chunkDedup(docs, ordered = false)),
       "llm_boilerplate" -> (() => Dedup.boilerplateScrub(docs, ordered = false)),
-      "llm_source_overlap" -> (() => Dedup.sourceOverlap(docs)),
+      "llm_source_overlap" -> (() => Dedup.sourceOverlapWithPostings(
+        graft.core.Artifacts.materialized(spark, dir, "source_postings") {
+          Dedup.sourcePostings(docs)
+        })),
       "llm_decontaminate" -> (() => Dedup.decontaminate(docs, col("doc_id") % 11 === 0)),
       "llm_cosine_topk" -> (() => Similarity.cosineTopK(emb, col("vec_id") < 5)),
       "llm_embedding_neardup" -> (() => Similarity.embeddingNearDup(emb)),

@@ -1827,6 +1827,10 @@ class OpsSpec extends GraftSuite {
         rt(graft.ops.Dedup.noveltyDfs(docs), "ndfs")).collect().toSeq ==
       graft.ops.Dedup.noveltyScore(docs).collect().toSeq,
       "t15 stored-stats path diverges from inline")
+    assert(graft.ops.Dedup.sourceOverlapWithPostings(
+        rt(graft.ops.Dedup.sourcePostings(docs), "post")).collect().toSeq ==
+      graft.ops.Dedup.sourceOverlap(docs).collect().toSeq,
+      "d7 stored-postings path diverges from inline")
   }
 
   test("t25 perplexity buckets: tercile assignment equals a driver recompute") {
