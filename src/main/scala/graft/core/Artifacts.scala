@@ -52,7 +52,13 @@ object Artifacts {
             deleteRecursively(p)
         } finally it.close()
       }
-      build.write.mode("overwrite").parquet(dst.toString)
+      // Tag the build's Spark jobs (the trained() discipline): "the
+      // index was rebuilt" becomes OBSERVABLE, so ArtifactPersistSpec
+      // can assert a restarted session serves every frame artifact
+      // with zero graft-build jobs.
+      spark.sparkContext.setJobDescription(s"graft-build:$name")
+      try build.write.mode("overwrite").parquet(dst.toString)
+      finally spark.sparkContext.setJobDescription(null)
     }
     spark.read.parquet(dst.toString)
   }

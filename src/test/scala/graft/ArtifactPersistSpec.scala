@@ -121,6 +121,49 @@ class ArtifactPersistSpec extends GraftSuite {
     }
   }
 
+  test("restarted session serves stats-index views with ZERO index-build jobs") {
+    withTempBase {
+      // The frame artifacts behind t10/t14/t15/t17/t25/d7 (the
+      // Artifacts.materialized store): first touch builds them under
+      // graft-build: tags; a restarted session must SCAN them.
+      val statsViews = Seq("llm_backoff_lm", "llm_perplexity_buckets",
+        "llm_tfidf_topk", "llm_pmi_quality", "llm_novelty",
+        "llm_source_overlap")
+      val buildJobs = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val d = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+          if (d.exists(_.startsWith("graft-build:"))) buildJobs.incrementAndGet()
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val b1 = new LlmViews.Builders(spark, sf)
+        b1.ensure(statsViews)
+        val want = spark.table("llm_backoff_lm").orderBy("doc_id").collect().toSeq
+        Thread.sleep(1000)
+        assert(buildJobs.get > 0,
+          "first touch must have run tagged index-build jobs - the tag is " +
+            "what makes the zero-jobs assertion below non-vacuous")
+
+        val spark2 = spark.newSession()
+        buildJobs.set(0)
+        val b2 = new LlmViews.Builders(spark2, sf)
+        b2.ensure(statsViews)
+        val got = spark2.table("llm_backoff_lm").orderBy("doc_id").collect().toSeq
+        assert(spark2.table("llm_source_overlap").collect().nonEmpty)
+        Thread.sleep(1000)
+        assert(buildJobs.get == 0,
+          s"restart ran ${buildJobs.get} index-build jobs - a stats " +
+            "artifact was rebuilt instead of scanned")
+        assert(got == want, "stored-index scoring must match the fresh build")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("stored-weights scoring path == fused train+score path (t21 parity)") {
     val docs = Tables.load(spark, sf, "documents")
     val fused = TextAnalysis.perceptronQuality(docs, col("lang") === "en")
