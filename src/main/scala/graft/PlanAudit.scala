@@ -248,11 +248,32 @@ object PlanAudit {
         (p => !p.contains("text") && !p.contains("n_chars")))
 
     audit("s4_sequence_pack", qs("s4_sequence_pack")(spark, sfDir),
-      "block offsets broadcast back: the corpus never funnels through one global window" ->
-        (_.contains("BroadcastHashJoin")),
+      "block offsets join back on the block key: the corpus never funnels through one global window" ->
+        (p => p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+          p.contains("ShuffledHashJoin")),
       "intra-block cumsum windows are partitioned by blk (parallel), never unpartitioned over the corpus rows" ->
         (p => p.linesIterator.count(l =>
           l.contains("Exchange SinglePartition")) <= 1))
+
+    // s4 deep-recursion regime (VERDICT r11 wrong-#1): the per-block
+    // totals frame GROWS with the corpus (N/64 rows), so it must never
+    // ride a forced broadcast, and the one unpartitioned window must
+    // see only the bounded TOP frame of the recursion — force 3 levels
+    // + no auto-broadcast and audit the shape the 100 TB claim is about.
+    forcedShuffle {
+      audit("s4_sequence_pack (forced 3-level, shuffle regime)",
+        graft.ops.Sampling.sequencePack(
+          graft.core.Tables.load(spark, sfDir, "documents"), levels = 3),
+        "offset joins optimizer-chosen: no BroadcastExchange above threshold" ->
+          (p => !p.contains("BroadcastExchange")),
+        // FormattedMode prints exchange partitioning on detail lines
+        // ("Arguments: SinglePartition, ..."), not inline with the node.
+        "exactly one SinglePartition exchange - the bounded top-frame cumsum, never the corpus" ->
+          (p => p.linesIterator.count(_.contains("SinglePartition")) == 1),
+        "offsets walk back down via equi-joins" ->
+          (p => p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")),
+        "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    }
 
     audit("t12_repetition", qs("t12_repetition")(spark, sfDir),
       "map-only: both repetition kernels run inside the scan stage, no corpus shuffle" ->

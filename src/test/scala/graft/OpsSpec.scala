@@ -1021,6 +1021,19 @@ class OpsSpec extends GraftSuite {
     assert(out.map(_._2).sum == rows.length, "every doc lands in exactly one bin")
   }
 
+  test("sequence pack: deep recursion and the forced-shuffle regime are bin-identical") {
+    // VERDICT r11 wrong-#1 regression pin: the multi-level prefix sum
+    // must assign the exact same bins at ANY recursion depth, and in the
+    // shuffled-join regime (offset frames past the broadcast threshold).
+    val auto = graft.ops.Sampling.sequencePack(docs).collect().toSeq
+    val deep = graft.ops.Sampling.sequencePack(docs, levels = 3).collect().toSeq
+    assert(deep == auto, "3-level recursion must be bin-identical to auto depth")
+    val shuffled = staticPlans {
+      graft.ops.Sampling.sequencePack(docs, levels = 3).collect().toSeq
+    }
+    assert(shuffled == auto, "forced-shuffle regime must be bin-identical")
+  }
+
   test("repetition fractions: hand-checked on constructed documents") {
     import spark.implicits._
     val tiny = Seq(
