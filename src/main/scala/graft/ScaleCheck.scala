@@ -853,7 +853,7 @@ object ScaleCheck {
       }
       spark.sparkContext.addSparkListener(listener)
       def measure(run: => Unit): Long = {
-        recs.set(0L); run; Thread.sleep(1000); recs.get()
+        recs.set(0L); run; graft.core.BusDrain.drain(spark.sparkContext); recs.get()
       }
       try {
         val viaAgg = measure {

@@ -44,21 +44,48 @@ object Artifacts {
     val base = artifactBase
     val (prefix, dst) = keyOf(dir, name)
     if (!java.nio.file.Files.exists(dst.resolve("_SUCCESS"))) {
-      // Sweep superseded signatures of this (dir, name) first.
+      // Sweep superseded signatures of this (dir, name) first. In-flight
+      // ".tmp-" builds of OTHER processes are spared unless stale (>1 h:
+      // a crashed writer's leftovers, safe to reclaim).
       if (java.nio.file.Files.isDirectory(base)) {
         val it = java.nio.file.Files.list(base)
         try it.iterator().forEachRemaining { p =>
-          if (p.getFileName.toString.startsWith(prefix) && p != dst)
+          val f = p.getFileName.toString
+          val isTmp = f.contains(".tmp-")
+          val stale = isTmp && (try
+            java.nio.file.Files.getLastModifiedTime(p).toMillis <
+              System.currentTimeMillis() - 3600000L
+          catch { case _: Exception => false })
+          if (f.startsWith(prefix) && p != dst && (!isTmp || stale))
             deleteRecursively(p)
         } finally it.close()
       }
       // Tag the build's Spark jobs (the trained() discipline): "the
       // index was rebuilt" becomes OBSERVABLE, so ArtifactPersistSpec
       // can assert a restarted session serves every frame artifact
-      // with zero graft-build jobs.
+      // with zero graft-build jobs. The PRIOR description is restored
+      // (not cleared) so a build nested under a caller's described job
+      // doesn't drop the outer tag (ADVICE r11).
+      val prior = spark.sparkContext.getLocalProperty("spark.job.description")
       spark.sparkContext.setJobDescription(s"graft-build:$name")
-      try build.write.mode("overwrite").parquet(dst.toString)
-      finally spark.sparkContext.setJobDescription(null)
+      // Atomic publish (ADVICE r11): the _SUCCESS check gates re-use but
+      // not mutual exclusion across JVMs — write to a tmp sibling and
+      // rename into place (the trained()/Manifest discipline), so a
+      // reader can never scan a half-written dst and a losing concurrent
+      // writer just discards its tmp.
+      val tmp = dst.resolveSibling(
+        s"${dst.getFileName}.tmp-${ProcessHandle.current().pid()}")
+      try {
+        build.write.mode("overwrite").parquet(tmp.toString)
+        try java.nio.file.Files.move(tmp, dst,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException |
+                     _: java.nio.file.FileSystemException =>
+          // Another writer published first; its artifact is equivalent
+          // (same (dir, signature) key) — keep it, drop ours.
+          deleteRecursively(tmp)
+        }
+      } finally spark.sparkContext.setJobDescription(prior)
     }
     spark.read.parquet(dst.toString)
   }
@@ -102,9 +129,10 @@ object Artifacts {
     // becomes OBSERVABLE (ArtifactPersistSpec asserts a restarted
     // session registers every trained view with zero graft-train jobs).
     val sess = org.apache.spark.sql.SparkSession.getActiveSession
+    val prior = sess.map(_.sparkContext.getLocalProperty("spark.job.description"))
     sess.foreach(_.sparkContext.setJobDescription(s"graft-train:$name"))
     val v = try train
-      finally sess.foreach(_.sparkContext.setJobDescription(null))
+      finally sess.foreach(_.sparkContext.setJobDescription(prior.orNull))
     try {
       java.nio.file.Files.createDirectories(base)
       val tmp = java.nio.file.Files.createTempFile(base, s"$name-", ".tmp")

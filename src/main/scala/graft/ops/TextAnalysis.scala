@@ -219,8 +219,17 @@ object TextAnalysis {
     * `keep` derived from `textCol`, PRESERVING every existing column
     * (the streaming caller carries window/doc/chunk-count columns
     * through), and never probes partitioning — safe on streaming
-    * frames, where `.rdd` is unavailable. Map-only. */
+    * frames, where `.rdd` is unavailable. Map-only.
+    *
+    * Reserved output names: `dup_word_frac_x10k`, `top_bigram_frac_x10k`,
+    * `keep`, and the `__gr_*` helper columns. withColumn would silently
+    * REPLACE same-named input columns — masking an upstream column in a
+    * composed pipeline (ADVICE r11) — so colliding inputs fail fast. */
   def withGopherSignals(frame: DataFrame, textCol: String): DataFrame = {
+    val reserved = Set("dup_word_frac_x10k", "top_bigram_frac_x10k", "keep")
+    val clash = frame.columns.filter(c => reserved(c) || c.startsWith("__gr_"))
+    require(clash.isEmpty,
+      s"withGopherSignals reserved column(s) already present: ${clash.mkString(",")}")
     val toks = col("__gr_toks")
     val n = size(toks)
     // Guard n < 2: sequence(1, 0) counts DOWN through index 0, which is

@@ -87,7 +87,7 @@ class ArtifactPersistSpec extends GraftSuite {
         // Session 1: first touch trains everything and persists it.
         val b1 = new LlmViews.Builders(spark, sf)
         b1.ensure(trainedViews)
-        Thread.sleep(1000)
+        graft.core.BusDrain.drain(spark.sparkContext)
         assert(trainJobs.get > 0,
           "first touch must have run tagged training jobs - the tag is " +
             "what makes the zero-jobs assertion below non-vacuous")
@@ -103,7 +103,7 @@ class ArtifactPersistSpec extends GraftSuite {
         val b2 = new LlmViews.Builders(spark2, sf)
         b2.ensure(trainedViews)
         // Listener events post asynchronously; drain before asserting.
-        Thread.sleep(1000)
+        graft.core.BusDrain.drain(spark.sparkContext)
         assert(trainJobs.get == 0,
           s"view registration after restart ran ${trainJobs.get} training " +
             "jobs - an artifact was rebuilt instead of deserialized")
@@ -144,7 +144,7 @@ class ArtifactPersistSpec extends GraftSuite {
         val b1 = new LlmViews.Builders(spark, sf)
         b1.ensure(statsViews)
         val want = spark.table("llm_backoff_lm").orderBy("doc_id").collect().toSeq
-        Thread.sleep(1000)
+        graft.core.BusDrain.drain(spark.sparkContext)
         assert(buildJobs.get > 0,
           "first touch must have run tagged index-build jobs - the tag is " +
             "what makes the zero-jobs assertion below non-vacuous")
@@ -155,7 +155,7 @@ class ArtifactPersistSpec extends GraftSuite {
         b2.ensure(statsViews)
         val got = spark2.table("llm_backoff_lm").orderBy("doc_id").collect().toSeq
         assert(spark2.table("llm_source_overlap").collect().nonEmpty)
-        Thread.sleep(1000)
+        graft.core.BusDrain.drain(spark.sparkContext)
         assert(buildJobs.get == 0,
           s"restart ran ${buildJobs.get} index-build jobs - a stats " +
             "artifact was rebuilt instead of scanned")
