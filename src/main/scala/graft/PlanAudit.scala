@@ -329,9 +329,15 @@ object PlanAudit {
       "no join, no window" -> (p => !p.contains("Join") && !p.contains("Window")))
 
     audit("e10_twostage_topk", qs("e10_twostage_topk")(spark, sfDir),
-      "both stages broadcast the small side; the corpus is never shuffle-joined" ->
+      "query fan-out broadcasts the small side; the corpus is never shuffle-joined" ->
         (p => p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange")),
-      "no shuffle exchange carries the full embedding column" ->
+      // The r11 fold: survivors' vectors ride the bounded aggregate as
+      // payload, so the exact re-rank is a per-row array fold — exactly
+      // ONE join in the whole plan (the query fan-out), no join back to
+      // the corpus for stage 2 and no second ranking aggregate.
+      "re-rank folded into the shortlist aggregate: one join, no corpus join-back" ->
+        (p => """(?m)^\(\d+\) \w*Join""".r.findAllIn(p).size == 1),
+      "no corpus-row shuffle carries the full embedding column (only the bounded agg buffer)" ->
         (p => !p.linesIterator.exists(l =>
           l.contains("Exchange hashpartitioning") && l.contains("embedding"))),
       "no cartesian product over the corpus (query fan-out is the broadcast crossJoin)" ->
@@ -524,9 +530,14 @@ object PlanAudit {
     audit("e15_ivf_binary_rerank", e15,
       "cell restriction is a broadcast equi-join; no cartesian product" ->
         (p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")),
-      "no shuffle Exchange carries the embedding column (cell+sig computed in-scan)" ->
+      // Corpus ROWS never shuffle their embedding; the survivors'
+      // vectors ride the bounded (≤ m per partition-group) aggregate
+      // buffer instead — the r11 fold.
+      "no corpus-row shuffle carries the embedding column (cell+sig computed in-scan)" ->
         (_ => !shuffleCarries(e15, "embedding")),
-      "shortlist and re-rank are bounded aggregates, not window ranks" ->
+      "re-rank folded into the shortlist aggregate: one join, no corpus join-back" ->
+        (p => """(?m)^\(\d+\) \w*Join""".r.findAllIn(p).size == 1),
+      "shortlist is a bounded aggregate, not a window rank" ->
         (p => p.contains("ObjectHashAggregate") && !p.contains("Window")))
 
     audit("t18_bpe_tokens", qs("t18_bpe_tokens")(spark, sfDir),

@@ -1017,20 +1017,7 @@ object Similarity {
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(
         cosine(slice(col("embedding"), 1, dims), slice(col("qv"), 1, dims)) * 10000, 0))
-    // Bounded top-m per query; qv rides through the aggregate (it is
-    // functionally dependent on the grouping key), so the re-rank needs
-    // only ONE broadcast join back to the corpus — no second q join, and
-    // no intermediate presentation sort on the discarded coarse ranks.
-    val cand = coarse.groupBy("query_id")
-      .agg(graft.functions.TopKByScoreAgg.column(m, col("cos"), col("vec_id")).as("top"),
-        first(col("qv")).as("qv"))
-      .select(col("query_id"), col("qv"), explode(col("top")).as("nb"))
-      .select(col("query_id"), col("qv"), col("nb._2").as("neighbor_id"))
-    val exact = broadcast(cand)
-      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
-        "neighbor_id")
-      .withColumn("cos", round(cosine(col("nv"), col("qv")) * 10000, 0))
-    rankTopKScaled(exact, "neighbor_id", k, "cos_x10k")
+    foldedShortlistRerank(coarse, m, k)
   }
 
   /** Binary-prefilter + exact re-rank — e13's 8-byte Hamming tier
@@ -1047,11 +1034,12 @@ object Similarity {
     val q = emb.where(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         signSig(col("embedding")).as("qs"))
-    val coarse = emb.select(col("vec_id"), signSig(col("embedding")).as("sg"))
+    val coarse = emb
+      .select(col("vec_id"), col("embedding"), signSig(col("embedding")).as("sg"))
       .crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", -expr("CAST(bit_count(sg ^ qs) AS DOUBLE)"))
-    binaryShortlistRerank(emb, coarse, m, k)
+    foldedShortlistRerank(coarse, m, k)
   }
 
   /** Fully-composed production ANN pipeline (VERDICT r8 #4): coarse
@@ -1078,7 +1066,7 @@ object Similarity {
     * sets union WITHOUT duplicates into the same bounded shortlist. */
   def ivfBinaryRerankTopK(emb: DataFrame, codebook: Seq[(Int, Seq[Double])],
       queryPred: Column, m: Int = 20, k: Int = 5, probes: Int = 1): DataFrame = {
-    val assigned = emb.select(col("vec_id"),
+    val assigned = emb.select(col("vec_id"), col("embedding"),
       nearestCell(codebook, col("embedding")).as("cell"),
       signSig(col("embedding")).as("sg"))
     val q =
@@ -1095,23 +1083,44 @@ object Similarity {
     val coarse = assigned.join(broadcast(q), "cell")
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", -expr("CAST(bit_count(sg ^ qs) AS DOUBLE)"))
-    binaryShortlistRerank(emb, coarse, m, k)
+    foldedShortlistRerank(coarse, m, k)
   }
 
-  /** Shared tail of the binary-prefilter pipelines: bounded top-`m`
-    * Hamming shortlist, then the exact-cosine re-rank over a pair-sized
-    * broadcast join (only the survivors' float vectors are touched). */
-  private def binaryShortlistRerank(emb: DataFrame, coarse: DataFrame,
-      m: Int, k: Int): DataFrame = {
+  /** Shared tail of the shortlist→re-rank pipelines (e10/e14/e15/e17),
+    * FOLDED into one aggregate round (VERDICT r11 next-#4, the e12/e18
+    * pattern): the bounded top-`m` aggregate carries each survivor's
+    * float vector as payload, so the exact-cosine re-rank is a per-ROW
+    * `transform` + `array_sort` over the aggregate's own output — no
+    * join back to the corpus, no second ranking aggregate. Two jobs
+    * total (partial agg + final agg/map), where the join-back form paid
+    * four rounds AND a second full corpus scan for the survivors'
+    * vectors.
+    *
+    * Scale: per-query aggregate state is m × dim floats (bounded); the
+    * shuffle carries ≤ m vectors per (partition, query). The re-rank
+    * order (exact cos·10⁴ desc, id asc) and the shortlist selection
+    * (coarse score desc, id asc) are total orders, so the result is
+    * bit-identical to the join-back form — pinned by the unchanged
+    * oracle rows. `coarse` must carry (query_id, qv, vec_id, embedding,
+    * cos). */
+  private def foldedShortlistRerank(coarse: DataFrame, m: Int, k: Int): DataFrame = {
     val cand = coarse.groupBy("query_id")
-      .agg(graft.functions.TopKByScoreAgg.column(m, col("cos"), col("vec_id")).as("top"),
+      .agg(graft.functions.TopKByScoreVecAgg.column(
+          m, col("cos"), col("vec_id"), col("embedding")).as("top"),
         first(col("qv")).as("qv"))
-      .select(col("query_id"), col("qv"), explode(col("top")).as("nb"))
-      .select(col("query_id"), col("qv"), col("nb._2").as("neighbor_id"))
-    val exact = broadcast(cand)
-      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
-        "neighbor_id")
-      .withColumn("cos", round(cosine(col("nv"), col("qv")) * 10000, 0))
-    rankTopKScaled(exact, "neighbor_id", k, "cos_x10k")
+    val scored = transform(col("top"), c => struct(
+      round(cosine(c.getField("_3"), col("qv")) * 10000, 0).cast("long").as("c"),
+      c.getField("_2").as("i")))
+    val byExact = (l: Column, r: Column) =>
+      when(l.getField("c") > r.getField("c"), -1)
+        .when(l.getField("c") < r.getField("c"), 1)
+        .when(l.getField("i") < r.getField("i"), -1)
+        .when(l.getField("i") > r.getField("i"), 1)
+        .otherwise(0)
+    cand
+      .select(col("query_id"), slice(array_sort(scored, byExact), 1, k).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("nb"))
+      .select(col("query_id"), col("nb.i").as("neighbor_id"), col("nb.c").as("cos_x10k"))
+      .orderAgg(col("query_id"), col("cos_x10k").desc, col("neighbor_id"))
   }
 }
