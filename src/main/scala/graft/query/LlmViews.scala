@@ -76,7 +76,10 @@ object LlmViews {
       "llm_near_dup_pairs" -> (() => Dedup.minhashLsh(docs)),
       "llm_simhash" -> (() => Dedup.simhash(docs, ordered = false)),
       "llm_chunk_dedup" -> (() => Dedup.chunkDedup(docs, ordered = false)),
-      "llm_boilerplate" -> (() => Dedup.boilerplateScrub(docs, ordered = false)),
+      "llm_boilerplate" -> (() => Dedup.boilerplateScrubWithChunks(docs,
+        graft.core.Artifacts.materialized(spark, dir, "boilerplate_chunks") {
+          Dedup.boilerplateChunks(docs)
+        }, ordered = false)),
       "llm_source_overlap" -> (() => Dedup.sourceOverlapWithPostings(
         graft.core.Artifacts.materialized(spark, dir, "source_postings") {
           Dedup.sourcePostings(docs)
@@ -132,9 +135,11 @@ object LlmViews {
         graft.core.Artifacts.materialized(spark, dir, "tfidf_df") {
           TextAnalysis.tfidfStats(docs)._1
         },
-        graft.core.Artifacts.materialized(spark, dir, "tfidf_n") {
-          TextAnalysis.tfidfStats(docs)._2
-        }, ordered = false)),
+        // N is a trained SCALAR (one deterministic number per
+        // signature) served as a literal — same store name as
+        // DeclaredOps.tfidfN.
+        graft.core.Artifacts.trained(dir, "tfidf_n_scalar") { docs.count() },
+        3, false, None)),
       "llm_quantile_audit" -> (() => TextAnalysis.quantileAudit(docs)),
       "llm_weighted_sample" -> (() => graft.ops.Sampling.weightedSample(
         docs, col("doc_id"), expr("n_chars div 2"))),

@@ -901,6 +901,22 @@ class OpsSpec extends GraftSuite {
     assert(local.size < chunked.size, "fully-boilerplate docs must vanish")
   }
 
+  test("boilerplate scrub: stored-digest serving path equals the inline composition") {
+    // The d18 serving path joins the PREBUILT boilerplateChunks digest
+    // table (the streaming scrub's static table); it must be
+    // row-identical to the inline build+scrub at any digest size,
+    // including the forced-shuffle regime (digest past the broadcast
+    // threshold).
+    val inline = Dedup.boilerplateScrub(docs).collect().toSeq
+    val bp = Dedup.boilerplateChunks(docs).localCheckpoint(true)
+    val stored = Dedup.boilerplateScrubWithChunks(docs, bp).collect().toSeq
+    assert(stored == inline)
+    val shuffled = staticPlans {
+      Dedup.boilerplateScrubWithChunks(docs, bp).collect().toSeq
+    }
+    assert(shuffled == inline, "forced-shuffle digest join must be row-identical")
+  }
+
   test("perceptron classifier equals a local epoch-for-epoch recompute") {
     val df = TextAnalysis.perceptronQuality(docs, col("lang") === "en")
     val plan = df.queryExecution.executedPlan.toString

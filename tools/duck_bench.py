@@ -95,6 +95,13 @@ STATS_VIEWS = {
     "stats_d17_index": (None, """
         SELECT DISTINCT text FROM documents
         WHERE doc_id % 3 <> 1 OR doc_id < 50"""),
+    "stats_d18_chunks": ("boilerplate_chunks", """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        c AS (SELECT doc_id,
+            array_to_string(list_slice(w, CAST(i * 20 + 1 AS INT), CAST(i * 20 + 20 AS INT)), ' ') AS chunk
+          FROM w, UNNEST(range(0, (len(w) + 19) // 20)) AS u(i))
+        SELECT md5(chunk) AS h FROM c GROUP BY 1
+        HAVING count(DISTINCT doc_id) > 1"""),
     "stats_t21_weights": (None, """
         WITH f AS (
           SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
@@ -218,6 +225,17 @@ SELECT sa AS src_a, sb AS src_b,
   CAST(round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) * 10000) AS BIGINT) AS j_x10k
 FROM i JOIN c ca ON ca.source = sa JOIN c cb ON cb.source = sb
 ORDER BY src_a, src_b"""),
+    "d18_boilerplate": (["stats_d18_chunks"], """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (SELECT doc_id, i AS chunk_idx,
+    array_to_string(list_slice(w, CAST(i * 20 + 1 AS INT), CAST(i * 20 + 20 AS INT)), ' ') AS chunk
+  FROM w, UNNEST(range(0, (len(w) + 19) // 20)) AS u(i))
+SELECT c.doc_id,
+  array_to_string(list(c.chunk ORDER BY c.chunk_idx) FILTER (WHERE b.h IS NULL), ' ') AS clean_text,
+  count(*) FILTER (WHERE b.h IS NULL) AS kept_chunks,
+  count(*) FILTER (WHERE b.h IS NOT NULL) AS dropped_chunks
+FROM c LEFT JOIN stats_d18_chunks b ON md5(c.chunk) = b.h
+GROUP BY 1 HAVING kept_chunks > 0 ORDER BY doc_id"""),
     "d17_bloom_dedup": (["stats_d17_index"], """
 SELECT doc_id, n_chars FROM documents d
 WHERE doc_id % 3 = 1 AND NOT EXISTS (
