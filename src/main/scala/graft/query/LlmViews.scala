@@ -186,16 +186,20 @@ object LlmViews {
       "llm_fertility" -> (() => TextAnalysis.bpeFertility(docs, bpeMerges,
         ordered = false)),
       // Structured-PII detect/redact (map-only regexp chain).
-      "llm_pii_scrub" -> (() => TextAnalysis.piiScrub(docs, ordered = false)),
+      "llm_pii_scrub" -> (() => TextAnalysis.piiScrub(docs,
+        TextAnalysis.piiAugment(col("doc_id"), col("text")), ordered = false)),
       // Encoding-damage QA over the %5 mangled slice (t22).
       "llm_mojibake" -> (() =>
-        TextAnalysis.mojibake(docs, col("doc_id") % 5 === 0, ordered = false)),
+        TextAnalysis.mojibake(docs,
+          TextAnalysis.mangledText(col("text"), col("doc_id") % 5 === 0),
+          ordered = false)),
       // Zipf top-k coverage audit (t23), single-row.
       "llm_zipf_coverage" -> (() => TextAnalysis.zipfCoverage(docs)),
       "llm_lexical_diversity" -> (() =>
         TextAnalysis.lexicalDiversity(docs, ordered = false)),
       "llm_domain_cap" -> (() =>
-        graft.ops.Sampling.domainCap(docs, ordered = false)),
+        graft.ops.Sampling.domainCap(docs,
+          graft.ops.Sampling.syntheticUrl(col("doc_id")), ordered = false)),
       "llm_perplexity_buckets" -> (() => TextAnalysis.perplexityBuckets(docs,
         ordered = false,
         stats = Some(lmStatsStored("trainmod4eq0", col("doc_id") % 4 =!= 0)))),

@@ -742,7 +742,8 @@ class OpsSpec extends GraftSuite {
       if (id % 7 == 0) sb.append(f" ref ${id % 900 + 100}-${id % 90 + 10}-${id * 11 % 10000}%04d")
       sb.toString
     }
-    val rows = TextAnalysis.piiScrub(docs).collect()
+    val rows = TextAnalysis.piiScrub(docs,
+      TextAnalysis.piiAugment(col("doc_id"), col("text"))).collect()
     assert(rows.length == base.size)
     rows.foreach { r =>
       val id = r.getLong(0)
@@ -1693,7 +1694,8 @@ class OpsSpec extends GraftSuite {
 
   test("t22 mojibake: signature counts equal a driver charset round-trip recompute") {
     import org.apache.spark.sql.functions.col
-    val out = TextAnalysis.mojibake(docs, col("doc_id") % 5 === 0).collect()
+    val out = TextAnalysis.mojibake(docs,
+      TextAnalysis.mangledText(col("text"), col("doc_id") % 5 === 0)).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5))))
       .toMap
@@ -1909,7 +1911,8 @@ class OpsSpec extends GraftSuite {
   }
 
   test("s10 domain cap: kept set equals a driver URL-parse + rank recompute") {
-    val out = graft.ops.Sampling.domainCap(docs).collect()
+    val out = graft.ops.Sampling.domainCap(docs,
+      graft.ops.Sampling.syntheticUrl(col("doc_id"))).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
     val meta = docs.select("doc_id", "n_chars").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
