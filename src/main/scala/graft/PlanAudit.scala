@@ -603,7 +603,7 @@ object PlanAudit {
     // scan projection — payloads never join, never shuffle; the only
     // post-scan work is the bounded presentation sort.
     for (name <- Seq("m9_pgm_decode", "m10_pgm_resize", "m11_ppm_decode",
-        "m12_wav_decode", "m13_wav_resample")) {
+        "m12_wav_decode", "m13_wav_resample", "m14_png_decode")) {
       val df = qs(name)(spark, sfDir)
       audit(name, df,
         "pixel work is in-scan map-only: no join anywhere" ->

@@ -41,9 +41,11 @@ object DeclaredMedia {
     "m10_pgm_resize"   -> ((s, _) => Multimodal.resizePgm(pgm(s))),
     "m11_ppm_decode"   -> ((s, _) => Multimodal.decodePpm(ppm(s))),
     "m12_wav_decode"   -> ((s, _) => Multimodal.decodeWav(wavpcm(s))),
-    "m13_wav_resample" -> ((s, _) => Multimodal.resampleWav(wavpcm(s))))
+    "m13_wav_resample" -> ((s, _) => Multimodal.resampleWav(wavpcm(s))),
+    "m14_png_decode"   -> ((s, _) => Multimodal.decodePng(png(s))))
 
   private def wavpcm(s: SparkSession): DataFrame = fixtureDf(s, WavFixture.ensure(_))
+  private def png(s: SparkSession): DataFrame = fixtureDf(s, PngFixture.ensure(_))
 
   private val Fixture = MediaFixture.DefaultPath
   private val VidFixture = VideoFixture.DefaultPath
@@ -51,6 +53,7 @@ object DeclaredMedia {
   private val PgmPath = PgmFixture.DefaultPath
   private val PpmPath = PpmFixture.DefaultPath
   private val WavPath = WavFixture.DefaultPath
+  private val PngPath = PngFixture.DefaultPath
 
   val oracleSql: Map[String, String] = Map(
     "m1_media_decode" ->
@@ -259,6 +262,37 @@ object DeclaredMedia {
          |SELECT media_id, w, h, maxval, CAST(w AS BIGINT) * h AS n_pixels,
          |  r_sum, g_sum, b_sum, px_min, px_max, luma_fp
          |FROM ch ORDER BY media_id""".stripMargin,
+
+    // m14: PIXEL-level ground truth for the COMPRESSED format - every
+    // sample re-derived from the fixture's independently-written RAW
+    // raster hex; the Spark side decodes ONLY the payload (chunk walk +
+    // CRC + inflate + unfilter), so equality proves the whole decode
+    // path. Same fold arithmetic as m11's luma fingerprint.
+    "m14_png_decode" ->
+      s"""WITH p AS (
+         |  SELECT media_id, hex(raw) AS hs, octet_length(raw) AS n,
+         |    meta.width AS w, meta.height AS h, meta.channels AS c
+         |  FROM read_parquet('$PngPath')),
+         |px AS (
+         |  SELECT media_id, w, h, c,
+         |    list_transform(range(0, n), i -> CAST(concat('0x',
+         |      substr(hs, CAST(2*i + 1 AS INT), 2)) AS INT)) AS v
+         |  FROM p),
+         |st AS (
+         |  SELECT media_id, w, h, c,
+         |    CAST(list_min(v) AS INT) AS px_min, CAST(list_max(v) AS INT) AS px_max,
+         |    CAST(list_sum(v) AS BIGINT) AS px_sum,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(0, w * h), i -> CAST(CASE WHEN c = 3 THEN
+         |        (299 * v[CAST(3*i + 1 AS INT)] + 587 * v[CAST(3*i + 2 AS INT)]
+         |         + 114 * v[CAST(3*i + 3 AS INT)]) // 1000
+         |        ELSE v[CAST(i + 1 AS INT)] END AS BIGINT))),
+         |      (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS luma_fp
+         |  FROM px)
+         |SELECT media_id, w, h, c AS channels, CAST(w AS BIGINT) * h AS n_pixels,
+         |  px_min, px_max, px_sum, luma_fp
+         |FROM st ORDER BY media_id""".stripMargin,
+
 
     // Ground truth = all-pairs Hamming over the same integer phash
     // (count·16 > n bit rule re-derived byte-by-byte from the payload

@@ -345,6 +345,166 @@ class MultimodalSpec extends GraftSuite {
     }
   }
 
+  test("png decode: pixel stats match a local raw-raster recompute") {
+    val png = spark.read.parquet(graft.ops.PngFixture.ensure(spark))
+    def statsOf(raw: Array[Byte], w: Int, h: Int, c: Int) = {
+      val v = raw.map(_ & 0xff)
+      val fp = (0 until w * h).foldLeft(0L) { (a, p) =>
+        val luma = if (c == 3)
+          (299 * v(3 * p) + 587 * v(3 * p + 1) + 114 * v(3 * p + 2)) / 1000
+        else v(p)
+        (a * 31 + luma) % 1000000007L
+      }
+      (w, h, c, w.toLong * h, v.min, v.max, v.map(_.toLong).sum, fp)
+    }
+    val out = Multimodal.decodePng(png).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getInt(5), r.getInt(6), r.getLong(7), r.getLong(8))))
+      .toMap
+    val metas = png.selectExpr("media_id", "meta.width", "meta.height", "meta.channels")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(metas.nonEmpty && out.size == metas.length,
+      "every fixture row must decode (all payloads are valid PNG)")
+    metas.foreach { case (id, w, h, c) =>
+      val raw = graft.ops.PngFixture.raster(id, w * h * c)
+      assert(out(id) == statsOf(raw, w, h, c), s"png decode mismatch for $id")
+    }
+    // Both color types present; every image tall enough to cycle all
+    // five filter types (h >= 5 by construction).
+    assert(metas.exists(_._4 == 1) && metas.exists(_._4 == 3))
+    assert(metas.forall(_._3 >= 5), "every image must exercise all five filters")
+  }
+
+  test("png filter reconstruction: hand-pinned vectors for all five filter types") {
+    // The fixture's encoder and the expression's decoder are inverse
+    // implementations; this pins the DECODER against BY-HAND filtered
+    // bytes (PNG spec arithmetic worked on paper), so a shared
+    // encoder/decoder bug cannot silently pass.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val raw = Array[Int](
+      10, 20, 30, // filter 0 (None)
+      13, 24, 35, // filter 1 (Sub):  13, 11, 11
+      20, 30, 40, // filter 2 (Up):    7,  6,  5
+      25, 36, 47, // filter 3 (Avg):  15,  9,  9
+      30, 40, 50 // filter 4 (Paeth):  5,  4,  3
+    ).map(_.toByte)
+    val filtered = Array[Int](
+      0, 10, 20, 30,
+      1, 13, 11, 11,
+      2, 7, 6, 5,
+      3, 15, 9, 9,
+      4, 5, 4, 3).map(_.toByte)
+    val d = new java.util.zip.Deflater()
+    d.setInput(filtered); d.finish()
+    val buf = new Array[Byte](256)
+    val z = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) z.write(buf, 0, d.deflate(buf))
+    d.end()
+    def u32be(v: Long) =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val payload =
+      Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+        0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte) ++
+        graft.ops.PngFixture.chunk("IHDR", u32be(3L) ++ u32be(5L) ++
+          Array[Byte](8, 0, 0, 0, 0)) ++
+        graft.ops.PngFixture.chunk("IDAT", z.toByteArray) ++
+        graft.ops.PngFixture.chunk("IEND", Array.empty)
+    val st = Seq(payload).toDF("payload")
+      .select(Multimodal.pngStats(col("payload")).as("st"))
+      .selectExpr("st.width", "st.height", "st.channels", "st.px_sum", "st.luma_fp")
+      .collect()(0)
+    assert(!st.isNullAt(0), "hand-built payload must parse")
+    val v = raw.map(_ & 0xff)
+    val fp = v.foldLeft(0L)((a, x) => (a * 31 + x) % 1000000007L)
+    assert((st.getInt(0), st.getInt(1), st.getInt(2), st.getLong(3), st.getLong(4)) ==
+      ((3, 5, 1, v.map(_.toLong).sum, fp)), "hand-pinned filter vectors mismatch")
+  }
+
+  test("png chunk-layout property: arbitrary IDAT splits decode identically; malformed yields null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 64-case layout sweep (the RIFF-property discipline on PNG): IDAT
+    // split sizes from 1 byte up, rotating phase, both color types,
+    // ancillary chunks at varying positions via the id residues.
+    for (k <- 0 until 64) {
+      val id = k.toLong
+      val w = 2 + k % 5
+      val h = 5 + k % 4
+      val c = if (k % 2 == 0) 3 else 1
+      val raw = graft.ops.PngFixture.raster(id * 101L + 3L, w * h * c)
+      val payload = graft.ops.PngFixture.payloadFrom(id, w, h, c, raw,
+        Seq(1 + k % 9, 3, 17).drop(k % 3) ++ Seq(1 + k % 9, 3, 17).take(k % 3))
+      val st = Seq(payload).toDF("payload")
+        .select(Multimodal.pngStats(col("payload")).as("st"))
+        .selectExpr("st.width", "st.height", "st.channels", "st.px_sum", "st.luma_fp")
+        .collect()(0)
+      assert(!st.isNullAt(0), s"layout $k must parse")
+      val v = raw.map(_ & 0xff)
+      val fp = (0 until w * h).foldLeft(0L) { (a, p) =>
+        val luma = if (c == 3)
+          (299 * v(3 * p) + 587 * v(3 * p + 1) + 114 * v(3 * p + 2)) / 1000
+        else v(p)
+        (a * 31 + luma) % 1000000007L
+      }
+      assert((st.getInt(0), st.getInt(1), st.getInt(2), st.getLong(3), st.getLong(4)) ==
+        ((w, h, c, v.map(_.toLong).sum, fp)), s"layout $k decode mismatch")
+    }
+    // Malformed sweep: every failure mode yields NULL, never a partial
+    // or wrapped decode.
+    def u32be(v: Long) =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val sig = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte)
+    val good = graft.ops.PngFixture.payload(0L, 4, 5, 1)
+    def ihdr(depth: Int, color: Int, interlace: Int) =
+      graft.ops.PngFixture.chunk("IHDR", u32be(4L) ++ u32be(5L) ++
+        Array(depth.toByte, color.toByte, 0.toByte, 0.toByte, interlace.toByte))
+    val goodTail = good.drop(8 + 25) // after sig + IHDR chunk (12 + 13)
+    val bad: Seq[Array[Byte]] = Seq(
+      good.patch(1, "QNG".getBytes("US-ASCII"), 3), // bad signature
+      good.patch(good.length - 1,
+        Array((good.last ^ 0x7f).toByte), 1), // corrupted CRC (IEND)
+      good.dropRight(7), // truncated mid-chunk
+      sig ++ ihdr(16, 0, 0) ++ goodTail, // 16-bit depth
+      sig ++ ihdr(8, 3, 0) ++ goodTail, // palette color type
+      sig ++ ihdr(8, 0, 1) ++ goodTail, // Adam7 interlace
+      // declared chunk length near 2^32: the Long-guarded walk must
+      // fail cleanly, never wrap to a negative offset
+      sig ++ u32be(0xfffffff0L) ++ "IDAT".getBytes("US-ASCII") ++ u32be(0L),
+      // height patched without re-CRC: the IHDR CRC check must catch it
+      good.patch(8 + 8 + 4, u32be(6L), 4),
+      // CRC-VALID IHDR that promises 6 rows over a 5-row deflate
+      // stream: the inflate-size check must catch it
+      sig ++ graft.ops.PngFixture.chunk("IHDR", u32be(4L) ++ u32be(6L) ++
+        Array[Byte](8, 0, 0, 0, 0)) ++ goodTail,
+      Array[Byte]())
+    val decoded = Seq(bad: _*).toDF("payload")
+      .select(Multimodal.pngStats(col("payload")).as("st"))
+      .collect()
+    assert(decoded.forall(_.isNullAt(0)), "malformed PNG must yield null")
+    // Filter byte 5 specifically: rebuild a stream whose first scanline
+    // declares an undefined filter type.
+    val filtBad = {
+      val f = graft.ops.PngFixture.filterRaster(
+        graft.ops.PngFixture.raster(1L, 3 * 5), 3, 5, 1, 1L)
+      f(0) = 5.toByte
+      val d2 = new java.util.zip.Deflater()
+      d2.setInput(f); d2.finish()
+      val buf = new Array[Byte](256)
+      val z2 = new java.io.ByteArrayOutputStream()
+      while (!d2.finished()) z2.write(buf, 0, d2.deflate(buf))
+      d2.end()
+      sig ++ graft.ops.PngFixture.chunk("IHDR", u32be(3L) ++ u32be(5L) ++
+        Array[Byte](8, 0, 0, 0, 0)) ++
+        graft.ops.PngFixture.chunk("IDAT", z2.toByteArray) ++
+        graft.ops.PngFixture.chunk("IEND", Array.empty)
+    }
+    val fb = Seq(filtBad).toDF("payload")
+      .select(Multimodal.pngStats(col("payload")).as("st")).collect()(0)
+    assert(fb.isNullAt(0), "undefined filter type must yield null")
+  }
+
   test("audio sig pairs: banded join equals a local all-pairs recompute") {
     val audio = spark.read.parquet(graft.ops.AudioFixture.ensure(spark))
     def sig(bytes: Array[Byte]): Int = {

@@ -326,6 +326,8 @@ NOT_BASELINES = {"d2_minhash_lsh", "d5_dedup_clusters", "d6_dedup_apply",
                  # (same per-element list-lambda ground truth as m9-m11,
                  # on audio).
                  "m12_wav_decode", "m13_wav_resample",
+                 # m14 likewise: every PNG sample from the raw-raster hex.
+                 "m14_png_decode",
                  # t18's oracle re-derives BPE TRAINING as 10 unrolled
                  # list-fold CTE stages (~23 s at sf0.1) purely as ground
                  # truth; the Spark side trains once as a memoized build
