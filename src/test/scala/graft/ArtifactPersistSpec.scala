@@ -43,6 +43,43 @@ class ArtifactPersistSpec extends GraftSuite {
     }
   }
 
+  test("Artifacts: store GC evicts least-recently-used entries over budget") {
+    withTempBase {
+      // Three ~5-element artifacts, tiny budget: the OLDEST-used entry
+      // must be evicted when the third pushes the store over budget;
+      // the just-written entry and the freshly-touched one survive.
+      sys.props("graft.artifacts.maxBytes") = "700"
+      try {
+        val base = java.nio.file.Paths.get(sys.props("graft.artifacts"))
+        def names = {
+          val it = java.nio.file.Files.list(base)
+          try {
+            val b = scala.collection.mutable.ArrayBuffer.empty[String]
+            it.iterator().forEachRemaining(p => b += p.getFileName.toString)
+            b.toSet
+          } finally it.close()
+        }
+        Artifacts.trained(sf, "gc_a") { Seq.fill(20)(7L) }
+        val aFile = names.find(_.contains("gc_a")).get
+        // Age gc_a so the LRU order is deterministic.
+        java.nio.file.Files.setLastModifiedTime(base.resolve(aFile),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 60000))
+        Artifacts.trained(sf, "gc_b") { Seq.fill(20)(8L) }
+        Artifacts.trained(sf, "gc_c") { Seq.fill(20)(9L) }
+        val left = names
+        assert(!left.exists(_.contains("gc_a")),
+          s"LRU entry must be evicted over budget; store = $left")
+        assert(left.exists(_.contains("gc_c")),
+          "the just-written entry must never be evicted")
+        // Eviction is safe: the evicted artifact simply retrains.
+        var retrained = false
+        val v = Artifacts.trained(sf, "gc_a") { retrained = true; Seq(1L) }
+        assert(retrained && v == Seq(1L))
+      } finally sys.props.remove("graft.artifacts.maxBytes")
+    }
+  }
+
   test("Artifacts.trained: torn/unreadable store falls back to retraining and heals") {
     withTempBase {
       val v1 = Artifacts.trained(sf, "spec_heal") { Seq(1L) }
