@@ -441,7 +441,42 @@ object PlanAudit {
       // novelty_dfs artifact — no second postings pass anywhere.
       "df side is the stored index scan, not a re-aggregated postings pass" ->
         (p => p.linesIterator.count(_.contains("Scan parquet  (")) == 2 &&
-          !p.contains("count(distinct")))
+          !p.contains("count(distinct")),
+      // r12: in the broadcast stats regime the postings frame reaches the
+      // join straight from the scan — the ONLY shuffle Exchange is the
+      // per-doc aggregate's (the old unconditional repartition(h) pin
+      // shuffled the whole postings frame under a broadcast join).
+      "broadcast regime: exactly one shuffle Exchange (the per-doc aggregate)" ->
+        (p => p.linesIterator.count(l =>
+          l.contains("Exchange (") && !l.contains("BroadcastExchange (") &&
+            !l.contains("ReusedExchange (")) == 1))
+
+    // r12: the forced-shuffle regime keeps the pinned h-exchange +
+    // shuffled equi-join (the pre-r12 serving shape, still the 100 TB
+    // plan above the stats-broadcast ceiling). The audit must run INSIDE
+    // forcedShuffle — the plan is computed lazily by audit().
+    forcedShuffle {
+      audit("t15_novelty (forced shuffled-stats regime)",
+        graft.ops.Dedup.noveltyScoreWithDfs(
+          graft.core.Tables.load(spark, sfDir, "documents"),
+          graft.core.Artifacts.materialized(spark, sfDir, "novelty_dfs") {
+            graft.ops.Dedup.noveltyDfs(
+              graft.core.Tables.load(spark, sfDir, "documents"))
+          }, broadcastStats = Some(false)),
+        "stats join demotes to a non-broadcast equi-join" ->
+          (p => p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")),
+        "no broadcast of either join side" ->
+          (p => !p.contains("BroadcastHashJoin")))
+    }
+
+    // r12: d7's serving path — the per-source counts branch reuses the
+    // pinned g-exchange instead of re-scanning the postings artifact
+    // (the up-front notnull normalization makes all three consumers'
+    // subtrees canonically equal).
+    audit("d7_source_overlap", qs("d7_source_overlap")(spark, sfDir),
+      "postings artifact scanned exactly once (counts branch on ReusedExchange)" ->
+        (p => p.linesIterator.count(_.contains("Scan parquet  (")) == 1 &&
+          p.contains("ReusedExchange")))
 
     // The INLINE composition keeps its original single-shuffle shape:
     // the df aggregate runs exchange-free on top of the same pinned h

@@ -618,8 +618,19 @@ object Dedup {
       maxSourcesPerShingle: Int = Int.MaxValue): DataFrame =
     overlapFromPostings(postings.repartition(col("g")), maxSourcesPerShingle)
 
-  private def overlapFromPostings(e0: DataFrame,
+  private def overlapFromPostings(e0raw: DataFrame,
       maxSourcesPerShingle: Int): DataFrame = {
+    // Normalize both key columns non-null UP FRONT, on the shared frame.
+    // Semantics are unchanged: `g` is explode-derived (an array element
+    // can never be null), and a null `source` could never survive the
+    // inner count-joins below — its rows only feed its OWN count group,
+    // which dies in the join. Without this, Catalyst infers IsNotNull
+    // only on the self-join branches, so the per-source counts branch's
+    // scan+exchange subtree canonicalizes DIFFERENTLY from the join
+    // sides and the pinned g-exchange is NOT reused there — measured in
+    // the r12 before-plan as a second full postings scan + exchange
+    // (guide §2.4: share one exchange across same-keyed consumers).
+    val e0 = e0raw.where(col("source").isNotNull && col("g").isNotNull)
     val e =
       if (maxSourcesPerShingle == Int.MaxValue) e0
       else {
@@ -1052,10 +1063,25 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("df"))
 
   /** The scoring half of t15 against a STORED df table: one postings
-    * pass joined h-keyed to the index, one per-doc aggregate. */
+    * pass joined to the index, one per-doc aggregate. The index join is
+    * SIZE-ADAPTIVE (the t10/t14/t17 `statsShouldBroadcast` rule): under
+    * the corpus-size ceiling the stored df table broadcasts and the
+    * postings side reaches the join straight from the scan — the old
+    * unconditional `repartition(h)` pin shuffled the ENTIRE postings
+    * frame only for the optimizer to pick a broadcast join anyway (the
+    * r12 before-plan shows Exchange(h) feeding a BroadcastExchange —
+    * one wasted corpus-sized exchange, guide §2.4), and the per-doc
+    * aggregate then partial-aggregates on the scan's doc-contiguous
+    * layout. Above the ceiling the pinned h-exchange + shuffled
+    * equi-join shape is unchanged. Both regimes pinned row-identical in
+    * OpsSpec (stored ≡ inline in either regime). */
   def noveltyScoreWithDfs(docs: DataFrame, dfs: DataFrame, width: Int = 8,
-      ordered: Boolean = true): DataFrame =
-    noveltyJoin(windowPostings(docs, width).repartition(col("h")), dfs, ordered)
+      ordered: Boolean = true, broadcastStats: Option[Boolean] = None): DataFrame = {
+    val useBc = broadcastStats.getOrElse(
+      TextAnalysis.statsShouldBroadcastProbe(docs))
+    if (useBc) noveltyJoin(windowPostings(docs, width), broadcast(dfs), ordered)
+    else noveltyJoin(windowPostings(docs, width).repartition(col("h")), dfs, ordered)
+  }
 
   private def noveltyJoin(wins: DataFrame, dfs: DataFrame,
       ordered: Boolean): DataFrame = {

@@ -1858,6 +1858,16 @@ class OpsSpec extends GraftSuite {
         rt(graft.ops.Dedup.noveltyDfs(docs), "ndfs")).collect().toSeq ==
       graft.ops.Dedup.noveltyScore(docs).collect().toSeq,
       "t15 stored-stats path diverges from inline")
+    // r12: the size-adaptive stats join (t10/t14/t17 rule) must be
+    // regime-invariant — broadcast-index and pinned-shuffle serving
+    // plans return identical rows.
+    assert(graft.ops.Dedup.noveltyScoreWithDfs(docs,
+        rt(graft.ops.Dedup.noveltyDfs(docs), "ndfs_bc"),
+        broadcastStats = Some(true)).collect().toSeq ==
+      graft.ops.Dedup.noveltyScoreWithDfs(docs,
+        rt(graft.ops.Dedup.noveltyDfs(docs), "ndfs_sh"),
+        broadcastStats = Some(false)).collect().toSeq,
+      "t15 serving path diverges between stats-join regimes")
     assert(graft.ops.Dedup.sourceOverlapWithPostings(
         rt(graft.ops.Dedup.sourcePostings(docs), "post")).collect().toSeq ==
       graft.ops.Dedup.sourceOverlap(docs).collect().toSeq,
