@@ -360,6 +360,11 @@ object PlanAudit {
         (p => !p.contains("CartesianProduct")),
       "df filter and both self-join sides reuse the single pinned h exchange" ->
         (_.contains("ReusedExchange")),
+      // r12: the df branch must CONSUME the pinned exchange, not rebuild
+      // it — the corpus scans exactly once (before r12 the df aggregate's
+      // pruned subtree canonicalized differently and re-scanned).
+      "corpus scanned exactly once (df branch on the reused exchange)" ->
+        (p => p.linesIterator.count(_.contains("Scan parquet  (")) == 1),
       "postings shuffle 60-bit longs, never window text" ->
         (p => !p.linesIterator.exists(l =>
           l.contains("Exchange hashpartitioning") && l.contains("concat_ws"))))

@@ -1008,14 +1008,36 @@ object Dedup {
       ordered: Boolean = true): DataFrame = {
     require(width >= 2, s"substringDedup: width must be >= 2, got $width")
     val wins = windowPostings(docs, width)
+      // Normalize doc_id non-null BEFORE the pin (r12, the d7 lesson):
+      // the self-join's doc_a < doc_b comparison makes Catalyst infer
+      // IsNotNull(doc_id) below the pair branches' exchange but NOT
+      // below the df aggregate's, so the two subtrees canonicalized
+      // differently and the stats branch re-scanned + re-exchanged the
+      // whole postings frame (measured in the r12 before-plan: 2 scans,
+      // 2 corpus-sized exchanges). Observably identical output: a
+      // null-doc_id posting contributes nothing to countDistinct and
+      // dies at the pair comparison.
+      .where(col("doc_id").isNotNull)
       // Pin ONE h-exchange: the df aggregate below and both sides of the
       // posting self-join all read it back as ReusedExchange.
       .repartition(col("h"))
     // dfCap <= 0 disables the stop-window cap (the e8 cellCap convention).
     val dfOk = if (dfCap <= 0) col("df") >= 2 else col("df").between(2, dfCap)
-    val stats = wins.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .where(dfOk)
+    // Document frequency spelled as the TWO-LEVEL aggregate countDistinct
+    // physically plans to anyway ((h, doc_id) dedup, then count per h) —
+    // but with max(pos) riding the first level and an identically-true
+    // guard (posexplode emits pos >= 0, max over a non-empty group) so
+    // column pruning cannot strip `pos` from this branch: with `pos`
+    // pruned the subtree canonicalized differently from the pair
+    // branches' and the pinned h-exchange was NOT reused — the r12
+    // before-plan paid a SECOND full corpus scan + posting exchange just
+    // to re-derive what the pinned exchange already holds (guide §2.4).
+    // df semantics are unchanged: doc_id is non-null (filtered above),
+    // so count-of-(h,doc_id)-groups ≡ countDistinct(doc_id).
+    val stats = wins.groupBy("h", "doc_id").agg(max(col("pos")).as("__gr_p"))
+      .groupBy("h").agg(count(lit(1)).as("df"), max(col("__gr_p")).as("__gr_pp"))
+      .where(dfOk && col("__gr_pp") >= 0)
+      .select("h", "df")
     val good = wins.join(stats, "h").select("h", "doc_id", "pos")
     val pairs = good.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("a_pos"))
       .join(good.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("b_pos")), "h")
