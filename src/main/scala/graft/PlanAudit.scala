@@ -174,7 +174,14 @@ object PlanAudit {
       "candidates come from the prefix inverted index: no cartesian, no nested loop" ->
         (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")),
       "prefix self-join reuses one prefix computation (ReusedExchange)" ->
-        (_.contains("ReusedExchange")))
+        (_.contains("ReusedExchange")),
+      // r12: the verify sides consume the pinned doc_id exchange of the
+      // shared sorted-shingle frame — the corpus scans exactly once
+      // (before r12 the sortedStrings projection pushed below the
+      // exchange, broke canonical equality, and the verify side paid a
+      // second full scan + shingling).
+      "corpus scanned exactly once (verify sides on the reused shingle exchange)" ->
+        (p => p.linesIterator.count(_.contains("Scan parquet  (")) == 1))
 
     audit("q33_star_join", qs("q33_star_join")(spark, sfDir),
       "both dimension hops broadcast: fact scans once, never shuffles for a join" ->

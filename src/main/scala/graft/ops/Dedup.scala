@@ -753,17 +753,33 @@ object Dedup {
     // are session-width too — a wider pin here would break co-
     // partitioning and force re-exchanges, measured +0.3 s at sf0.1).
     // Only the candidate pipeline's internal exchanges widen.
-    val withSh = shingled(docs)
-    val cands = jaccardCandidates(withSh, num, den)
-    // Sort each document's shingles ONCE (5e3 rows) so the 10^5-pair
-    // verify is an allocation-free two-pointer walk per pair instead of
-    // a per-pair hash build (same cardinality, see SortedIntersectSize).
+    //
+    // The shingle array is sorted IN the shared scan (r12): every d10
+    // consumer is order-independent (minhashSig takes a min over element
+    // hashes, md5ArrayHashes feeds a df/g re-ranking, jaccard uses set
+    // sizes), so candidates and verify can share ONE sorted array — and
+    // the verify sides become rename-only projections over the pinned
+    // doc_id exchange. The old shape computed sortedStrings in the
+    // verify branches ABOVE the shared frame; Catalyst pushed that
+    // projection below the exchange, the subtrees canonicalized
+    // differently, and the verify side paid a SECOND full corpus scan +
+    // shingling + exchange (guide §2.4; the d12/d7 lesson). The doc_id
+    // normalization mirrors d12's: the verify joins infer
+    // IsNotNull(doc_id), so the shared frame filters it explicitly
+    // (observably identical — null docs die at the pair comparison).
     // sortedStrings, not array_sort: same binary order, but array_sort's
     // comparator lambda is CodegenFallback and ejects these projections
-    // from whole-stage codegen.
-    val sorted = graft.functions.Expressions.sortedStrings(col("s"))
-    val shA = withSh.select(col("doc_id").as("doc_a"), sorted.as("sa"))
-    val shB = withSh.select(col("doc_id").as("doc_b"), sorted.as("sb"))
+    // from whole-stage codegen. Sorting once per DOC here keeps the
+    // 10^5-pair verify an allocation-free two-pointer walk per pair
+    // (see SortedIntersectSize).
+    val withSh = docs
+      .select(col("doc_id"),
+        graft.functions.Expressions.sortedStrings(shingles(col("text"))).as("s"))
+      .where(size(col("s")) > 0 && col("doc_id").isNotNull)
+      .repartition(col("doc_id"))
+    val cands = jaccardCandidates(withSh, num, den)
+    val shA = withSh.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+    val shB = withSh.select(col("doc_id").as("doc_b"), col("s").as("sb"))
     cands.join(shA, "doc_a").join(shB, "doc_b")
       .withColumn("inter",
         graft.functions.Expressions.sortedIntersectSize(col("sa"), col("sb")))
