@@ -252,16 +252,37 @@ object Sampling {
       while (top > topMaxRows && lv < 8) { lv += 1; top /= blockSize }
       lv
     }
+    // The base frame is pinned on ONE blk1 exchange shared by both
+    // consumers (r12, the d10/d12 lesson): the intra-block window needs
+    // blk1 clustering anyway, and the level-1 totals aggregate runs
+    // exchange-free on top of the SAME exchange (HashPartitioning(blk1)
+    // satisfies its clustering) — before the pin the totals branch
+    // re-scanned and re-TOKENIZED the whole corpus (size(split(text)))
+    // plus paid its own partial-agg exchange, just to re-derive sums
+    // the pinned exchange already holds. The rows are 24 B (doc_id,
+    // blk1, ntok) — text never crosses. doc_id is filtered non-null so
+    // the join's inferred IsNotNull cannot split the branches'
+    // canonical forms (a null doc_id has no pack position; fixture and
+    // contract are non-null).
     val base = docs.select(col("doc_id"), expr(s"doc_id div $blockSize").as("blk1"),
       size(split(col("text"), " ")).cast("long").as("ntok"))
+      .where(col("doc_id").isNotNull && col("blk1").isNotNull)
+      .repartition(col("blk1"))
     // Per-level block totals come from the PRE-window frame: the offsets
-    // branch needs only sum per block (a map-side-combined aggregate),
-    // not the intra-block cumsum — hanging it off the windowed frame
-    // re-ran the window's shuffle+sort pass on a branch that never
-    // reads `intra`.
+    // branch needs only sum per block, not the intra-block cumsum —
+    // hanging it off the windowed frame re-ran the window's SORT pass
+    // on a branch that never reads `intra`.
     // totals(k): (blk_k, tot) for k = 1..nLevels; intra(k): within-block
     // exclusive cumsum of level-(k-1) units, keyed by blk_k.
-    val totals1 = base.groupBy("blk1").agg(sum(col("ntok")).as("tot"))
+    // max(doc_id) rides the aggregate under an identically-true guard
+    // (doc_id non-null above, every blk1 group non-empty) so column
+    // pruning cannot strip doc_id from this branch — with it pruned the
+    // subtree canonicalizes differently from the window branch's and
+    // the shared exchange is not reused (the d12 trick).
+    val totals1 = base.groupBy("blk1")
+      .agg(sum(col("ntok")).as("tot"), max(col("doc_id")).as("__gr_d"))
+      .where(col("__gr_d") >= 0 || col("__gr_d") < 0)
+      .select("blk1", "tot")
     val upTotals = (2 to nLevels).scanLeft(totals1) { (prev, k) =>
       prev.select(expr(s"blk${k - 1} div $blockSize").as(s"blk$k"), col("tot"))
         .groupBy(s"blk$k").agg(sum(col("tot")).as("tot"))
