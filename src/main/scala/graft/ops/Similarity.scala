@@ -786,7 +786,17 @@ object Similarity {
     val keyExpr = (0 until rows).map(r =>
       s"CASE WHEN element_at(embedding, b*$rows+${r + 1}) >= cast(0 AS float) " +
         s"THEN ${1 << (rows - 1 - r)} ELSE 0 END").mkString(" + ")
-    val sgn = emb.select(col("vec_id"), col("embedding"),
+    // The pinned vec_id exchange carries (vec_id, keys) ONLY — the
+    // embedding column never rides the candidate pipeline (r12: the old
+    // frame kept `embedding` in sgn for the verify sides; the verify
+    // attach pruned `keys` while the banded branch pruned `embedding`,
+    // the subtrees canonicalized differently, and the attach side paid
+    // its own full-frame exchange on top of a second scan). The verify
+    // sides now read the RAW scan directly: under the broadcast regime
+    // that is scan → broadcast with NO exchange; above the threshold
+    // EnsureRequirements inserts the vec_id exchange the equi-join
+    // needs — exactly what the old pin provided.
+    val sgn = emb.select(col("vec_id"),
       expr(s"transform(sequence(0, ${bands - 1}), b -> $keyExpr)").as("keys"))
       .repartition(col("vec_id"))
     val banded = sgn.select(col("vec_id"), posexplode(col("keys")).as(Seq("band", "key")))
@@ -794,8 +804,8 @@ object Similarity {
       .where(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
-    val va = sgn.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val vb = sgn.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val va = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val vb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
     cands.join(va, "vec_a").join(vb, "vec_b")
       .withColumn("cos", cosine(col("ea"), col("eb")))
       .where(col("cos") >= threshold)
