@@ -709,9 +709,22 @@ object TextAnalysis {
     // doc-score exchange (verified: PlanAudit pins ReusedExchange in
     // this plan), so the second consumer costs one extra reduce over
     // the shuffle, not a second corpus pass.
+    // max(n_trigrams) rides the threshold aggregate under an
+    // identically-true guard (count(1) ≥ 1 per doc) so column pruning
+    // cannot strip n_trigrams from this branch (r12): with it pruned,
+    // the per-doc aggregate's partial functions REORDER ([sum, count]
+    // vs the buckets branch's [count, sum]), the doc-score exchange
+    // canonicalizes differently, and the thresholds branch re-ran the
+    // ENTIRE LM scoring pipeline — second corpus scan, explode, three
+    // stats joins, second aggregate — instead of one extra reduce over
+    // the shared shuffle (which is what the scaladoc above always
+    // claimed this plan does).
     val thr = scored.agg(
       expr("percentile_disc(1.0D / 3) WITHIN GROUP (ORDER BY lm_x1000)").as("t_lo"),
-      expr("percentile_disc(2.0D / 3) WITHIN GROUP (ORDER BY lm_x1000)").as("t_hi"))
+      expr("percentile_disc(2.0D / 3) WITHIN GROUP (ORDER BY lm_x1000)").as("t_hi"),
+      max(col("n_trigrams")).as("__gr_nt"))
+      .where(col("__gr_nt") >= 0)
+      .select("t_lo", "t_hi")
     val out = scored.crossJoin(broadcast(thr))
       .select(col("doc_id"), col("n_trigrams"), col("lm_x1000"),
         when(col("lm_x1000") >= col("t_hi"), lit("head"))
