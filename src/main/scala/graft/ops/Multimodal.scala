@@ -993,11 +993,25 @@ object Multimodal {
     * fixture scale, one plan tree at any scale). */
   private[ops] def sig16Pairs(sigs: DataFrame, tau: Int): DataFrame = {
     require(tau < 4, "4-band pigeonhole completeness requires tau < 4")
-    val ph = sigs.repartition(col("sig"))
+    // sig filtered non-null before the pin (r12, the d12/d10 lesson):
+    // the expansion joins infer IsNotNull(sig) below their copies of
+    // the exchange while the distinct branch does not, which split the
+    // subtrees' canonical forms. Observably identical: a null sig never
+    // matches vpairs in the expansion join, and a null-sig group in
+    // vals never survives the band join.
+    val ph = sigs.where(col("sig").isNotNull).repartition(col("sig"))
     // Distinct VALUES (≤ 65,536 rows however large the corpus); the
     // pinned sig exchange above is reused by the distinct and both
-    // id-expansion joins.
-    val vals = ph.select(col("sig")).distinct()
+    // id-expansion joins. max(media_id) rides the distinct aggregate
+    // under a tautological guard so column pruning cannot strip
+    // media_id from this branch — with it pruned the subtree
+    // canonicalized differently and the distinct branch re-scanned the
+    // media table and re-computed every signature (the r12 before-plan:
+    // 2 scans, 2 exchanges). The three-term guard covers a null
+    // media_id group (kept, as before the pin).
+    val vals = ph.groupBy("sig").agg(max(col("media_id")).as("__gr_m"))
+      .where(col("__gr_m") >= 0 || col("__gr_m") < 0 || col("__gr_m").isNull)
+      .select("sig")
     val banded = vals.select(col("sig"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> shiftright(sig, b * 4) % 16)"))
