@@ -371,10 +371,13 @@ object Dedup {
     * pair participate; the corpus never joins in.
     */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.5,
-      maxIter: Int = 20, driverCcMaxEdges: Long = 1000000): DataFrame =
-    ccLabels(minhashLsh(docs, threshold).select(col("doc_a"), col("doc_b")),
+      maxIter: Int = 20, driverCcMaxEdges: Long = 1000000,
+      ordered: Boolean = true): DataFrame = {
+    val labels = ccLabels(
+      minhashLsh(docs, threshold).select(col("doc_a"), col("doc_b")),
       maxIter, driverCcMaxEdges)
-      .orderSmall("doc_id")
+    if (ordered) labels.orderSmall("doc_id") else labels
+  }
 
   /** Connected-component labels over an arbitrary (doc_a, doc_b) edge
     * frame — the CC core shared by text near-dup clustering (d5) and
@@ -465,7 +468,10 @@ object Dedup {
     * (Similarity.semanticDedupApply). Both regimes pinned identical in
     * OpsSpec; the shuffled regime asserted in PlanAudit. */
   def dedupApply(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val losers = nearDupClusters(docs, threshold)
+    // ordered = false: the loser frame feeds a join, so d5's
+    // presentation sort (repartition(1) + in-partition sort) is a
+    // wasted exchange + single-task stage here (r12).
+    val losers = nearDupClusters(docs, threshold, ordered = false)
       .where(col("doc_id") =!= col("cluster"))
       .select(col("doc_id"), lit(1).as("is_loser"))
     docs.select("doc_id")
