@@ -5,8 +5,11 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
-  * emits ONE JSON line {"metric":...} on stdout AND to a file (r1's line
-  * was lost in sbt's [info] noise — BENCH_r01 "parsed": null).
+  * emits ONE compact JSON line {"metric":...} on stdout (all graded
+  * scalars + gates + errors + a queries_file pointer — sized to survive
+  * the driver's ~2 kB stdout-tail capture, VERDICT r12 #1) while the
+  * FULL artifact with the per-query maps goes to bench_out.json and a
+  * per-core-count copy.
   *
   * Methodology (VERDICT r1 perf item): one untimed warmup pass over all
   * queries (JVM/codegen/parquet-footer warmup), then one timed pass; every
@@ -469,12 +472,6 @@ object Bench {
     val dminJson = duckMed.sortBy(_._1)
       .map { case (k, _) => "\"" + k + "\":" + f"${duckSamples(k).min}%.4f" }
       .mkString("{", ",", "}")
-    // Field ORDER is load-bearing: the driver records only the TAIL of
-    // stdout (every BENCH_r*.json so far has "parsed": null and a ~2 kB
-    // tail with the FRONT of this line cut off), so the per-query maps go
-    // first and every scalar that grades the run — value, value_min, the
-    // same-window duck pairing, ratio, window quality, canary — goes at
-    // the very end of the line where the tail always preserves it.
     val floorsDrift = floorsFile.map(_.driftMax).getOrElse(-1.0)
     val pair =
       if (duckMed.isEmpty)
@@ -488,12 +485,31 @@ object Bench {
     // (which floors moved vs which medians merely absorbed a burst).
     val qminJson = results.collect { case (k, v) if v >= 0 =>
       "\"" + k + "\":" + f"${samples(k).min}%.4f" }.mkString("{", ",", "}")
-    val line =
-      f"""{"metric":"total","queries":$qjson,"queries_min":$qminJson,$duckQ"errors":$ejson,"sf":"$sfDir","unit":"sec","value":$total%.4f,"value_min":$totalMin%.4f,$pair}"""
-    println(line)
+    // The FULL artifact (per-query medians + minima for both engines) is
+    // ~10 kB — it has NEVER fit the driver's ~2 kB stdout-tail capture,
+    // so every BENCH_r01..r12.json is "parsed": null and PERF_r12's
+    // per-query comparison came out empty (VERDICT r12 "What's wrong" #1).
+    // r13 fix: the full line goes ONLY to bench_out.json (plus a
+    // per-core-count copy so the driver's low-core scaling run does not
+    // overwrite the 32-core maps), and stdout gets ONE compact line
+    // (~0.7 kB) carrying every graded scalar, all three window gates,
+    // the errors list, and a "queries_file" pointer to the full maps —
+    // so the driver's tail always contains one complete parseable JSON
+    // object. Timed region, pass protocol, query keys, and median/min
+    // computation are unchanged; this is artifact plumbing only.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
-    try Files.writeString(Paths.get(out), line + "\n")
-    catch { case e: Exception => System.err.println(s"[bench] write $out: $e") }
+    val line =
+      f"""{"metric":"total","queries":$qjson,"queries_min":$qminJson,$duckQ"errors":$ejson,"sf":"$sfDir","unit":"sec","cpus":${cpus},"value":$total%.4f,"value_min":$totalMin%.4f,$pair}"""
+    val outC = out.replaceAll("\\.json$", "") + s"_c$cpus.json"
+    Seq(out, outC).foreach { p =>
+      try Files.writeString(Paths.get(p), line + "\n")
+      catch { case e: Exception => System.err.println(s"[bench] write $p: $e") }
+    }
+    val compact =
+      f"""{"metric":"total","unit":"sec","sf":"$sfDir","cpus":${cpus},"queries_n":${qs.size},"queries_file":"$out","errors":$ejson,"value":$total%.4f,"value_min":$totalMin%.4f,$pair}"""
+    println(compact)
+    if (compact.length > 1500)
+      System.err.println(s"[bench] WARNING compact line ${compact.length} B > 1.5 kB tail budget")
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }
