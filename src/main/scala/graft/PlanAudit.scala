@@ -181,7 +181,15 @@ object PlanAudit {
       // exchange, broke canonical equality, and the verify side paid a
       // second full scan + shingling).
       "corpus scanned exactly once (verify sides on the reused shingle exchange)" ->
-        (p => p.linesIterator.count(_.contains("Scan parquet  (")) == 1))
+        (p => p.linesIterator.count(_.contains("Scan parquet  (")) == 1),
+      // r13: the bound survivors re-spread to the operator width before
+      // the verify joins (without this, the final pair aggregate AND the
+      // whole intersect verify ran conf-wide in one stage), and the
+      // verify kernel is the threshold-aware early-abort intersect.
+      "bound survivors re-spread before the verify joins (doc_a exchange)" ->
+        (p => p.linesIterator.exists(l => l.contains("hashpartitioning(doc_a"))),
+      "verify uses the threshold-aware early-abort intersect kernel" ->
+        (_.contains("sortedintersectsizebounded")))
 
     audit("q33_star_join", qs("q33_star_join")(spark, sfDir),
       "both dimension hops broadcast: fact scans once, never shuffles for a join" ->

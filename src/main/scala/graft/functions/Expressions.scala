@@ -315,6 +315,33 @@ object HashKernels {
     inter
   }
 
+  /** Threshold-aware sorted intersect (r13, d10's verify kernel): the
+    * same two-pointer walk, but returns -1 as soon as the remaining
+    * elements cannot reach the Jaccard threshold num/den — i.e. when
+    * inter + min(remaining_a, remaining_b) < need, where
+    * need = ceil(num·(na+nb)/(num+den)) is exactly the integer bound
+    * `inter·den >= (na+nb-inter)·num` solves to. For a SURVIVING pair
+    * the walk always completes and returns the exact intersect size, so
+    * `bounded >= 0` ≡ the old `inter·den >= uni·num` filter and the
+    * j_x10k arithmetic is unchanged; for the ~10⁵ candidate pairs that
+    * fail verification (the overwhelming majority) the walk aborts once
+    * failure is provable instead of finishing the merge. */
+  def sortedIntersectSizeBounded(a: ArrayData, b: ArrayData,
+      num: Int, den: Int): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    val need = (num * (na + nb) + num + den - 1) / (num + den)
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val ra = na - i; val rb = nb - j
+      if (inter + (if (ra < rb) ra else rb) < need) return -1
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    if (inter >= need) inter else -1
+  }
+
   def xorMinHashSig(arr: ArrayData, consts: Array[Long]): ArrayData = {
     val n = arr.numElements()
     val md = ShingleKernels.md5() // thread-local, not per-row getInstance
@@ -806,6 +833,22 @@ object Expressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** See HashKernels.sortedIntersectSizeBounded — exact intersect size
+    * for pairs meeting the num/den Jaccard threshold, -1 otherwise. */
+  case class SortedIntersectSizeBounded(left: Expression, right: Expression,
+      num: Int, den: Int) extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      HashKernels.sortedIntersectSizeBounded(
+        l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], num, den)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.HashKernels.sortedIntersectSizeBounded($a, $b, $num, $den)")
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): SortedIntersectSizeBounded =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Distinct word n-gram shingles of a text column: split on single
     * spaces (trailing empties kept, same token list as split(text, ' ')
     * and DuckDB string_split), join each n consecutive tokens with ' '.
@@ -1117,6 +1160,8 @@ object Expressions {
   def dupNgramCharFrac(c: Column, n: Int): Column = column(DupNgramCharFrac(expression(c), n))
   def sortedIntersectSize(a: Column, b: Column): Column =
     column(SortedIntersectSize(expression(a), expression(b)))
+  def sortedIntersectSizeBounded(a: Column, b: Column, num: Int, den: Int): Column =
+    column(SortedIntersectSizeBounded(expression(a), expression(b), num, den))
   def wordShingles(c: Column, n: Int = 3): Column =
     column(if (kernelCodegenInterpreted) WordShinglesFallback(expression(c), n)
            else WordShingles(expression(c), n))

@@ -98,53 +98,3 @@ object TopKByScorePayloadAgg {
     udaf(new TopKByScorePayloadAgg(k), ExpressionEncoder[(Double, Long, Long)]())
       .apply(score, id, payload)
 }
-
-/** [[TopKByScoreAgg]] carrying the candidate's float VECTOR as payload —
-  * the e12/e18 fold applied to the shortlist→rerank family (VERDICT r11
-  * next-#4): the exact re-rank needs each survivor's full embedding, and
-  * joining back to the corpus for it costs a second full corpus scan
-  * plus two more job rounds. Carried as agg payload, the shuffle holds
-  * ≤ k vectors per (partition, group) — per-query state is m × dim
-  * floats, bounded — and the re-rank becomes a per-ROW array fold on the
-  * aggregate's output, no join anywhere. Ordering is (score DESC, id
-  * ASC) exactly as the payload-free form; the vector never participates
-  * in ordering, so the selected set is identical. */
-class TopKByScoreVecAgg(k: Int)
-    extends Aggregator[(Double, Long, Seq[Float]),
-      Seq[(Double, Long, Seq[Float])], Seq[(Double, Long, Seq[Float])]] {
-
-  private def ahead(a: (Double, Long, Seq[Float]), b: (Double, Long, Seq[Float])): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
-
-  private def insert(acc: Seq[(Double, Long, Seq[Float])],
-      x: (Double, Long, Seq[Float])): Seq[(Double, Long, Seq[Float])] =
-    if (acc.length >= k && ahead(acc.last, x)) acc
-    else {
-      val i = acc.indexWhere(e => ahead(x, e))
-      val ins = if (i < 0) acc :+ x else (acc.take(i) :+ x) ++ acc.drop(i)
-      if (ins.length > k) ins.take(k) else ins
-    }
-
-  override def zero: Seq[(Double, Long, Seq[Float])] = Vector.empty
-  override def reduce(acc: Seq[(Double, Long, Seq[Float])],
-      x: (Double, Long, Seq[Float])): Seq[(Double, Long, Seq[Float])] = insert(acc, x)
-  override def merge(a: Seq[(Double, Long, Seq[Float])],
-      b: Seq[(Double, Long, Seq[Float])]): Seq[(Double, Long, Seq[Float])] =
-    b.foldLeft(a)(insert)
-  override def finish(acc: Seq[(Double, Long, Seq[Float])]): Seq[(Double, Long, Seq[Float])] =
-    acc
-
-  override def bufferEncoder: Encoder[Seq[(Double, Long, Seq[Float])]] =
-    ExpressionEncoder[Seq[(Double, Long, Seq[Float])]]()
-  override def outputEncoder: Encoder[Seq[(Double, Long, Seq[Float])]] =
-    ExpressionEncoder[Seq[(Double, Long, Seq[Float])]]()
-}
-
-object TopKByScoreVecAgg {
-  /** `topK(score, id, vec)` over a group → array<struct<_1,_2,_3>>
-    * sorted by (score desc, id asc), length ≤ k; _3 is the candidate's
-    * float vector. */
-  def column(k: Int, score: Column, id: Column, vec: Column): Column =
-    udaf(new TopKByScoreVecAgg(k), ExpressionEncoder[(Double, Long, Seq[Float])]())
-      .apply(score, id, vec)
-}

