@@ -859,7 +859,7 @@ object ScaleCheck {
         val viaAgg = measure {
           skewed.groupBy("domain")
             .agg(count(lit(1)).as("n_docs"),
-              graft.functions.TopKByScoreAgg.column(3,
+              graft.functions.TopKByScoreRawAgg.column(3,
                 col("n_chars").cast("double"), col("doc_id")).as("top"))
             .select(col("domain"), posexplode(col("top")))
             .collect()

@@ -30,10 +30,25 @@ import org.apache.spark.sql.types._
   * serialized compactly for the partial-aggregate shuffle.
   */
 final class TopKVecState(val k: Int) {
-  val scores = new Array[Double](k)
-  val ids = new Array[Long](k)
-  val vecs = new Array[Array[Float]](k)
+  // Geometric growth toward k (see TopKState): robust to an "uncapped"
+  // k without preallocating k slots per group.
+  private var cap = math.min(k, 16)
+  var scores = new Array[Double](cap)
+  var ids = new Array[Long](cap)
+  var vecs = new Array[Array[Float]](cap)
   var n = 0
+
+  def growIfNeeded(): Unit =
+    if (n == cap && cap < k) ensureCap(if (cap > k / 2) k else cap * 2)
+
+  /** Grow capacity to at least `target` (clamped to k) — used by insert
+    * (geometric) and deserialize (exact n). */
+  def ensureCap(target: Int): Unit = if (target > cap) {
+    cap = math.max(16, math.min(k, target))
+    scores = java.util.Arrays.copyOf(scores, cap)
+    ids = java.util.Arrays.copyOf(ids, cap)
+    vecs = java.util.Arrays.copyOf(vecs, cap)
+  }
 }
 
 case class TopKByScoreVecRawAgg(k: Int, score: Expression, id: Expression,
@@ -57,6 +72,7 @@ case class TopKByScoreVecRawAgg(k: Int, score: Expression, id: Expression,
     * established it beats the current last element (or the buffer has
     * room). */
   private def insert(b: TopKVecState, s: Double, i: Long, v: Array[Float]): Unit = {
+    b.growIfNeeded()
     var p = if (b.n < k) { b.n += 1; b.n - 1 } else k - 1
     b.scores(p) = s; b.ids(p) = i; b.vecs(p) = v
     while (p > 0 && ahead(b.scores(p), b.ids(p), b.scores(p - 1), b.ids(p - 1))) {
@@ -130,6 +146,7 @@ case class TopKByScoreVecRawAgg(k: Int, score: Expression, id: Expression,
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val b = new TopKVecState(k)
     b.n = in.readInt()
+    b.ensureCap(b.n)
     var j = 0
     while (j < b.n) {
       b.scores(j) = in.readDouble(); b.ids(j) = in.readLong()

@@ -505,15 +505,21 @@ object Dedup {
     val p = coalesce(probePred, lit(false))
     val sh = docs.select(col("doc_id"), shingles(col("text")).as("s"))
       .where(size(col("s")) > 0)
+    // na rides the postings broadcast (r13): the old separate `qs`
+    // broadcast re-scanned and re-shingled the probe slice a second time
+    // just to attach each probe doc's set size after the pair aggregate.
+    // One long per exploded posting row instead, first(na) on the pair
+    // aggregate — one broadcast build, one join, and one probe-slice
+    // shingling pass fewer (guide §2.4; same-window A/B ×1.09 min,
+    // oracle hash-identical).
     val qe = sh.where(p)
-      .select(col("doc_id").as("doc_a"), explode(col("s")).as("g"))
-    val qs = sh.where(p)
-      .select(col("doc_id").as("doc_a"), size(col("s")).cast("long").as("na"))
+      .select(col("doc_id").as("doc_a"), size(col("s")).cast("long").as("na"),
+        explode(col("s")).as("g"))
     val ce = sh.where(!p)
       .select(col("doc_id").as("doc_b"), explode(col("s")).as("g"))
     ce.join(broadcast(qe), "g")
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-      .join(broadcast(qs), "doc_a")
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"), first(col("na")).as("na"))
       .withColumn("cont_x1000", expr("shared * 1000 div na"))
       .where(col("cont_x1000") >= minContainPermille)
       .select(col("doc_a"), col("doc_b"), col("shared"), col("cont_x1000"))
@@ -1118,7 +1124,10 @@ object Dedup {
     // original single-shuffle shape, preserved through the split).
     val wins = windowPostings(docs, width).repartition(col("h"))
     val dfs = wins.groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
-    noveltyJoin(wins, dfs, ordered)
+    // df >= 2 filter above the aggregate (the exchange reuse survives —
+    // the filter is on the agg output, not the shared subtree); see
+    // noveltyJoin for the row-identity argument.
+    noveltyJoin(wins, dfs.where(col("df") >= 2), ordered)
   }
 
   /** t15's window-fingerprint document-frequency table — a FRAME build
@@ -1147,16 +1156,28 @@ object Dedup {
       ordered: Boolean = true, broadcastStats: Option[Boolean] = None): DataFrame = {
     val useBc = broadcastStats.getOrElse(
       TextAnalysis.statsShouldBroadcastProbe(docs))
-    if (useBc) noveltyJoin(windowPostings(docs, width), broadcast(dfs), ordered)
-    else noveltyJoin(windowPostings(docs, width).repartition(col("h")), dfs, ordered)
+    if (useBc) noveltyJoin(windowPostings(docs, width), broadcast(dfs.where(col("df") >= 2)), ordered)
+    else noveltyJoin(windowPostings(docs, width).repartition(col("h")),
+      dfs.where(col("df") >= 2), ordered)
   }
 
-  private def noveltyJoin(wins: DataFrame, dfs: DataFrame,
+  /** The index side arrives pre-filtered to df >= 2 (r13): the score
+    * only needs "window is corpus-repeated", i.e. df >= 2 — joining the
+    * FULL index moved every unique-window row (the bulk of a mostly-
+    * novel corpus's vocabulary) through the broadcast build / h-exchange
+    * only for the aggregate to ignore it. With the filter pushed into
+    * the index scan, the join flips to LEFT and n_dup counts matches:
+    * row-identical (every window h exists in the full index, so the old
+    * inner join never dropped a posting; match-vs-null under the
+    * filtered index encodes exactly df >= 2 — same-window A/B ×1.11 min,
+    * oracle hash-identical). At 100 TB this shrinks the broadcast (or
+    * the shuffled index side) from vocabulary-sized to dup-vocabulary-
+    * sized. */
+  private def noveltyJoin(wins: DataFrame, dupDfs: DataFrame,
       ordered: Boolean): DataFrame = {
-    val out = wins.join(dfs, "h")
+    val out = wins.join(dupDfs, Seq("h"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .agg(count(lit(1)).as("n_windows"), count(col("df")).as("n_dup"))
       .select(col("doc_id"), col("n_windows"), col("n_dup"),
         expr("n_dup * 1000 div n_windows").as("dup_permille"))
     if (ordered) out.orderAgg("doc_id") else out

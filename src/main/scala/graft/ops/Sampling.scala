@@ -208,7 +208,7 @@ object Sampling {
     docs
       .select(col("lang"), col("doc_id"), hashBucket(col("doc_id")).as("b"))
       .groupBy("lang")
-      .agg(graft.functions.TopKByScoreAgg.column(k, -col("b").cast("double"), col("doc_id")).as("top"))
+      .agg(graft.functions.TopKByScoreRawAgg.column(k, -col("b").cast("double"), col("doc_id")).as("top"))
       .select(col("lang"), posexplode(col("top")).as(Seq("i", "x")))
       .select(col("lang"), (col("i") + 1).as("rnk"), col("x._2").as("doc_id"))
       .orderAgg("lang", "rnk")
@@ -387,7 +387,7 @@ object Sampling {
       .withColumn("skey", expr(
         "CAST(conv(substring(md5(concat(epoch, ':', doc_id)), 1, 12), 16, 10) AS BIGINT)"))
     keyed.groupBy("epoch")
-      .agg(graft.functions.TopKByScoreAgg.column(k,
+      .agg(graft.functions.TopKByScoreRawAgg.column(k,
         -col("skey").cast("double"), col("doc_id")).as("top"))
       .select(col("epoch"), posexplode(col("top")).as(Seq("i", "nb")))
       .select(col("epoch"), (col("i") + 1).cast("int").as("rnk"),
@@ -427,7 +427,7 @@ object Sampling {
       .select(col("doc_id"), col("n_chars"), domain.as("domain"))
       .groupBy("domain")
       .agg(count(lit(1)).as("n_docs"),
-        graft.functions.TopKByScoreAgg.column(cap,
+        graft.functions.TopKByScoreRawAgg.column(cap,
           col("n_chars").cast("double"), col("doc_id")).as("top"))
       .select(col("domain"), col("n_docs"),
         posexplode(col("top")).as(Seq("i", "x")))

@@ -27,7 +27,7 @@ object Similarity {
     * ORDER BY reproduces the rank order: (cos desc, id asc) per query. */
   private[ops] def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
     scored.groupBy("query_id")
-      .agg(graft.functions.TopKByScoreAgg.column(k, col("cos"), col(idCol)).as("top"))
+      .agg(graft.functions.TopKByScoreRawAgg.column(k, col("cos"), col(idCol)).as("top"))
       .select(col("query_id"), explode(col("top")).as("nb"))
       .select(col("query_id"), col("nb._2").as("neighbor_id"), col("nb._1").as("cos"))
       .orderAgg(col("query_id"), col("cos").desc, col("neighbor_id"))
@@ -107,7 +107,7 @@ object Similarity {
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("embedding"), col("qv")) * 10000, 0))
       .groupBy("query_id")
-      .agg(graft.functions.TopKByScorePayloadAgg.column(k, col("cos"),
+      .agg(graft.functions.TopKByScorePayloadRawAgg.column(k, col("cos"),
           col("vec_id"), col("label").cast("long")).as("top"),
         first(col("tl")).as("true_label"))
     top
@@ -234,7 +234,7 @@ object Similarity {
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("embedding"), col("qv")) * 10000, 0))
     val short = scored.groupBy("query_id")
-      .agg(graft.functions.TopKByScoreAgg.column(m, col("cos"), col("vec_id")).as("top"))
+      .agg(graft.functions.TopKByScoreRawAgg.column(m, col("cos"), col("vec_id")).as("top"))
       .select(col("query_id"), explode(col("top")).as("nb"))
       .select(col("query_id"), col("nb._2").as("did"),
         col("nb._1").cast("long").as("rel_x10k"))

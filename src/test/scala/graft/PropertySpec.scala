@@ -417,6 +417,46 @@ class PropertySpec extends GraftSuite {
     })
   }
 
+  test("property: TopKByScoreRawAgg / PayloadRawAgg equal global sort-take-k (r13)") {
+    // The raw TypedImperativeAggregates that replaced the udaf plain and
+    // payload top-k forms: same (score DESC, id ASC) selection through
+    // the real DataFrame path under random partitioning, payload carried
+    // selection-neutrally.
+    val genItems = Gen.nonEmptyListOf(for {
+      s <- Gen.oneOf(Gen.choose(-1.0, 1.0), Gen.oneOf(0.0, 0.5, -0.5))
+      p <- Gen.choose(-100L, 100L)
+    } yield (s, p))
+    check(Prop.forAll(genItems, Gen.choose(1, 7)) { (items0, nParts) =>
+      val items = items0.zipWithIndex.map { case ((s, p), i) => (s, i.toLong, p) }
+      val df = spark.createDataFrame(items).toDF("s", "id", "p").repartition(nParts)
+      val gotPlain = df.groupBy()
+        .agg(graft.functions.TopKByScoreRawAgg.column(5, col("s"), col("id")).as("top"))
+        .select(explode(col("top")).as("e")).select(col("e._1"), col("e._2"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1))).toList
+      val gotPay = df.groupBy()
+        .agg(graft.functions.TopKByScorePayloadRawAgg.column(
+          5, col("s"), col("id"), col("p")).as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e._1"), col("e._2"), col("e._3"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toList
+      // Uncapped k (the OpsSpec brute-force idiom): the state must GROW
+      // past its initial capacity and survive serialize/deserialize with
+      // n > 16 — the r13 regression this pin exists for.
+      val gotAll = df.groupBy()
+        .agg(graft.functions.TopKByScoreRawAgg.column(
+          Int.MaxValue, col("s"), col("id")).as("top"))
+        .select(explode(col("top")).as("e")).select(col("e._1"), col("e._2"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1))).toList
+      val truth = items.sortBy { case (s, id, _) => (-s, id) }.take(5)
+      val truthAll = items.sortBy { case (s, id, _) => (-s, id) }
+        .map(t => (t._1, t._2))
+      gotPlain == truth.map(t => (t._1, t._2)) && gotPay == truth &&
+        gotAll == truthAll || {
+        println(s"plain $gotPlain pay $gotPay all $gotAll want $truth"); false
+      }
+    }, n = 40)
+  }
+
   test("property: TopKByScoreVecRawAgg equals global sort-take-k with vectors intact (r13)") {
     // The raw TypedImperativeAggregate that replaced the udaf vec-payload
     // top-k (foldedShortlistRerank): same (score DESC, id ASC) selection,

@@ -285,7 +285,176 @@ object R13Ab {
         .orderAgg(col("query_id"), col("cos_x10k").desc, col("neighbor_id"))
     }
 
+    // ---- e8_knn_graph: OLD = shipped shape with the udaf/Aggregator
+    // plain top-k (boxed (Double, Long) per scored in-cell pair — ~1.5M
+    // rows at sf0.1); NEW = current operator with TopKByScoreRawAgg.
+    def e8Shape(rawAgg: Boolean): DataFrame = {
+      val (kk, bits, cellCap) = (3, 4, 512)
+      val cells0 = emb.select(col("vec_id"), col("embedding"),
+        Similarity.signBucket(col("embedding"), bits).as("cell"))
+      val cells = cells0
+        .withColumn("cr", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cell")
+            .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+        .where(col("cr") <= cellCap).drop("cr")
+      val scored = cells.as("q").join(cells.as("c"),
+          col("q.cell") === col("c.cell"))
+        .where(col("c.vec_id") =!= col("q.vec_id"))
+        .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor"),
+          round(graft.functions.Expressions.cosineSim(
+            col("c.embedding"), col("q.embedding")) * 10000, 0).as("cos"))
+      val top = if (rawAgg)
+        graft.functions.TopKByScoreRawAgg.column(kk, col("cos"), col("neighbor"))
+      else graft.functions.TopKByScoreAgg.column(kk, col("cos"), col("neighbor"))
+      import graft.core.Out.SmallOrderOps
+      scored.groupBy("query_id")
+        .agg(top.as("top"))
+        .select(col("query_id"), explode(col("top")).as("nb"))
+        .select(col("query_id"), col("nb._2").as("neighbor_id"), col("nb._1").as("cos"))
+        .orderAgg(col("query_id"), col("cos").desc, col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("cos").cast("long").as("cos_x10k"))
+    }
+
+    // ---- t15_novelty: OLD = shipped serving shape (the FULL stored df
+    // index broadcast, inner join, n_dup = sum(df >= 2)); NEW = only the
+    // df >= 2 subset broadcast (filter pushed into the stored-index
+    // scan), LEFT join, n_dup = count(matched). Row-identical: every
+    // window h exists in the full index, so the inner join never dropped
+    // rows, and match-vs-null under the filtered index encodes exactly
+    // df >= 2.
+    val ndfs = graft.core.Artifacts.materialized(spark, sfDir, "novelty_dfs") {
+      Dedup.noveltyDfs(docs)
+    }
+    def t15Shape(dupOnly: Boolean): DataFrame = {
+      import graft.core.Out.SmallOrderOps
+      val wins = Dedup.windowPostings(docs, 8)
+      val j =
+        if (dupOnly)
+          wins.join(broadcast(ndfs.where(col("df") >= 2)), Seq("h"), "left")
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_windows"), count(col("df")).as("n_dup"))
+        else
+          wins.join(broadcast(ndfs), Seq("h"))
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_windows"),
+              sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      j.select(col("doc_id"), col("n_windows"), col("n_dup"),
+          expr("n_dup * 1000 div n_windows").as("dup_permille"))
+        .orderAgg("doc_id")
+    }
+
+    // ---- e1 one-job probe (VERDICT r12 next-#4): OLD = shipped
+    // broadcast-build shape (query side a filtered parquet scan under a
+    // BroadcastExchange — its build is a separate job); NEW candidate =
+    // query rows collected at CONSTRUCTION time (still inside the timed
+    // region, still one scan job) and broadcast as a LocalRelation
+    // (whose broadcast build runs no job). Jobs stay 2 either way — the
+    // probe quantifies whether the local-relation broadcast is any
+    // cheaper than the scan-under-broadcast it replaces.
+    def e1Old(): DataFrame = Similarity.cosineTopK(emb, col("vec_id") < 5)
+    def e1Lit(): DataFrame = {
+      import spark.implicits._
+      val qRows = emb.where(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+      val q = spark.createDataset(qRows.toSeq)
+        .toDF("query_id", "qv")
+      val scored = emb.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", round(graft.functions.Expressions.cosineSim(
+          col("embedding"), col("qv")) * 10000, 0))
+      import graft.core.Out.SmallOrderOps
+      scored.groupBy("query_id")
+        .agg(graft.functions.TopKByScoreRawAgg.column(10, col("cos"), col("vec_id")).as("top"))
+        .select(col("query_id"), explode(col("top")).as("nb"))
+        .select(col("query_id"), col("nb._2").as("neighbor_id"), col("nb._1").as("cos"))
+        .orderAgg(col("query_id"), col("cos").desc, col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("cos").cast("long").as("cos_x10k"))
+    }
+
+    // ---- d16_containment: OLD = shipped (separate qs broadcast carries
+    // each probe doc's set size — a second probe-slice scan + shingling
+    // + broadcast build + join); NEW = na rides the qe postings
+    // broadcast (one long per exploded row) and first(na) rides the pair
+    // aggregate — one broadcast build, one join, one probe shingling
+    // pass fewer.
+    def d16Shape(foldNa: Boolean): DataFrame = {
+      import graft.core.Out.SmallOrderOps
+      val p = coalesce(col("doc_id") % 5 === 0, lit(false))
+      val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("s"))
+        .where(size(col("s")) > 0)
+      val ce = sh.where(!p)
+        .select(col("doc_id").as("doc_b"), explode(col("s")).as("g"))
+      val out =
+        if (foldNa) {
+          val qe = sh.where(p)
+            .select(col("doc_id").as("doc_a"), size(col("s")).cast("long").as("na"),
+              explode(col("s")).as("g"))
+          ce.join(broadcast(qe), "g")
+            .groupBy("doc_a", "doc_b")
+            .agg(count(lit(1)).as("shared"), first(col("na")).as("na"))
+            .withColumn("cont_x1000", expr("shared * 1000 div na"))
+        } else {
+          val qe = sh.where(p)
+            .select(col("doc_id").as("doc_a"), explode(col("s")).as("g"))
+          val qs = sh.where(p)
+            .select(col("doc_id").as("doc_a"), size(col("s")).cast("long").as("na"))
+          ce.join(broadcast(qe), "g")
+            .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+            .join(broadcast(qs), "doc_a")
+            .withColumn("cont_x1000", expr("shared * 1000 div na"))
+        }
+      out.where(col("cont_x1000") >= 600)
+        .select(col("doc_a"), col("doc_b"), col("shared"), col("cont_x1000"))
+        .orderSmall("doc_a", "doc_b")
+    }
+
+    // ---- d14_edit_dedup: OLD = shipped 3-join attach (withA = ta ⋈
+    // bc(jpairs), withB = tb ⋈ bc(jpairs), then withA ⋈ withB on the
+    // pair key — an extra join round over two pair-sized text frames);
+    // NEW = sequential 2-join attach (corpus streams through ta-side,
+    // the pair-sized result broadcast against the tb-side corpus scan).
+    def d14Shape(twoJoin: Boolean): DataFrame = {
+      import graft.core.Out.SmallOrderOps
+      // jaccardPairs body (private[ops]) reconstructed: LSH candidates +
+      // exact-Jaccard gate.
+      val withSh = Dedup.shingled(docs)
+      val banded = Dedup.bandedSignatures(withSh, 64, 16)
+      val cands0 = banded.as("x")
+        .join(banded.as("y"), Seq("band", "key"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val shA = withSh.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+      val shB = withSh.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+      val jpairs = cands0.join(shA, "doc_a").join(shB, "doc_b")
+        .withColumn("jacc", graft.functions.Expressions.jaccardSim(col("sa"), col("sb")))
+        .where(col("jacc") >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+      val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+      val joined =
+        if (twoJoin)
+          tb.join(broadcast(ta.join(broadcast(jpairs), "doc_a")), "doc_b")
+        else {
+          val withA = ta.join(jpairs, "doc_a")
+          val withB = tb.join(jpairs, "doc_b")
+          withA.join(withB, Seq("doc_a", "doc_b"))
+        }
+      joined
+        .withColumn("lev", levenshtein(col("text_a"), col("text_b")).cast("long"))
+        .withColumn("ep_x1000",
+          expr("lev * 1000 div greatest(length(text_a), length(text_b))"))
+        .where(col("ep_x1000") <= 20)
+        .select(col("doc_a"), col("doc_b"), col("lev").as("lev_edits"), col("ep_x1000"))
+        .orderSmall("doc_a", "doc_b")
+    }
+
     val allArms: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("d16", () => d16Shape(foldNa = false), () => d16Shape(foldNa = true)),
+      ("d14", () => d14Shape(twoJoin = false), () => d14Shape(twoJoin = true)),
+      ("t15", () => t15Shape(dupOnly = false), () => t15Shape(dupOnly = true)),
+      ("e1", () => e1Old(), () => e1Lit()),
+      ("e8", () => e8Shape(rawAgg = false), () => e8Shape(rawAgg = true)),
       ("e14", () => e14Shape(rawAgg = false), () => e14Shape(rawAgg = true)),
       ("t6", () => t6Old(), () => t6New()),
       ("d10", () => d10Old(), () => d10New()),
