@@ -226,7 +226,11 @@ object Dedup {
         >= threshold)
       .select(col("crawl_id").as("doc_id")).distinct()
     val out = crawl.select("doc_id").join(flagged, Seq("doc_id"), "left_anti")
-    if (ordered) out.orderAgg("doc_id") else out
+    // orderSmall, not orderAgg (r13): coalesce(1) narrowed the
+    // crawl-vs-flagged anti-join (and the flagged side's dedup
+    // aggregate) to one task — the d12/t10 presentation-sort finding.
+    // Same-window A/B ×1.22 min / ×1.21 med.
+    if (ordered) out.orderSmall("doc_id") else out
   }
 
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
@@ -1103,7 +1107,13 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("a_start"),
         (col("a_start") - col("d")).as("b_start"),
         (col("nw") + (width - 1)).as("span_words"))
-    if (ordered) out.orderAgg("doc_a", "doc_b", "a_start", "b_start") else out
+    // orderSmall, not orderAgg (r13): with no exchange between the
+    // islands window/aggregate and the presentation sort, coalesce(1)
+    // narrowed the WHOLE reduce side — the islands window over every
+    // enumerated pair-position row ran in one task. repartition(1) costs
+    // one tiny exchange of the island rows and keeps the window wide
+    // (same-window A/B ×1.11 med; the d20/t10 siblings measured ×1.2–1.3).
+    if (ordered) out.orderSmall("doc_a", "doc_b", "a_start", "b_start") else out
   }
 
   /** Per-document novelty / memorization-risk score: the permille of a

@@ -405,7 +405,12 @@ object TextAnalysis {
     // single-task presentation sort was MEASURED as ~1.0 s of the
     // query's 1.6 s (the algorithm itself runs 0.7 s) — a view or a
     // large-corpus caller composes its own ORDER BY.
-    if (ordered) out.orderAgg("doc_id", "rnk") else out
+    //
+    // orderSmall, not orderAgg (r13): coalesce(1) above the per-doc
+    // top-k aggregate narrowed the FINAL aggregate (all doc groups) and
+    // the ×k explode to one task — repartition(1) keeps them wide for
+    // one extra tiny exchange (same-window A/B ×1.34 min / ×1.28 med).
+    if (ordered) out.orderSmall("doc_id", "rnk") else out
   }
 
   /** Rolling-hash fingerprint: fold (acc*31 + h_w mod 1000003) mod 1e9+7

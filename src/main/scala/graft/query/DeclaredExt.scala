@@ -207,7 +207,10 @@ object DeclaredExt {
       .where(col("cnt") * col("m") > col("total"))
       .groupBy("c_nationkey").agg(count(lit(1)).as("busy"))
       .select(col("c_nationkey").cast("int").as("nation"), col("busy"))
-      .orderAgg("nation")
+      // orderSmall, not orderAgg (r13): coalesce(1) narrowed the
+      // per-nation window + final aggregate (per-customer input rows) to
+      // one task — the d12/t10/d20 presentation-sort finding. A/B ×1.16.
+      .orderSmall("nation")
   }
 
   /** Q29 — as-of join (each click matched to the latest view by the same

@@ -449,7 +449,107 @@ object R13Ab {
         .orderSmall("doc_a", "doc_b")
     }
 
+    // ---- d12_substring_dedup: OLD = shipped (whole posting pipeline at
+    // the narrow session width); NEW = the d10 width discipline — the
+    // pinned h-exchange and the islands-window exchange at the operator
+    // width (2× the session conf when idle cores exist), so the posting
+    // self-join fan-out and the islands window/aggregate run wide.
+    def d12Shape(wide: Boolean): DataFrame = {
+      import graft.core.Out.SmallOrderOps
+      val (width, dfCap) = (8, 64)
+      val sess = docs.sparkSession
+      val conf = sess.sessionState.conf.numShufflePartitions
+      val w = if (wide)
+        math.max(conf, math.min(sess.sparkContext.defaultParallelism, 2 * conf))
+      else conf
+      val wins0 = Dedup.windowPostings(docs, width)
+        .where(col("doc_id").isNotNull)
+      val wins = if (wide) wins0.repartition(w, col("h")) else wins0.repartition(col("h"))
+      val stats = wins.groupBy("h", "doc_id").agg(max(col("pos")).as("__gr_p"))
+        .groupBy("h").agg(count(lit(1)).as("df"), max(col("__gr_p")).as("__gr_pp"))
+        .where(col("df").between(2, dfCap) && col("__gr_pp") >= 0)
+        .select("h", "df")
+      val good = wins.join(stats, "h").select("h", "doc_id", "pos")
+      val pairs = good.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("a_pos"))
+        .join(good.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("b_pos")), "h")
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), (col("a_pos") - col("b_pos")).as("d"), col("a_pos"))
+      val pairsW = if (wide) pairs.repartition(w, col("doc_a"), col("doc_b"), col("d"))
+        else pairs
+      val wIsl = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_a", "doc_b", "d").orderBy("a_pos")
+      pairsW
+        .withColumn("g", col("a_pos") - row_number().over(wIsl))
+        .groupBy("doc_a", "doc_b", "d", "g")
+        .agg(min(col("a_pos")).as("a_start"), count(lit(1)).as("nw"))
+        .select(col("doc_a"), col("doc_b"), col("a_start"),
+          (col("a_start") - col("d")).as("b_start"),
+          (col("nw") + (width - 1)).as("span_words"))
+        .orderAgg("doc_a", "doc_b", "a_start", "b_start")
+    }
+
+    // ---- d12 presentation sort: OLD = shipped orderAgg (coalesce(1) —
+    // with NO exchange between the islands window/aggregate and the
+    // final sort, the coalesce narrows the WHOLE reduce side to one
+    // task: the islands window over every pair-position row runs
+    // single-threaded); NEW = repartition(1) before the sort (one tiny
+    // extra exchange of the island rows, window + aggregate stay wide).
+    def d12Sort(repart: Boolean): DataFrame = {
+      import graft.core.Out.SmallOrderOps
+      val base = Dedup.substringDedup(docs, ordered = false)
+      if (repart) base.orderSmall("doc_a", "doc_b", "a_start", "b_start")
+      else base.orderAgg("doc_a", "doc_b", "a_start", "b_start")
+    }
+
+    // ---- presentation-sort shape (d12's finding generalized): OLD =
+    // orderAgg (coalesce(1), which narrows the whole reduce side above
+    // the last exchange to ONE task — for these queries that is a
+    // corpus-keyed final aggregate, a window, or an anti-join, not just
+    // the tiny sort); NEW = ordered=false + orderSmall (repartition(1):
+    // one extra tiny exchange, reduce side stays wide).
+    import graft.core.Out.SmallOrderOps
+    def t10Sort(repart: Boolean): DataFrame = {
+      val tdf = graft.core.Artifacts.materialized(spark, sfDir, "tfidf_df") {
+        TextAnalysis.tfidfStats(docs)._1
+      }
+      val base = TextAnalysis.tfidfTopKWithStats(docs, tdf,
+        ops.DeclaredOps.tfidfN(spark, sfDir), 3, false, None)
+      if (repart) base.orderSmall("doc_id", "rnk") else base.orderAgg("doc_id", "rnk")
+    }
+    def d20Sort(repart: Boolean): DataFrame = {
+      val base = Dedup.nearDupAgainstIndex(docs.where(col("doc_id") % 4 === 2),
+        docs.where(col("doc_id") % 4 =!= 2), ordered = false)
+      if (repart) base.orderSmall("doc_id") else base.orderAgg("doc_id")
+    }
+    def s10Sort(repart: Boolean): DataFrame = {
+      val base = Sampling.domainCap(docs, Sampling.syntheticUrl(col("doc_id")),
+        3, ordered = false)
+      if (repart) base.orderSmall("domain", "rnk") else base.orderAgg("domain", "rnk")
+    }
+
+    def q28Sort(repart: Boolean): DataFrame = {
+      val cust = graft.core.Tables.load(spark, sfDir, "customer")
+      val orders = graft.core.Tables.load(spark, sfDir, "orders")
+      val cnts = cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left")
+        .groupBy(cust("c_custkey"), cust("c_nationkey"))
+        .agg(count(col("o_orderkey")).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("c_nationkey")
+      val base = cnts
+        .withColumn("total", sum(col("cnt")).over(w))
+        .withColumn("m", count(lit(1)).over(w))
+        .where(col("cnt") * col("m") > col("total"))
+        .groupBy("c_nationkey").agg(count(lit(1)).as("busy"))
+        .select(col("c_nationkey").cast("int").as("nation"), col("busy"))
+      if (repart) base.orderSmall("nation") else base.orderAgg("nation")
+    }
+
     val allArms: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("q28s", () => q28Sort(repart = false), () => q28Sort(repart = true)),
+      ("t10s", () => t10Sort(repart = false), () => t10Sort(repart = true)),
+      ("d20s", () => d20Sort(repart = false), () => d20Sort(repart = true)),
+      ("s10s", () => s10Sort(repart = false), () => s10Sort(repart = true)),
+      ("d12s", () => d12Sort(repart = false), () => d12Sort(repart = true)),
+      ("d12", () => d12Shape(wide = false), () => d12Shape(wide = true)),
       ("d16", () => d16Shape(foldNa = false), () => d16Shape(foldNa = true)),
       ("d14", () => d14Shape(twoJoin = false), () => d14Shape(twoJoin = true)),
       ("t15", () => t15Shape(dupOnly = false), () => t15Shape(dupOnly = true)),
