@@ -543,7 +543,21 @@ object R13Ab {
       if (repart) base.orderSmall("nation") else base.orderAgg("nation")
     }
 
+    def t11Sort(repart: Boolean): DataFrame = {
+      val base = Dedup.chunkDedup(docs, ordered = false)
+      if (repart) base.orderSmall("chunk_md5") else base.orderAgg("chunk_md5")
+    }
+    def d22Sort(repart: Boolean): DataFrame = {
+      val d = docs.select("doc_id", "text")
+      val u = d.unionByName(d.where(col("doc_id") < 40)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      val base = Dedup.softDedupWeights(u, ordered = false)
+      if (repart) base.orderSmall("doc_id") else base.orderAgg("doc_id")
+    }
+
     val allArms: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("t11s", () => t11Sort(repart = false), () => t11Sort(repart = true)),
+      ("d22s", () => d22Sort(repart = false), () => d22Sort(repart = true)),
       ("q28s", () => q28Sort(repart = false), () => q28Sort(repart = true)),
       ("t10s", () => t10Sort(repart = false), () => t10Sort(repart = true)),
       ("d20s", () => d20Sort(repart = false), () => d20Sort(repart = true)),
