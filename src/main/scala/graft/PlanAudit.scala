@@ -8,6 +8,18 @@ import org.apache.spark.sql.SparkSession
   * cartesian products, top-k collapsing to TakeOrderedAndProject).
   * Run: sbt "runMain graft.PlanAudit [sfDir]" — exits non-zero on any
   * violated property.
+  *
+  * SPARK-VERSION DEPENDENCY (ADVICE r12, the one shared place): the r12
+  * exchange-reuse repairs rely on the CURRENT optimizer (Spark 4.1) not
+  * simplifying their canonicalization guards — the `max(col)` riders
+  * under identically-true predicates (TextAnalysis.perplexityBuckets,
+  * Dedup.substringDedup, Sampling.sequencePack, Multimodal.sig16Pairs)
+  * and the up-front key non-null normalizations. A Spark upgrade that
+  * starts constant-folding those guards or re-pruning the riders would
+  * silently re-split the shared subtrees (a hidden second corpus scan +
+  * exchange), which is exactly what the single-scan / ReusedExchange
+  * pins in this file exist to catch: RUN THIS AUDIT as part of any
+  * Spark version bump before trusting plan-shape claims.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

@@ -180,21 +180,93 @@ object ScaleCheck {
     out
   }
 
+  /** Genuinely open-vocabulary Zipfian corpus (s = 1.25 via inverse-CDF
+    * over xxhash64 bits — type count grows ~N^0.8, unbounded), generated
+    * DISTRIBUTED and cached per size under java.io.tmpdir. Shared by the
+    * --openvocab growth/regime checks and the --corescale wall-ratio
+    * runs. */
+  private def openVocabCorpus(spark: SparkSession, nDocs: Long,
+      wordsPerDoc: Int = 200): String = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft-openvocab-$nDocs"
+    val marker = java.nio.file.Paths.get(out, "_SUCCESS")
+    if (!java.nio.file.Files.exists(marker)) {
+      // u in (0, 1] from 30 hash bits; rank = floor(u^(-1/(s-1))),
+      // s = 1.25 -> exponent -4. Capped at 2^40 (u can be 2^-30).
+      // (r13: the inherited mid-build spelling had a dangling `AS
+      // STRING` without its CAST — a ParseException on first actual
+      // run; this block had never been executed.)
+      val word = "concat('w', CAST(CAST(least(pow((CAST(" +
+        "(abs(xxhash64(concat(CAST(id AS STRING), ':', CAST(i AS STRING)))) % 1073741824) + 1" +
+        " AS DOUBLE)) / 1073741824.0, -4.0), 1099511627776.0) AS BIGINT) AS STRING))"
+      spark.range(nDocs)
+        .select(col("id").as("doc_id"),
+          concat(lit("src"), (col("id") % 20).cast("string")).as("source"),
+          expr(s"array_join(transform(sequence(1, $wordsPerDoc), i -> $word), ' ')")
+            .as("text"))
+        .withColumn("n_chars", length(col("text")))
+        .withColumn("lang", lit("en"))
+        .repartition(32).write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val dirs =
       if (args.length >= 2) Seq(args(0), args(1))
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    // --corescale honors SPARK_GRAFT_CPUS so the SAME run can be repeated
+    // at two core counts for the wall-ratio evidence; shuffle width then
+    // tracks the core count (scale-adaptive, guide §2.2 — a fixed width
+    // would cap the high-core run's reduce parallelism and fake a flat
+    // ratio).
+    val csCpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
       // local[32] for the third-decade head-to-head (--sf1bench pairs
       // against a 32-thread DuckDB); the growth checks keep 16.
-      .master(if (args.contains("--sf1bench")) "local[32]" else "local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
+      .master(if (args.contains("--sf1bench")) "local[32]"
+        else if (args.contains("--corescale")) s"local[$csCpus]" else "local[16]")
+      .config("spark.sql.shuffle.partitions",
+        if (args.contains("--corescale")) csCpus.toString else "16")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    // Core-scaling wall ratios (VERDICT r12 next-#6): at sf0.1 the suite
+    // is dispatch/fresh-plan dominated and the 8c/32c ratio reads ~1.0
+    // suite-wide, so core count cannot show. At the open-vocab decades
+    // compute dominates: run the heavy operators (noop sink per guide
+    // §1.4 — computation, not collect) under local[$SPARK_GRAFT_CPUS],
+    // once at 8 and once at 32 cores, and record the rows in
+    // SCALECHECK.md. d10/d12 use the 20k-doc decade (their posting
+    // pipelines are superlinear in corpus size); t10/t25 the 200k-doc
+    // decade (stats joins + scoring are corpus-linear).
+    if (args.contains("--corescale")) {
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val d20k = spark.read.parquet(openVocabCorpus(spark, 20000L))
+      val d200k = spark.read.parquet(openVocabCorpus(spark, 200000L))
+      val cases: Seq[(String, Long, () => org.apache.spark.sql.DataFrame)] = Seq(
+        ("d10_jaccard_join", 20000L, () => graft.ops.Dedup.jaccardJoin(d20k)),
+        ("d12_substring_dedup", 20000L,
+          () => graft.ops.Dedup.substringDedup(d20k, ordered = false)),
+        ("t10_tfidf_topk", 200000L,
+          () => graft.ops.TextAnalysis.tfidfTopK(d200k, ordered = false)),
+        ("t25_perplexity_buckets", 200000L,
+          () => graft.ops.TextAnalysis.perplexityBuckets(d200k, ordered = false)))
+      cases.foreach { case (name, nd, f) =>
+        spark.sparkContext.setJobDescription(s"corescale $name")
+        noop(f()) // warm (JVM/codegen/parquet footers)
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); noop(f()); (System.nanoTime() - t0) / 1e9
+        }.sorted
+        println(f"CORESCALE cpus=$csCpus docs=$nd query=$name " +
+          f"wall_med=${ts(1)}%.2f wall_min=${ts.head}%.2f")
+      }
+      spark.stop(); return
+    }
 
     dirs.foreach { dir =>
       val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -889,70 +961,64 @@ object ScaleCheck {
     // the switch flips (collecting 2M-doc output would be a driver
     // blowup; the hash is the same evidence).
     if (args.contains("--openvocab")) {
-      def openVocab(nDocs: Long, wordsPerDoc: Int = 200): String = {
-        val out = s"${sys.props("java.io.tmpdir")}/graft-openvocab-$nDocs"
-        val marker = java.nio.file.Paths.get(out, "_SUCCESS")
-        if (!java.nio.file.Files.exists(marker)) {
-          // u in (0, 1] from 30 hash bits; rank = ceil(u^(-1/(s-1))),
-          // s = 1.25 -> exponent -4. Capped at 2^40 (u can be 2^-30).
-          val word = "concat('w', CAST(least(pow((CAST(" +
-            "(abs(xxhash64(concat(CAST(id AS STRING), ':', CAST(i AS STRING)))) % 1073741824) + 1" +
-            " AS DOUBLE)) / 1073741824.0, -4.0), 1099511627776.0) AS BIGINT) AS STRING))"
-          spark.range(nDocs)
-            .select(col("id").as("doc_id"),
-              concat(lit("src"), (col("id") % 20).cast("string")).as("source"),
-              expr(s"array_join(transform(sequence(1, $wordsPerDoc), i -> $word), ' ')")
-                .as("text"))
-            .withColumn("n_chars", length(col("text")))
-            .withColumn("lang", lit("en"))
-            .repartition(32).write.mode("overwrite").parquet(out)
-        }
-        out
-      }
+      def openVocab(nDocs: Long): String = openVocabCorpus(spark, nDocs)
+      // 3M docs is the first size whose corpus estimate crosses the 1 GiB
+      // statsShouldBroadcast ceiling (2M lands at ~999 MB — 7% under);
+      // its decade row skips the n-gram distinct counts (the growth trend
+      // is established by the four true decades) and exists to make the
+      // switch fire for real.
       var flipChecked = false
-      for (n <- Seq(2000L, 20000L, 200000L, 2000000L)) {
+      for (n <- Seq(2000L, 20000L, 200000L, 2000000L, 3000000L)) {
         val dir = openVocab(n)
         val docs = spark.read.parquet(dir)
-        val toks = docs.select(explode(split(col("text"), " ")).as("w"))
-        val uni = toks.distinct().count()
-        val big = docs.select(split(col("text"), " ").as("w"))
-          .select(explode(expr(
-            "arrays_zip(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1))")).as("b"))
-          .distinct().count()
-        val tri = docs.select(split(col("text"), " ").as("w"))
-          .select(explode(expr(
-            "arrays_zip(slice(w, 1, size(w) - 2), slice(w, 2, size(w) - 2), slice(w, 3, size(w) - 2))")).as("t"))
-          .distinct().count()
         val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
         val bc = est <= BigInt(graft.ops.TextAnalysis.StatsBroadcastMaxCorpusBytes)
-        println(s"OPENVOCAB docs=$n tokens=${n * 200} uni_types=$uni " +
-          s"bi_types=$big tri_types=$tri corpus_est_bytes=$est " +
-          s"regime=${if (bc) "broadcast" else "shuffled"}")
+        if (n <= 2000000L) {
+          val toks = docs.select(explode(split(col("text"), " ")).as("w"))
+          val uni = toks.distinct().count()
+          val big = docs.select(split(col("text"), " ").as("w"))
+            .select(explode(expr(
+              "arrays_zip(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1))")).as("b"))
+            .distinct().count()
+          val tri = docs.select(split(col("text"), " ").as("w"))
+            .select(explode(expr(
+              "arrays_zip(slice(w, 1, size(w) - 2), slice(w, 2, size(w) - 2), slice(w, 3, size(w) - 2))")).as("t"))
+            .distinct().count()
+          println(s"OPENVOCAB docs=$n tokens=${n * 200} uni_types=$uni " +
+            s"bi_types=$big tri_types=$tri corpus_est_bytes=$est " +
+            s"regime=${if (bc) "broadcast" else "shuffled"}")
+        } else
+          println(s"OPENVOCAB docs=$n tokens=${n * 200} corpus_est_bytes=$est " +
+            s"regime=${if (bc) "broadcast" else "shuffled"}")
         if (!bc && !flipChecked) {
-          // First decade past the ceiling: the AUTO path is now the
-          // shuffled equi-join. Pin broadcast ≡ shuffled by result hash
-          // over the FULL output (order-independent sum of row hashes +
-          // count), and confirm the auto decision matches.
+          // First decade past the ceiling: assert the AUTO decision is
+          // the shuffled equi-join and EXECUTE that regime end-to-end
+          // (order-independent row-hash signature — collecting the
+          // output would be a driver blowup). The broadcast ≡ shuffled
+          // ROW IDENTITY is pinned at oracle scale by OpsSpec; forcing
+          // the broadcast arm here would build a multi-GB hash relation
+          // on the driver — exactly the failure the switch exists to
+          // avoid — so it is deliberately not run at this size.
           flipChecked = true
           assert(!graft.ops.TextAnalysis.statsShouldBroadcastProbe(docs),
             "auto regime must be shuffled past the ceiling")
           def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
             val cols = df.columns.map(col)
-            val r = df.agg(sum(xxhash64(cols: _*)), count(lit(1))).head()
+            // Modular row-hash sum: a raw sum(xxhash64) over tens of
+            // millions of rows overflows Long under ANSI mode.
+            val r = df.agg(sum(pmod(xxhash64(cols: _*), lit(1000000007L))),
+              count(lit(1))).head()
             (r.getLong(0), r.getLong(1))
           }
           val t0 = System.nanoTime()
           val sh = sig(graft.ops.TextAnalysis.tfidfTopK(docs, ordered = false,
             broadcastStats = Some(false)))
           val t1 = System.nanoTime()
-          val bcr = sig(graft.ops.TextAnalysis.tfidfTopK(docs, ordered = false,
-            broadcastStats = Some(true)))
-          val t2 = System.nanoTime()
-          assert(sh == bcr, s"regime identity broken at the flip decade: $sh vs $bcr")
-          println(f"OPENVOCABFLIP docs=$n t10_identity=ok rows=${sh._2} " +
-            f"shuffled_s=${(t1 - t0) / 1e9}%.1f broadcast_s=${(t2 - t1) / 1e9}%.1f")
+          println(f"OPENVOCABFLIP docs=$n auto_regime=shuffled rows=${sh._2} " +
+            f"row_hash_sum=${sh._1} shuffled_s=${(t1 - t0) / 1e9}%.1f")
         }
       }
+      if (!flipChecked) println("OPENVOCABFLIP never_fired=true (raise the decade list)")
     }
     spark.stop()
   }

@@ -633,7 +633,15 @@ object Dedup {
     * g-keyed repartition of the scan, reused by both self-join sides
     * and the per-source counts (the same single-exchange discipline as
     * the inline composition, with the shingling pass replaced by the
-    * index scan). */
+    * index scan).
+    *
+    * INPUT CONTRACT (ADVICE r12): `postings` must have non-null
+    * (source, g) rows — true of every [[sourcePostings]]-produced
+    * artifact (explode cannot emit a null g; source is a non-null table
+    * column). overlapFromPostings filters both columns non-null for
+    * exchange-reuse canonical equality, so a hypothetical null-bearing
+    * foreign frame would have its null rows excluded from the
+    * maxSourcesPerShingle hot-set statistics rather than counted. */
   def sourceOverlapWithPostings(postings: DataFrame,
       maxSourcesPerShingle: Int = Int.MaxValue): DataFrame =
     overlapFromPostings(postings.repartition(col("g")), maxSourcesPerShingle)
