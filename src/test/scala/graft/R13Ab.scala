@@ -555,7 +555,24 @@ object R13Ab {
       if (repart) base.orderSmall("doc_id") else base.orderAgg("doc_id")
     }
 
+    // ---- q17_json_extract: OLD = shipped (the events scan splits to 3
+    // tasks and the per-row JSON parse runs 3-wide on a 32-core host);
+    // NEW = gopherRules' spread rule (repartition to cores when the scan
+    // under-splits) before the parse.
+    def q17Spread(spread: Boolean): DataFrame = {
+      val ev = graft.core.Tables.load(spark, sfDir, "events")
+      val cores = spark.sparkContext.defaultParallelism
+      val base = if (spread && ev.rdd.getNumPartitions < cores)
+        ev.repartition(cores) else ev
+      base.select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .where(col("k") > 80)
+        .orderBy("event_id")
+        .limit(100)
+    }
+
     val allArms: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("q17s", () => q17Spread(spread = false), () => q17Spread(spread = true)),
       ("t11s", () => t11Sort(repart = false), () => t11Sort(repart = true)),
       ("d22s", () => d22Sort(repart = false), () => d22Sort(repart = true)),
       ("q28s", () => q28Sort(repart = false), () => q28Sort(repart = true)),
